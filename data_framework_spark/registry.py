@@ -1,0 +1,100 @@
+"""Central query registry: name → (Spark callable, DuckDB oracle SQL).
+
+The single source of truth consumed by `__spark_entry__.py`
+(driver contract), `bench.py`, and the local parity tests
+(tests/test_oracle_parity.py replicates the driver's check so
+mismatches surface before a round ends).
+
+Every entry's Spark callable takes (spark, sf_dir) and returns a
+DataFrame whose column NAMES match the oracle SQL exactly (the driver
+hash-compares columns sorted by name). Entries with `oracle=None` are
+genuinely non-SQL-expressible and get the driver's weaker rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_framework_spark.operators import aggregates, relational, slicing, windows
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+QUERIES: dict[str, Query] = {
+    # --- reference surface: slicing (SURVEY.md §2.2) ---
+    "timeslice_events": Query(
+        slicing.q_timeslice_events,
+        slicing.Q_TIMESLICE_EVENTS_SQL,
+        "inclusive time-range filter (_timeslice, statmeshvar.py:95-100)",
+    ),
+    "zoom_lineitem": Query(
+        slicing.q_zoom_lineitem,
+        slicing.Q_ZOOM_LINEITEM_SQL,
+        "inclusive sorted-bounds box filter (_zoom, statmeshvar.py:102-109)",
+    ),
+    "select_vars_substring": Query(
+        slicing.q_select_vars_substring,
+        slicing.Q_SELECT_VARS_SUBSTRING_SQL,
+        "case-sensitive substring variable selection (vpicdataset.py:206-213)",
+    ),
+    # --- reference surface: aggregates (SURVEY.md §2.4) ---
+    "bounds_events": Query(
+        aggregates.q_bounds_events,
+        aggregates.Q_BOUNDS_EVENTS_SQL,
+        "per-variable [min,max] bounds (dataset.py:152-181, documented intent)",
+    ),
+    "sigma_threshold_lineitem": Query(
+        aggregates.q_sigma_threshold_lineitem,
+        aggregates.Q_SIGMA_THRESHOLD_LINEITEM_SQL,
+        "mean + n·stddev_pop outlier threshold (vpicdataset.py:486-487)",
+    ),
+    "label_extrema_events": Query(
+        aggregates.q_label_extrema_events,
+        aggregates.Q_LABEL_EXTREMA_EVENTS_SQL,
+        "per-label extrema + argmax position (vpicdataset.py:493-501)",
+    ),
+    # --- reference surface: window kernels (SURVEY.md §2.4/2.5) ---
+    "running_sum_events": Query(
+        windows.q_running_sum_events,
+        windows.Q_RUNNING_SUM_EVENTS_SQL,
+        "per-series prefix sum (np.cumsum, vpicdataset.py:287)",
+    ),
+    "gradient_events": Query(
+        windows.q_gradient_events,
+        windows.Q_GRADIENT_EVENTS_SQL,
+        "np.gradient central difference w/ one-sided edges (vpicdataset.py:378-379)",
+    ),
+    "fluxfn_grid": Query(
+        windows.q_fluxfn_grid,
+        windows.Q_FLUXFN_GRID_SQL,
+        "calc_fluxfn two chained cumsums on a 2-D grid (vpicdataset.py:286-291)",
+    ),
+    # --- extension layer: relational (SURVEY.md §7 phase 5) ---
+    "tpch_q1": Query(relational.tpch_q1, relational.TPCH_Q1_SQL, "pricing summary"),
+    "tpch_q3": Query(relational.tpch_q3, relational.TPCH_Q3_SQL, "shipping priority top-10"),
+    "tpch_q5": Query(relational.tpch_q5, relational.TPCH_Q5_SQL, "local supplier revenue"),
+    "tpch_q6": Query(relational.tpch_q6, relational.TPCH_Q6_SQL, "forecast revenue"),
+    "top_k_orders": Query(
+        relational.top_k_orders, relational.TOP_K_ORDERS_SQL, "deterministic top-k"
+    ),
+    "group_rollup": Query(
+        relational.group_rollup, relational.GROUP_ROLLUP_SQL, "ROLLUP grouping sets"
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

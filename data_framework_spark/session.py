@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Single place that encodes the session conventions the whole engine
+assumes: UTC session timezone (so timestamp comparisons against
+external engines are stable), AQE on (runtime re-planning / skew
+handling), Arrow enabled (Pandas-UDF fast path), and shuffle
+partitions sized to the local core count rather than the 200 default.
+
+On a real cluster the same factory applies; only `master` and the
+shuffle-partition count change (cores × executors × 2-3 is the usual
+starting point — AQE coalescing trims the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data_framework_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The test data's events.ts is parquet TIMESTAMP(NANOS), which
+        # Spark refuses by default; read it as long and convert in the
+        # table loader (sources/tables.py) — DuckDB truncates ns→µs the
+        # same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
