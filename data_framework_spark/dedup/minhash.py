@@ -1,0 +1,159 @@
+"""MinHash + LSH near-duplicate detection, engine-portable.
+
+Pipeline (the standard shingle → minhash → band → bucket-join shape):
+1. shingle each document into its distinct word set (unigram shingles
+   — right for this corpus's tiny vocabulary; `n`-gram shingling is a
+   parameter upstream),
+2. K minhash components: h_k(doc) = min over shingles of
+   md5(shingle || '#' || k)  — md5 is identical in Spark and DuckDB,
+   so the whole pipeline is oracle-checkable SQL, unlike
+   Spark-ML's MinHashLSH whose hash seeds are JVM-internal,
+3. LSH bands: B bands of R rows (K = B·R); band hash =
+   md5(concat of its R components),
+4. candidate pairs = self-join on (band index, band hash), a < b,
+5. verification: exact Jaccard on the candidates only.
+
+Scale shape: step 2 is explode(shingles) → groupBy(doc) — one shuffle
+keyed by doc_id with map-side partial min. Step 4 shuffles the tiny
+signature table on band hash; the quadratic blow-up inside a bucket
+is the known LSH failure mode for pathological corpora (mitigate with
+bucket-size caps upstream). Step 5 touches only candidates, never the
+full cross product — that's the point of LSH vs brute-force O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+K = 8  # minhash components
+BANDS = 4  # → 2 rows per band
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) rows — distinct word unigrams per document."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per doc: columns h0..h{K-1} (hex md5 minima)."""
+    sh = _shingles(docs, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"h{k}")
+        for k in range(K)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc, band, band_hash) — md5 over each band's R components."""
+    rows_per_band = K // BANDS
+    band_cols = []
+    for b in range(BANDS):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    return sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one band bucket."""
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """LSH candidates filtered by exact word-set Jaccard ≥ threshold."""
+    sh = _shingles(docs, id_col, text_col)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(docs, id_col, text_col)))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("a") == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("a") == F.col("na.doc"))
+        .join(sizes.alias("nb"), F.col("b") == F.col("nb.doc"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- driver-checkable query instantiations ---------------------------------
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return verified_near_dups(docs, "doc_id", "text", threshold=0.9)
+
+
+Q_MINHASH_NEAR_DUPS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc,
+    {', '.join(f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(K))}
+  FROM sh GROUP BY doc
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM sig" for b in range(BANDS))}
+),
+pairs AS (
+  SELECT DISTINCT l.doc AS a, r.doc AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc < r.doc
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p
+  JOIN sh sa ON p.a = sa.doc
+  JOIN sh sb ON p.b = sb.doc AND sa.shingle = sb.shingle
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b,
+       round(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON i.a = na.doc
+JOIN sizes nb ON i.b = nb.doc
+WHERE round(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) >= 0.9
+"""

@@ -1,0 +1,133 @@
+"""Text-analysis functions for training-data pipelines.
+
+Extension layer (SURVEY.md §7 phase 5) — absent from the reference,
+whose only string ops are `split('/')` and substring containment
+(src/datasets/vpicdataset.py:216, :210). Everything here is built
+from JVM-side `pyspark.sql.functions` column expressions (no Python
+UDFs), so the hot path stays inside whole-stage codegen and scales
+linearly over a 100 TB `documents` table with zero shuffles for the
+per-document metrics.
+
+Tokenization model: the corpus is single-space-separated tokens, so
+`split(text, ' ')` is exact here; swap in `F.split(col, r'\\s+')` for
+general whitespace (kept simple so the DuckDB oracle computes the
+identical thing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+# Small fixed stopword list for ratio features (order irrelevant).
+STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = (chars − separators) / tokens."""
+    n = token_count(text)
+    return (F.length(text) - (n - F.lit(1))) / n
+
+
+def stopword_ratio(text: Column) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens(text), lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / token_count(text)
+
+
+def fingerprint(text: Column, bits_hex: int = 16) -> Column:
+    """Deterministic 64-bit document fingerprint (hex prefix of md5).
+
+    Used for exact-dup bucketing and as a stable doc key; md5 is
+    engine-portable (identical in Spark and DuckDB).
+    """
+    return F.substring(F.md5(text), 1, bits_hex)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: rewards mid-length docs
+    and lexical diversity, penalizes stopword padding.
+
+    score = min(tokens,200)/200 · 0.5
+          + type_token_ratio · 0.4
+          + (1 − stopword_ratio) · 0.1
+    """
+    n = token_count(text)
+    ttr = distinct_token_count(text).cast("double") / n
+    len_part = F.least(n, F.lit(200)).cast("double") / 200.0
+    return len_part * 0.5 + ttr * 0.4 + (1.0 - stopword_ratio(text)) * 0.1
+
+
+# --- driver-checkable query instantiations ---------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length/quality metrics + fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+Q_TEXT_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+)
+SELECT
+  doc_id,
+  len(w)::BIGINT AS n_tokens,
+  len(list_distinct(w))::BIGINT AS n_distinct,
+  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS avg_token_len,
+  round(len(list_filter(w, t -> t IN ('the', 'a'))) * 1.0 / len(w), 6) AS stopword_ratio,
+  round(
+    least(len(w), 200) / 200.0 * 0.5
+    + len(list_distinct(w)) * 1.0 / len(w) * 0.4
+    + (1.0 - len(list_filter(w, t -> t IN ('the', 'a'))) * 1.0 / len(w)) * 0.1,
+  6) AS quality,
+  substring(md5(text), 1, 16) AS fp
+FROM d
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag: volume and length stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q_LANG_PROFILE_SQL = """
+SELECT
+  lang,
+  count(*) AS n_docs,
+  round(avg(n_chars), 4) AS avg_chars,
+  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+  min(doc_id) AS first_doc
+FROM documents
+GROUP BY lang
+"""

@@ -276,3 +276,61 @@ SELECT
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30 min gaps.
+
+    The classic lag + gap-flag + running-sum pattern (batch analog of
+    streaming `session_window`). Both windows partition by user_id —
+    one shuffle total, state bounded per user. Deterministic ordering
+    (ts, event_id) so engines agree on tie order.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_epoch", F.col("ts").cast("double")
+    )
+    w = W.partitionBy("user_id").orderBy("t_epoch", "event_id")
+    gap = F.col("t_epoch") - F.lag("t_epoch").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("t_epoch"), 6).alias("session_start"),
+        F.round(F.max("t_epoch"), 6).alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    epoch(ts)::DOUBLE AS t_epoch,
+    value,
+    event_id,
+    CASE WHEN epoch(ts)::DOUBLE - lag(epoch(ts)::DOUBLE) OVER w IS NULL
+           OR epoch(ts)::DOUBLE - lag(epoch(ts)::DOUBLE) OVER w > 1800.0
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::DOUBLE, event_id)
+),
+sessions AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY t_epoch, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT
+  user_id,
+  session_idx::BIGINT AS session_idx,
+  count(*) AS n_events,
+  round(min(t_epoch), 6) AS session_start,
+  round(max(t_epoch), 6) AS session_end,
+  round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""

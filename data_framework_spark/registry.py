@@ -19,7 +19,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_framework_spark.dedup import exact as dedup_exact_mod
+from data_framework_spark.dedup import minhash as dedup_minhash_mod
+from data_framework_spark.functions import text as text_mod
 from data_framework_spark.operators import aggregates, relational, slicing, windows
+from data_framework_spark.similarity import ann as ann_mod
 
 
 @dataclass(frozen=True)
@@ -88,6 +92,42 @@ QUERIES: dict[str, Query] = {
     ),
     "group_rollup": Query(
         relational.group_rollup, relational.GROUP_ROLLUP_SQL, "ROLLUP grouping sets"
+    ),
+    "sessionize_events": Query(
+        relational.sessionize_events,
+        relational.SESSIONIZE_EVENTS_SQL,
+        "gap-based sessionization (lag + running sum)",
+    ),
+    # --- extension layer: LLM-data-pipeline ops (SURVEY.md §7 phase 5) ---
+    "text_stats": Query(
+        text_mod.q_text_stats,
+        text_mod.Q_TEXT_STATS_SQL,
+        "token counts, quality score, fingerprint per document",
+    ),
+    "lang_profile": Query(
+        text_mod.q_lang_profile,
+        text_mod.Q_LANG_PROFILE_SQL,
+        "per-language corpus profile",
+    ),
+    "dedup_exact": Query(
+        dedup_exact_mod.q_dedup_exact,
+        dedup_exact_mod.Q_DEDUP_EXACT_SQL,
+        "exact dedup via md5 fingerprint groupBy",
+    ),
+    "dedup_minhash": Query(
+        dedup_minhash_mod.q_minhash_near_dups,
+        dedup_minhash_mod.Q_MINHASH_NEAR_DUPS_SQL,
+        "minhash+LSH candidate pairs verified by exact jaccard",
+    ),
+    "cosine_topk": Query(
+        ann_mod.q_cosine_topk,
+        ann_mod.Q_COSINE_TOPK_SQL,
+        "brute-force cosine top-k neighbors",
+    ),
+    "embedding_near_dups": Query(
+        ann_mod.q_embedding_near_dups,
+        ann_mod.Q_EMBEDDING_NEAR_DUPS_SQL,
+        "embedding-cosine near-duplicate pairs",
     ),
 }
 
