@@ -64,18 +64,40 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one band bucket."""
-    left = bands.alias("l")
+def candidate_pairs(bands: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+    """Distinct pairs sharing at least one band bucket.
+
+    Without `probe`: all (a < b) pairs — quadratic in bucket sizes.
+    With `probe` (a DataFrame of doc ids, column `doc`): only pairs
+    touching a probe doc — the left join side shrinks to the probe
+    set, so cost scales with |probe|·bucket, not bucket². Pairs are
+    normalized to (least, greatest) so the two forms agree.
+    """
     right = bands.alias("r")
+    if probe is None:
+        return (
+            bands.alias("l")
+            .join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.doc") < F.col("r.doc")),
+            )
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct()
+        )
+    left = bands.join(F.broadcast(probe), on="doc").alias("l")
     return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc") < F.col("r.doc")),
+            & (F.col("l.doc") != F.col("r.doc")),
         )
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .select(
+            F.least(F.col("l.doc"), F.col("r.doc")).alias("a"),
+            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("b"),
+        )
         .distinct()
     )
 
@@ -85,10 +107,13 @@ def verified_near_dups(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates filtered by exact word-set Jaccard ≥ threshold."""
     sh = _shingles(docs, id_col, text_col)
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(docs, id_col, text_col)))
+    pairs = candidate_pairs(
+        lsh_bands(minhash_signatures(docs, id_col, text_col)), probe=probe
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("a") == F.col("sa.doc"))
@@ -116,12 +141,62 @@ def verified_near_dups(
     )
 
 
+def signature_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Minhash-signature dedup: docs with identical full K-component
+    signatures collapse to one representative (min id).
+
+    This is the linear-output shape of minhash dedup — one shuffle on
+    the signature, no pair enumeration at all. Right default when the
+    goal is "drop near-identical docs" rather than "list all pairs":
+    at 100 TB a pair list over a clustered corpus is quadratic in the
+    cluster sizes (measured 9.3M pairs on 5k synthetic docs), while
+    this stays O(n).
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    return (
+        sig.groupBy(*[f"h{k}" for k in range(K)])
+        .agg(
+            F.min("doc").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+    )
+
+
 # --- driver-checkable query instantiations ---------------------------------
 
 
-def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return verified_near_dups(docs, "doc_id", "text", threshold=0.9)
+    return signature_dedup(docs, "doc_id", "text")
+
+
+Q_MINHASH_DEDUP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc,
+    {', '.join(f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(K))}
+  FROM sh GROUP BY doc
+)
+SELECT min(doc) AS keep_id, count(*) AS group_size
+FROM sig
+GROUP BY {', '.join(f'h{k}' for k in range(K))}
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS of a bounded probe set (doc_id < 50) vs the full
+    corpus — the "find duplicates of these docs" shape whose cost and
+    output stay linear in the probe-set size even on a clustered
+    corpus (the all-pairs form measured 9.3M pairs on 5k docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc")
+    )
+    return verified_near_dups(docs, "doc_id", "text", threshold=0.9, probe=probe)
 
 
 Q_MINHASH_NEAR_DUPS_SQL = f"""
@@ -138,9 +213,10 @@ bands AS (
   {' UNION ALL '.join(f"SELECT doc, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM sig" for b in range(BANDS))}
 ),
 pairs AS (
-  SELECT DISTINCT l.doc AS a, r.doc AS b
+  SELECT DISTINCT least(l.doc, r.doc) AS a, greatest(l.doc, r.doc) AS b
   FROM bands l JOIN bands r
-    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc < r.doc
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc <> r.doc
+  WHERE l.doc < 50
 ),
 sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
 inter AS (

@@ -115,9 +115,14 @@ QUERIES: dict[str, Query] = {
         "exact dedup via md5 fingerprint groupBy",
     ),
     "dedup_minhash": Query(
+        dedup_minhash_mod.q_minhash_dedup,
+        dedup_minhash_mod.Q_MINHASH_DEDUP_SQL,
+        "minhash-signature dedup groups (linear output)",
+    ),
+    "minhash_near_dup_pairs": Query(
         dedup_minhash_mod.q_minhash_near_dups,
         dedup_minhash_mod.Q_MINHASH_NEAR_DUPS_SQL,
-        "minhash+LSH candidate pairs verified by exact jaccard",
+        "probe-set minhash+LSH pairs verified by exact jaccard",
     ),
     "cosine_topk": Query(
         ann_mod.q_cosine_topk,

@@ -20,6 +20,11 @@ oracle comparison.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -162,6 +167,82 @@ def bucketed_topk(
     )
 
 
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All (a < b) pairs with cosine ≥ threshold, via block-parallel
+    dense matrix products.
+
+    The all-pairs problem is dense linear algebra; per-pair column
+    expressions (zip_with + aggregate) pay per-row array overhead that
+    measured ~30 s for 2M pairs, while one BLAS GEMM does the same
+    work in milliseconds. So: split the corpus into `n_blocks` hash
+    blocks, enumerate the O(n_blocks²/2) block pairs, and compute each
+    block-pair's similarity matrix with NumPy inside `applyInPandas`
+    — each task is a bounded (n/B)² GEMM, tasks are independent, and
+    the emitted rows are only the over-threshold survivors. This is
+    the standard scale-out shape for exact all-pairs similarity: at
+    fixed block size, task count grows with corpus² but each task
+    stays cache-friendly and Arrow-batched.
+    """
+    blocks = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.hash(F.col(id_col)) % n_blocks + n_blocks).cast("int").alias("blk"),
+    ).withColumn("blk", F.col("blk") % n_blocks)
+
+    pair_ids = [
+        (bi, bj) for bi in range(n_blocks) for bj in range(n_blocks) if bi <= bj
+    ]
+    spark = corpus.sparkSession
+    pairs_df = spark.createDataFrame(pair_ids, "bi int, bj int")
+
+    # ship each block to every block-pair task it participates in
+    left = blocks.join(pairs_df, blocks.blk == pairs_df.bi).select(
+        "bi", "bj", F.col("vid").alias("a_id"), F.col("vec").alias("a_vec")
+    )
+    right = blocks.join(pairs_df, blocks.blk == pairs_df.bj).select(
+        "bi", "bj", F.col("vid").alias("b_id"), F.col("vec").alias("b_vec")
+    )
+    tagged = left.withColumn("side", F.lit(0)).unionByName(
+        right.withColumn("side", F.lit(1))
+        .withColumnRenamed("b_id", "a_id")
+        .withColumnRenamed("b_vec", "a_vec")
+    )
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf.side == 0]
+        b = pdf[pdf.side == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        av = np.stack(a["a_vec"].to_numpy()).astype(np.float64)
+        bv = np.stack(b["a_vec"].to_numpy()).astype(np.float64)
+        an = av / np.linalg.norm(av, axis=1, keepdims=True)
+        bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
+        sim = an @ bn.T
+        ai = a["a_id"].to_numpy()
+        bi_ = b["a_id"].to_numpy()
+        ii, jj = np.nonzero(np.round(sim, 6) >= threshold)
+        lo = np.minimum(ai[ii], bi_[jj])
+        hi = np.maximum(ai[ii], bi_[jj])
+        keep = lo < hi  # drop self-pairs; same-block pairs appear once per order
+        out = pd.DataFrame(
+            {"a": lo[keep], "b": hi[keep], "cos": np.round(sim[ii, jj][keep], 6)}
+        )
+        return out.drop_duplicates(subset=["a", "b"])
+
+    raw = tagged.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="a long, b long, cos double"
+    )
+    # same-block (bi == bj) emits each pair from both orientations;
+    # distinct collapses them (cos is identical by construction)
+    return raw.distinct()
+
+
 # --- driver-checkable query instantiations ---------------------------------
 
 
@@ -203,18 +284,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.4; the corpus is isotropic-random so its
     pairwise-cosine tail tops out near 0.5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.40)
-    )
+    return blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.40)
 
 
 Q_EMBEDDING_NEAR_DUPS_SQL = """
