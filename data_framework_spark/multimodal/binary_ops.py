@@ -1,0 +1,140 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns plus typed metadata — the schema a
+100 TB multimodal corpus actually uses (content-addressed blobs or
+inline bytes, one row per asset):
+
+    asset_id long, kind string, payload binary,
+    meta struct<width int, height int, sample_rate int, n_frames int>
+
+All Spark-side plumbing (schemas, partitioning, Arrow batch shape,
+`mapInPandas` kernel signatures) is real and tested; the actual
+codec step is stubbed — the decode libraries (PIL/ffmpeg/etc.) are
+not in this container — behind either `NotImplementedError`
+(`decode=strict`) or a deterministic fake decoder (`decode=fake`)
+so pipelines exercise the full path with reproducible outputs.
+
+Kernel shape: `mapInPandas` (not per-row UDFs) so each task decodes
+an Arrow batch of assets at once; metadata-only transforms stay in
+column expressions and never touch the payload bytes (column pruning
+keeps them off the wire entirely — the win that matters when payload
+is KBs-MBs per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "asset_id long, kind string, n_bytes long, digest string, feat array<double>"
+
+_FEAT_DIM = 8
+
+
+def _fake_decode(payload: bytes, dim: int = _FEAT_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decode+embed step: md5-seeded
+    pseudo-features. STUB — replace with the real codec when the
+    image/audio libraries are available."""
+    h = hashlib.md5(payload).digest()
+    vals = np.frombuffer((h * ((dim * 8) // len(h) + 1))[: dim * 8], dtype="<u8")
+    return (vals.astype(np.float64) / np.float64(2**64)) - 0.5
+
+
+def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """payload → fixed-dim feature vector via a batched kernel.
+
+    `decode='strict'` raises NotImplementedError inside the kernel —
+    the honest production placeholder; `decode='fake'` runs the
+    deterministic stand-in end-to-end.
+    """
+    if decode not in ("fake", "strict"):
+        raise ValueError(f"decode must be 'fake' or 'strict', got {decode!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present "
+                    "in this environment; use decode='fake'"
+                )
+            feats = [
+                _fake_decode(p if p is not None else b"").tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "digest": [
+                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "feat": feats,
+                }
+            )
+
+    # payload + ids only — metadata never ships to Python
+    return df.select("asset_id", "kind", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_meta(df: DataFrame, max_side: int) -> DataFrame:
+    """Metadata-only transform: target dimensions after a bounded
+    resize. Pure column expressions — payload untouched/unread."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h).cast("double")
+    )
+    return df.withColumn(
+        "resize_to",
+        F.struct(
+            F.round(w * scale).cast("int").alias("width"),
+            F.round(h * scale).cast("int").alias("height"),
+        ),
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame-sampling plan: explode target frame indices from
+    metadata (n_frames) — the shuffle-free prelude to a decode kernel."""
+    return df.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )

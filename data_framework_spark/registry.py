@@ -22,8 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from data_framework_spark.dedup import exact as dedup_exact_mod
 from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.functions import text as text_mod
-from data_framework_spark.operators import aggregates, relational, slicing, windows
+from data_framework_spark.operators import (
+    aggregates,
+    relational,
+    resample,
+    slicing,
+    windows,
+)
 from data_framework_spark.similarity import ann as ann_mod
+from data_framework_spark.streaming import windows as stream_windows
 
 
 @dataclass(frozen=True)
@@ -81,6 +88,16 @@ QUERIES: dict[str, Query] = {
         windows.q_fluxfn_grid,
         windows.Q_FLUXFN_GRID_SQL,
         "calc_fluxfn two chained cumsums on a 2-D grid (vpicdataset.py:286-291)",
+    ),
+    "interp_events": Query(
+        resample.q_interp_events,
+        resample.Q_INTERP_EVENTS_SQL,
+        "per-series linear interpolation onto a regular grid (§2.9 analog)",
+    ),
+    "tumbling_window_events": Query(
+        stream_windows.q_tumbling_window_events,
+        stream_windows.Q_TUMBLING_WINDOW_EVENTS_SQL,
+        "tumbling-window agg (batch-equivalent of the streaming plan)",
     ),
     # --- extension layer: relational (SURVEY.md §7 phase 5) ---
     "tpch_q1": Query(relational.tpch_q1, relational.TPCH_Q1_SQL, "pricing summary"),
