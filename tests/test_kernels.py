@@ -1,0 +1,162 @@
+"""Unit tests for the pure-NumPy raster kernels (no Spark needed) —
+differential against naive/analytic oracles, pinning the boundary
+modes and quirks documented in kernels/ndimage.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_framework_spark.kernels.ndimage import (
+    binary_dilation,
+    extrema_filter,
+    find_contours,
+    flood,
+    gap_fill,
+    gaussian_filter,
+    label,
+)
+from data_framework_spark.kernels.structures import (
+    bilinear_at,
+    find_nulls,
+    line_intersection_point,
+    segments_intersect,
+)
+
+
+def test_gaussian_preserves_mean_and_smooths():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(40, 40))
+    out = gaussian_filter(a, 2.0)
+    # reflect mode preserves the mean of a constant field exactly
+    np.testing.assert_allclose(gaussian_filter(np.ones((20, 20)), 3.0), 1.0)
+    assert out.var() < a.var() * 0.2
+    # separable kernel: smoothing axis-by-axis equals joint call
+    step = gaussian_filter(gaussian_filter(a, (2.0, 0)), (0, 2.0))
+    np.testing.assert_allclose(out, step, atol=1e-12)
+
+
+def test_gaussian_matches_direct_convolution_1d():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(1, 30))
+    sigma = 1.5
+    radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    padded = np.pad(a[0], radius, mode="symmetric")  # 'reflect' in scipy terms
+    ref = np.convolve(padded, k[::-1], mode="valid")
+    np.testing.assert_allclose(gaussian_filter(a, (0, sigma))[0], ref, atol=1e-12)
+
+
+def test_extrema_filter_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(12, 15))
+    out = extrema_filter(a, (4, 3), "max")
+    n0, n1 = a.shape
+    for i in range(n0):
+        for j in range(n1):
+            vals = []
+            for d0 in range(-2, 2):  # size 4 → offsets -2..1
+                for d1 in range(-1, 2):  # size 3 → offsets -1..1
+                    y, x = i + d0, j + d1
+                    y = -y - 1 if y < 0 else (2 * n0 - y - 1 if y >= n0 else y)
+                    x = -x - 1 if x < 0 else (2 * n1 - x - 1 if x >= n1 else x)
+                    vals.append(a[y, x])
+            assert out[i, j] == max(vals)
+
+
+def test_label_and_flood():
+    mask = np.array(
+        [
+            [1, 1, 0, 0, 1],
+            [0, 1, 0, 1, 1],
+            [0, 0, 0, 0, 0],
+            [1, 0, 1, 1, 0],
+        ],
+        dtype=bool,
+    )
+    lbl, n = label(mask)
+    assert n == 4  # diagonal does NOT connect (cross connectivity)
+    assert lbl[0, 0] == lbl[1, 1] == lbl[0, 1]
+    assert lbl[0, 4] == lbl[1, 3] == lbl[1, 4]
+    assert lbl[3, 0] not in (lbl[3, 2], 0)
+    region = flood(mask, (0, 0))
+    assert region.sum() == 3
+    # flood over False region stays in the False component
+    holes = flood(mask, (2, 0))
+    assert holes[2, :].all() and not holes[0, 0]
+
+
+def test_binary_dilation_cross():
+    m = np.zeros((5, 5), dtype=bool)
+    m[2, 2] = True
+    d = binary_dilation(m)
+    assert d.sum() == 5
+    assert d[2, 2] and d[1, 2] and d[3, 2] and d[2, 1] and d[2, 3]
+    assert not d[1, 1]  # cross, not square
+
+
+def test_gap_fill_closes_one_pixel_gaps_and_wraps():
+    a = np.zeros((5, 7), dtype=np.int64)
+    a[2, 1] = a[2, 3] = 1  # horizontal gap at (2,2)
+    out = gap_fill(a)
+    assert out[2, 2] == 1
+    assert out.dtype == np.int64
+    # np.roll wraparound: pixels at opposite edges of a row "surround"
+    # the edge pixel (the reference's quirk, vpicdataset.py:78-108)
+    b = np.zeros((3, 4), dtype=np.int64)
+    b[1, 1] = b[1, 3] = 1
+    out_b = gap_fill(b)
+    assert out_b[1, 2] == 1  # normal interior fill
+    assert out_b[1, 0] == 1  # wrapped fill: left neighbor is column 3
+
+
+def test_find_contours_straight_line():
+    # linear field: contour of f = x - 2.5 is the vertical line x=2.5
+    f = np.tile(np.arange(6.0), (4, 1))
+    cs = find_contours(f, 2.5)
+    assert len(cs) == 1
+    np.testing.assert_allclose(cs[0][:, 1], 2.5, atol=1e-12)
+    assert len(cs[0]) == 4  # one point per row
+
+
+def test_find_contours_circle_radius():
+    n = 41
+    y, x = np.mgrid[0:n, 0:n] - n // 2
+    f = np.sqrt(x**2 + y**2)
+    cs = find_contours(f, 10.0)
+    assert len(cs) == 1
+    c = cs[0] - n // 2
+    radii = np.sqrt((c**2).sum(axis=1))
+    assert abs(radii.mean() - 10.0) < 0.1
+    # closed contour: endpoints meet
+    np.testing.assert_allclose(cs[0][0], cs[0][-1], atol=1e-9)
+
+
+def test_segment_intersection_and_point():
+    a = np.array([0.0, 0.0])
+    b = np.array([2.0, 2.0])
+    c = np.array([0.0, 2.0])
+    d = np.array([2.0, 0.0])
+    assert segments_intersect(a, b, c, d)
+    assert not segments_intersect(a, b, c, c + 0.1)
+    p = line_intersection_point(a, b, c, d)
+    np.testing.assert_allclose(p, [1.0, 1.0])
+
+
+def test_find_nulls_analytic():
+    # b1 = y - 10, b2 = x - 14 → single null at (10, 14)
+    n = 25
+    yy, xx = np.mgrid[0:n, 0:n].astype(float)
+    nulls = find_nulls(yy - 10.0, xx - 14.0)
+    assert len(nulls) == 1
+    np.testing.assert_allclose(nulls[0], [10.0, 14.0], atol=1e-9)
+
+
+def test_bilinear_at():
+    f = np.arange(12.0).reshape(3, 4)
+    np.testing.assert_allclose(bilinear_at(f, np.array([[1.0, 2.0]])), [6.0])
+    np.testing.assert_allclose(
+        bilinear_at(f, np.array([[0.5, 0.5]])), [(0 + 1 + 4 + 5) / 4]
+    )
