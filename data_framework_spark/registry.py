@@ -25,6 +25,7 @@ from data_framework_spark.functions import text as text_mod
 from data_framework_spark.operators import (
     aggregates,
     relational,
+    relational_more,
     resample,
     slicing,
     windows,
@@ -109,6 +110,71 @@ QUERIES: dict[str, Query] = {
     ),
     "group_rollup": Query(
         relational.group_rollup, relational.GROUP_ROLLUP_SQL, "ROLLUP grouping sets"
+    ),
+    "tpch_q4_semijoin": Query(
+        relational_more.tpch_q4_semijoin,
+        relational_more.TPCH_Q4_SEMIJOIN_SQL,
+        "order priorities with a late line (LEFT SEMI / EXISTS)",
+    ),
+    "tpch_q7_volume": Query(
+        relational_more.tpch_q7_volume,
+        relational_more.TPCH_Q7_VOLUME_SQL,
+        "nation-pair shipping volume by year (dim joined twice)",
+    ),
+    "tpch_q8_market_share": Query(
+        relational_more.tpch_q8_market_share,
+        relational_more.TPCH_Q8_MARKET_SHARE_SQL,
+        "national market share (conditional agg over 6-way join)",
+    ),
+    "tpch_q10_returns": Query(
+        relational_more.tpch_q10_returns,
+        relational_more.TPCH_Q10_RETURNS_SQL,
+        "top-20 customers by returned revenue",
+    ),
+    "tpch_q13_custdist": Query(
+        relational_more.tpch_q13_custdist,
+        relational_more.TPCH_Q13_CUSTDIST_SQL,
+        "customer order-count distribution (LEFT OUTER join)",
+    ),
+    "tpch_q14_promo": Query(
+        relational_more.tpch_q14_promo,
+        relational_more.TPCH_Q14_PROMO_SQL,
+        "promotion revenue share (conditional agg)",
+    ),
+    "tpch_q15_top_supplier": Query(
+        relational_more.tpch_q15_top_supplier,
+        relational_more.TPCH_Q15_TOP_SUPPLIER_SQL,
+        "max-revenue supplier (scalar subquery reuse)",
+    ),
+    "tpch_q17_small_qty": Query(
+        relational_more.tpch_q17_small_qty,
+        relational_more.TPCH_Q17_SMALL_QTY_SQL,
+        "small-quantity revenue (correlated avg, decorrelated)",
+    ),
+    "tpch_q18_large_orders": Query(
+        relational_more.tpch_q18_large_orders,
+        relational_more.TPCH_Q18_LARGE_ORDERS_SQL,
+        "large-volume orders (GROUP BY + HAVING feeding a join)",
+    ),
+    "tpch_q19_disjunctive": Query(
+        relational_more.tpch_q19_disjunctive,
+        relational_more.TPCH_Q19_DISJUNCTIVE_SQL,
+        "OR-of-ANDs join predicate revenue",
+    ),
+    "tpch_q22_idle_customers": Query(
+        relational_more.tpch_q22_idle_customers,
+        relational_more.TPCH_Q22_IDLE_CUSTOMERS_SQL,
+        "well-funded inactive customers (LEFT ANTI join)",
+    ),
+    "distinct_suppliers_by_brand": Query(
+        relational_more.distinct_suppliers_by_brand,
+        relational_more.DISTINCT_SUPPLIERS_BY_BRAND_SQL,
+        "multi-DISTINCT aggregation per brand",
+    ),
+    "set_ops_customers": Query(
+        relational_more.set_ops_customers,
+        relational_more.SET_OPS_CUSTOMERS_SQL,
+        "UNION / INTERSECT / EXCEPT cardinalities",
     ),
     "sessionize_events": Query(
         relational.sessionize_events,
