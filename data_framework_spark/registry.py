@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_framework_spark.dedup import exact as dedup_exact_mod
 from data_framework_spark.dedup import minhash as dedup_minhash_mod
+from data_framework_spark.dedup import ngram as dedup_ngram_mod
+from data_framework_spark.dedup import simhash as dedup_simhash_mod
 from data_framework_spark.functions import text as text_mod
 from data_framework_spark.operators import (
     aggregates,
@@ -206,6 +208,26 @@ QUERIES: dict[str, Query] = {
         dedup_minhash_mod.q_minhash_near_dups,
         dedup_minhash_mod.Q_MINHASH_NEAR_DUPS_SQL,
         "probe-set minhash+LSH pairs verified by exact jaccard",
+    ),
+    "dedup_simhash": Query(
+        dedup_simhash_mod.q_simhash_dedup,
+        dedup_simhash_mod.Q_SIMHASH_DEDUP_SQL,
+        "simhash-signature dedup groups (32-bit, md5-derived)",
+    ),
+    "simhash_near_dups": Query(
+        dedup_simhash_mod.q_simhash_near_dups,
+        dedup_simhash_mod.Q_SIMHASH_NEAR_DUPS_SQL,
+        "hamming-≤3 simhash pairs via byte-band LSH (probe set)",
+    ),
+    "ngram_jaccard_pairs": Query(
+        dedup_ngram_mod.q_ngram_jaccard_pairs,
+        dedup_ngram_mod.Q_NGRAM_JACCARD_PAIRS_SQL,
+        "exact char-trigram Jaccard pairs (probe set)",
+    ),
+    "ann_lsh_topk": Query(
+        ann_mod.q_ann_lsh_topk,
+        ann_mod.Q_ANN_LSH_TOPK_SQL,
+        "sign-LSH bucketed approximate top-k neighbors",
     ),
     "cosine_topk": Query(
         ann_mod.q_cosine_topk,

@@ -280,6 +280,76 @@ WHERE rank <= 5
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors (first 20 query vectors) via
+    sign-LSH bucketing — the scale path: candidates shrink from N to
+    the query's bucket (~N/2^planes), the join becomes an equi-join
+    on bucket id instead of a cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64
+    )
+
+
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Oracle mirroring `bucketed_topk`: the md5-derived hyperplanes
+    are bit-identical constants in both engines, so bucket membership
+    — and therefore the approximate result — matches exactly."""
+    plane_lists = []
+    for p in range(n_planes):
+        comps = ", ".join(
+            f"(('0x' || substring(md5('plane{p}_{i}'), 1, 8))::UBIGINT::DOUBLE"
+            f" / 4294967296.0 - 0.5)"
+            for i in range(dim)
+        )
+        plane_lists.append(f"[{comps}] AS p{p}")
+    projs = ", ".join(
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> e.embedding[i]::DOUBLE * pl.p{p}[i])) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} >= 0 THEN {2**p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+WITH pl AS (SELECT {', '.join(plane_lists)}),
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, e.embedding, e.nrm, {projs}
+  FROM e CROSS JOIN pl
+),
+bucketed AS (
+  SELECT vec_id, embedding, nrm, ({bucket}) AS bucket FROM proj
+),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, {dim + 1}),
+                              i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      / (q.nrm * c.nrm), 6) AS cos
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+Q_ANN_LSH_TOPK_SQL = _ann_lsh_sql()
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.4; the corpus is isotropic-random so its
     pairwise-cosine tail tops out near 0.5)."""
