@@ -109,6 +109,47 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     )
 
 
+# --- driver-checkable query instantiation ----------------------------------
+
+
+def q_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline end-to-end on synthesized assets:
+    documents become binary payloads (UTF-8 bytes — deterministic, so
+    DuckDB rebuilds the identical blobs), kind assigned round-robin,
+    then the real `mapInPandas` decode kernel runs per Arrow batch.
+
+    The oracle checks the Python-side byte handling exactly: n_bytes
+    and the md5 digest of every payload must match DuckDB's
+    octet_length/md5 over the same encoded blobs. The feature vector
+    (fake-decode output) is exercised by unit tests instead — its
+    numpy bit-twiddling has no SQL equivalent.
+    """
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, decode="fake")
+    return feats.select("asset_id", "kind", "n_bytes", "digest")
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+SELECT
+  doc_id AS asset_id,
+  (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  md5(text) AS digest  -- DuckDB md5(VARCHAR) hashes the UTF-8 bytes
+FROM documents
+WHERE doc_id < 200
+"""
+
+
 def resize_meta(df: DataFrame, max_side: int) -> DataFrame:
     """Metadata-only transform: target dimensions after a bounded
     resize. Pure column expressions — payload untouched/unread."""

@@ -96,14 +96,9 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
+            F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
     )
     return joined.groupBy(
@@ -131,8 +126,9 @@ FROM (
   JOIN customer ON o_custkey = c_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n1.n_name <> n2.n_name
     AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
 )
 GROUP BY supp_nation, cust_nation, l_year

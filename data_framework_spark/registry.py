@@ -24,6 +24,8 @@ from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
 from data_framework_spark.functions import text as text_mod
+from data_framework_spark.multimodal import binary_ops as multimodal_mod
+from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
     relational,
@@ -96,6 +98,21 @@ QUERIES: dict[str, Query] = {
         resample.q_interp_events,
         resample.Q_INTERP_EVENTS_SQL,
         "per-series linear interpolation onto a regular grid (§2.9 analog)",
+    ),
+    "line_slice_linear": Query(
+        lineslice_query.q_line_slice_linear,
+        lineslice_query.Q_LINE_SLICE_LINEAR_SQL,
+        "bilinear interpolating line slice (statmeshvar.py:111-200)",
+    ),
+    "line_slice_nearest": Query(
+        lineslice_query.q_line_slice_nearest,
+        lineslice_query.Q_LINE_SLICE_NEAREST_SQL,
+        "nearest-neighbor line slice (statmeshvar.py 'nearest')",
+    ),
+    "multimodal_features": Query(
+        multimodal_mod.q_multimodal_features,
+        multimodal_mod.Q_MULTIMODAL_FEATURES_SQL,
+        "binary-asset decode kernel: n_bytes + md5 digest per payload",
     ),
     "tumbling_window_events": Query(
         stream_windows.q_tumbling_window_events,
