@@ -131,3 +131,104 @@ SELECT
 FROM documents
 GROUP BY lang
 """
+
+
+# Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03): K-char grams, minimum hash per W-gram window.
+WINNOW_K = 5
+WINNOW_W = 8
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: md5-derived hashes of
+    overlapping 5-grams, winnowed to per-window minima — the standard
+    near-dup/plagiarism fingerprint whose selected hashes are stable
+    under local edits.
+
+    All array-native (`sequence`/`transform`/`slice`/`array_min`) —
+    no explode, no shuffle, no Python: per-document work only, linear
+    over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text), {k}) - {k - 1}),"
+        f" i -> substring(text, i, {k}))"
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    minima = F.expr(
+        f"transform(sequence(1, greatest(size(__h__) - {w - 1}, 1)),"
+        f" i -> array_min(slice(__h__, i, {w})))"
+    )
+    out = docs.select(
+        "doc_id", hashes.alias("__h__")
+    ).select(
+        "doc_id", F.array_distinct(minima).alias("fps")
+    )
+    return out.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+Q_WINNOW_FINGERPRINT_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(range(1, greatest(length(text), {WINNOW_K}) - {WINNOW_K - 2}),
+                     i -> substring(text, i, {WINNOW_K})),
+      g -> ('0x' || substring(md5(g), 1, 8))::UBIGINT::BIGINT) AS hs
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+      i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       len(fps)::INT AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM m
+"""
+
+
+def q_token_regex_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization profile: alphabetic runs, digit
+    runs, and longest token per document — regexp split + array
+    filters, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.filter(
+        F.split(F.col("text"), "[^a-zA-Z]+"), lambda t: t != F.lit("")
+    )
+    digits = F.filter(
+        F.split(F.col("text"), "[^0-9]+"), lambda t: t != F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(alpha).alias("n_alpha_tokens"),
+        F.size(digits).alias("n_digit_runs"),
+        F.array_max(F.transform(alpha, F.length)).alias("longest_token"),
+    )
+
+
+Q_TOKEN_REGEX_PROFILE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), s -> s <> '') AS alpha,
+    list_filter(regexp_split_to_array(text, '[^0-9]+'),   s -> s <> '') AS digits
+  FROM documents
+)
+SELECT doc_id,
+       len(alpha)::INT  AS n_alpha_tokens,
+       len(digits)::INT AS n_digit_runs,
+       list_max(list_transform(alpha, s -> length(s)))::INT AS longest_token
+FROM t
+"""

@@ -23,6 +23,7 @@ from data_framework_spark.dedup import exact as dedup_exact_mod
 from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
+from data_framework_spark.functions import semistructured as semi_mod
 from data_framework_spark.functions import text as text_mod
 from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
@@ -120,6 +121,21 @@ QUERIES: dict[str, Query] = {
         "tumbling-window agg (batch-equivalent of the streaming plan)",
     ),
     # --- extension layer: relational (SURVEY.md §7 phase 5) ---
+    "sliding_window_events": Query(
+        stream_windows.q_sliding_window_events,
+        stream_windows.Q_SLIDING_WINDOW_EVENTS_SQL,
+        "sliding-window agg (1h window / 30m slide)",
+    ),
+    "session_window_events": Query(
+        stream_windows.q_session_window_events,
+        stream_windows.Q_SESSION_WINDOW_EVENTS_SQL,
+        "native session_window gap aggregation per user",
+    ),
+    "json_props_events": Query(
+        semi_mod.q_json_props_events,
+        semi_mod.Q_JSON_PROPS_EVENTS_SQL,
+        "JSON property extraction + bucketed profile",
+    ),
     "tpch_q1": Query(relational.tpch_q1, relational.TPCH_Q1_SQL, "pricing summary"),
     "tpch_q3": Query(relational.tpch_q3, relational.TPCH_Q3_SQL, "shipping priority top-10"),
     "tpch_q5": Query(relational.tpch_q5, relational.TPCH_Q5_SQL, "local supplier revenue"),
@@ -210,6 +226,16 @@ QUERIES: dict[str, Query] = {
         text_mod.q_lang_profile,
         text_mod.Q_LANG_PROFILE_SQL,
         "per-language corpus profile",
+    ),
+    "winnow_fingerprint": Query(
+        text_mod.q_winnow_fingerprint,
+        text_mod.Q_WINNOW_FINGERPRINT_SQL,
+        "rolling-hash winnowing document fingerprint",
+    ),
+    "token_regex_profile": Query(
+        text_mod.q_token_regex_profile,
+        text_mod.Q_TOKEN_REGEX_PROFILE_SQL,
+        "regex tokenization profile (alpha/digit runs)",
     ),
     "dedup_exact": Query(
         dedup_exact_mod.q_dedup_exact,

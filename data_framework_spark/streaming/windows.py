@@ -41,6 +41,51 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows.
+
+    Same batch/stream duality as tumbling_counts. The state cost is
+    (width/slide)× tumbling — the reason production pipelines keep the
+    overlap factor small.
+    """
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (gap-close semantics): window
+    ends `gap` after the last event. The built-in streaming-capable
+    counterpart of relational.sessionize_events' lag/cumsum form.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_tumbling_counts(
     spark: SparkSession, sf_dir: str, width: str = "1 hour"
 ) -> DataFrame:
@@ -99,4 +144,62 @@ SELECT
   round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+# Each event belongs to exactly two 1h/30m windows: the 30-min bucket
+# it falls in and the one before. Both Spark (epoch 1970) and DuckDB
+# time_bucket (origin 2000-01-01) align to :00/:30 boundaries, so the
+# starts agree.
+Q_SLIDING_WINDOW_EVENTS_SQL = """
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT
+    unnest([time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+      AS window_start,
+    event_type,
+    value
+  FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+# session_window semantics: a session closes 30 min after its last
+# event, so session_end = max(ts) + gap; the lag/gap-flag/cumsum CTE
+# reconstructs the same partitions relationally.
+Q_SESSION_WINDOW_EVENTS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_idx
 """
