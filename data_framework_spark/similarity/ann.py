@@ -90,28 +90,34 @@ def brute_force_topk(
     )
 
 
+def _hyperplane(p: int, dim: int) -> list[float]:
+    """Deterministic hyperplane components: md5 hex prefix → [0,1)
+    uniform → centered at 0. Computed driver-side with hashlib — the
+    identical arithmetic DuckDB's md5 produces (exact in double:
+    uint32 / 2^32 − 0.5), so buckets agree across engines."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[:8], 16)
+        / float(16**8)
+        - 0.5
+        for i in range(dim)
+    ]
+
+
 def signature_bits(vec: Column, n_planes: int, dim: int) -> Column:
     """Sign-LSH bucket id: bit p = sign(v · hyperplane_p).
 
     Hyperplane components are deterministic pseudo-randoms derived
     from md5(p, i) — reproducible across engines/runs without any
     RNG state (the reference pins its RNG seed for the same reason,
-    vpicdataset.py:12).
+    vpicdataset.py:12). They are CONSTANTS, so they ship as array
+    literals: per row only the dot products run (measured 10.6 s →
+    ~1 s at sf0.1 vs evaluating 256 md5 expressions per row).
     """
     bits = []
     for p in range(n_planes):
-        comps = F.array(
-            *[
-                # md5 hex prefix → [0,1) uniform → centered at 0
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"plane{p}_{i}")), 1, 8), 16, 10)
-                    .cast("double")
-                    / F.lit(float(16**8))
-                    - 0.5
-                )
-                for i in range(dim)
-            ]
-        )
+        comps = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
         proj = F.aggregate(
             F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
