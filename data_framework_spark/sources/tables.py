@@ -39,6 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from `sf_dir`."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet uses TIMESTAMP(NANOS), which Spark can only read
+        # as long nanoseconds; a vanilla session (no builder configs, e.g.
+        # the correctness driver's) would otherwise fail with
+        # PARQUET_TYPE_ILLEGAL. Runtime-settable SQLConf, so set it here
+        # rather than relying on the caller's session builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long
