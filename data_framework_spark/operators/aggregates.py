@@ -160,6 +160,80 @@ def q_label_extrema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset.bounds analog on lineitem — events-independent hedge so
+    §2.4 coverage survives an events-loader regression (round-1
+    postmortem: one loader bug wiped every §2.4 driver entry)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = bounds(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], group_cols=["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_quantity_min", 4).alias("qty_min"),
+        F.round("l_quantity_max", 4).alias("qty_max"),
+        F.round("l_extendedprice_min", 4).alias("price_min"),
+        F.round("l_extendedprice_max", 4).alias("price_max"),
+        F.round("l_discount_min", 4).alias("disc_min"),
+        F.round("l_discount_max", 4).alias("disc_max"),
+    )
+
+
+Q_BOUNDS_LINEITEM_SQL = """
+SELECT
+  l_returnflag,
+  round(min(l_quantity), 4)      AS qty_min,
+  round(max(l_quantity), 4)      AS qty_max,
+  round(min(l_extendedprice), 4) AS price_min,
+  round(max(l_extendedprice), 4) AS price_max,
+  round(min(l_discount), 4)      AS disc_min,
+  round(max(l_discount), 4)      AS disc_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_label_extrema_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus extrema + deterministic arg-positions on lineitem
+    (events-independent §2.4 hedge, same rank-1 tie-break rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = label_extrema(
+        li, "l_linestatus", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    return out.select(
+        "l_linestatus",
+        F.round("max_value", 4).alias("max_value"),
+        F.col("max_l_orderkey").alias("max_orderkey"),
+        F.col("max_l_linenumber").alias("max_linenumber"),
+        F.round("min_value", 4).alias("min_value"),
+        F.col("min_l_orderkey").alias("min_orderkey"),
+        F.col("min_l_linenumber").alias("min_linenumber"),
+    )
+
+
+Q_LABEL_EXTREMA_LINEITEM_SQL = """
+WITH ranked AS (
+  SELECT
+    l_linestatus, l_extendedprice, l_orderkey, l_linenumber,
+    row_number() OVER (PARTITION BY l_linestatus
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rmax,
+    row_number() OVER (PARTITION BY l_linestatus
+      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)  AS rmin
+  FROM lineitem
+)
+SELECT
+  mx.l_linestatus,
+  round(mx.l_extendedprice, 4) AS max_value,
+  mx.l_orderkey                AS max_orderkey,
+  mx.l_linenumber              AS max_linenumber,
+  round(mn.l_extendedprice, 4) AS min_value,
+  mn.l_orderkey                AS min_orderkey,
+  mn.l_linenumber              AS min_linenumber
+FROM (SELECT * FROM ranked WHERE rmax = 1) mx
+JOIN (SELECT * FROM ranked WHERE rmin = 1) mn ON mx.l_linestatus = mn.l_linestatus
+"""
+
+
 Q_LABEL_EXTREMA_EVENTS_SQL = """
 WITH ranked AS (
   SELECT

@@ -271,3 +271,50 @@ def find_structures(
         vdf = masks.select(*base, F.col(out_name).alias("value"))
         ds.add_var(SparkVariable(out_name, vdf, 2, b1._timeseries, b1._mesh))
     return ds
+
+
+# --- driver-checkable end-to-end query (rows-only, oracle=None) ------------
+
+
+def q_find_structures_island(spark, sf_dir: str):
+    """Full find_structures pipeline on the deterministic island-chain
+    field (ψ = ln cosh z + ε·cos kx; same construction as the golden
+    test, tests/test_structures.py). Ignores sf_dir — the input is
+    synthetic by design, with analytically known X/O nulls.
+
+    Rows-only driver check (the 10-step pipeline is not
+    SQL-expressible): emits X/O null physical coordinates plus
+    nonzero-cell counts of each output mask, so the driver record
+    proves the whole pipeline executes and produces structures.
+    """
+    k, eps = 1.0, 0.3
+    z = np.linspace(-8.0, 8.0, 120)
+    x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
+    zz, xx = np.meshgrid(z, x, indexing="ij")
+    b1 = eps * k * np.sin(k * xx)
+    b2 = np.tanh(zz)
+    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
+        4.7 * zz
+    ) * np.cos(4.5 * xx)
+    ts = np.array([0.0])
+    ds = SparkDataset()
+    ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1[None]))
+    ds.add_var(SparkVariable.from_numpy(spark, "b2", ts, [z, x], b2[None]))
+    ds.add_var(SparkVariable.from_numpy(spark, "jy", ts, [z, x], jy[None]))
+    find_structures(ds, "b1", "b2", smoothing=1)
+
+    rows = [
+        ("x_point", round(float(r), 4), round(float(c), 4))
+        for r, c in ds.params["x_coords"]
+    ] + [
+        ("o_point", round(float(r), 4), round(float(c), 4))
+        for r, c in ds.params["o_coords"]
+    ]
+    for name in ("separatrices", "o_structures", "current_sheets"):
+        n = (
+            ds.variables[name]
+            .df.filter(F.col("value") != 0.0)
+            .count()
+        )
+        rows.append((f"{name}_cells", float(n), 0.0))
+    return spark.createDataFrame(rows, schema="kind string, a double, b double")

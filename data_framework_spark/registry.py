@@ -29,12 +29,14 @@ from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
+    raster_queries,
     relational,
     relational_more,
     resample,
     slicing,
     windows,
 )
+from data_framework_spark.plans import structures as structures_plan
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.streaming import windows as stream_windows
 
@@ -78,6 +80,58 @@ QUERIES: dict[str, Query] = {
         aggregates.q_label_extrema_events,
         aggregates.Q_LABEL_EXTREMA_EVENTS_SQL,
         "per-label extrema + argmax position (vpicdataset.py:493-501)",
+    ),
+    "bounds_lineitem": Query(
+        aggregates.q_bounds_lineitem,
+        aggregates.Q_BOUNDS_LINEITEM_SQL,
+        "per-variable bounds, events-independent hedge (dataset.py:152-181)",
+    ),
+    "label_extrema_lineitem": Query(
+        aggregates.q_label_extrema_lineitem,
+        aggregates.Q_LABEL_EXTREMA_LINEITEM_SQL,
+        "per-label extrema + arg positions, events-independent hedge",
+    ),
+    # --- reference surface: raster tile kernels (SURVEY.md §2.5/§2.9) ---
+    "gaussian_smooth_grid": Query(
+        raster_queries.q_gaussian_smooth_grid,
+        raster_queries.Q_GAUSSIAN_SMOOTH_GRID_SQL,
+        "σ=1 separable Gaussian, reflect boundary (vpicdataset.py:352-369)",
+    ),
+    "extrema_filter_grid": Query(
+        raster_queries.q_extrema_filter_grid,
+        raster_queries.Q_EXTREMA_FILTER_GRID_SQL,
+        "10×10 sliding max/min filter, reflect (vpicdataset.py:484-485)",
+    ),
+    "gap_fill_grid": Query(
+        raster_queries.q_gap_fill_grid,
+        raster_queries.Q_GAP_FILL_GRID_SQL,
+        "np.roll wraparound 1-px gap closer (vpicdataset.py:71-113)",
+    ),
+    "dilate_grid": Query(
+        raster_queries.q_dilate_grid,
+        raster_queries.Q_DILATE_GRID_SQL,
+        "one-step cross-footprint binary dilation (vpicdataset.py:449-451)",
+    ),
+    "flood_label_grid": Query(
+        raster_queries.q_flood_label_grid,
+        raster_queries.Q_FLOOD_LABEL_GRID_SQL,
+        "scan-order connected-component labels (vpicdataset.py:490-491)",
+    ),
+    "flood_region_grid": Query(
+        raster_queries.q_flood_region_grid,
+        raster_queries.Q_FLOOD_REGION_GRID_SQL,
+        "flood fill from seed over equal values (vpicdataset.py:470-471)",
+    ),
+    "contours_grid": Query(
+        raster_queries.q_contours_grid,
+        raster_queries.Q_CONTOURS_GRID_SQL,
+        "marching-squares contour points at a level (vpicdataset.py:383-384)",
+    ),
+    "find_structures_island": Query(
+        structures_plan.q_find_structures_island,
+        None,
+        "full 10-step find_structures pipeline on the island-chain field "
+        "(vpicdataset.py:295-533); rows-only — not SQL-expressible",
     ),
     # --- reference surface: window kernels (SURVEY.md §2.4/2.5) ---
     "running_sum_events": Query(
