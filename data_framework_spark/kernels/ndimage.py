@@ -97,29 +97,48 @@ _CROSS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
 def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """Connected-component labels, cross connectivity, scan order."""
+    """Connected-component labels, cross connectivity, scan order.
+
+    Run-based two-pass CCL, vectorized: (1) row runs are detected and
+    numbered in scan order with array ops; (2) vertically adjacent runs
+    are unioned (union-by-min-root over the run graph — Python work is
+    O(#runs), never O(#pixels)); (3) components are numbered by their
+    minimal run id, which is exactly the scan-order first-encounter
+    numbering a pixel-BFS produces (the first pixel of a component in
+    a row-major scan starts its minimal run).
+    """
     assert mask.ndim == 2
-    lbl = np.zeros(mask.shape, dtype=np.int64)
-    current = 0
-    for i in range(mask.shape[0]):
-        for j in range(mask.shape[1]):
-            if mask[i, j] and lbl[i, j] == 0:
-                current += 1
-                dq = deque([(i, j)])
-                lbl[i, j] = current
-                while dq:
-                    y, x = dq.popleft()
-                    for dy, dx in _CROSS:
-                        ny, nx = y + dy, x + dx
-                        if (
-                            0 <= ny < mask.shape[0]
-                            and 0 <= nx < mask.shape[1]
-                            and mask[ny, nx]
-                            and lbl[ny, nx] == 0
-                        ):
-                            lbl[ny, nx] = current
-                            dq.append((ny, nx))
-    return lbl, current
+    m = mask.astype(bool)
+    lbl = np.zeros(m.shape, dtype=np.int64)
+    if not m.any():
+        return lbl, 0
+    # (1) runs: a run starts at a set pixel whose left neighbor is unset
+    left = np.zeros_like(m)
+    left[:, 1:] = m[:, :-1]
+    starts = m & ~left
+    run_id = np.cumsum(starts.ravel()).reshape(m.shape) - 1  # valid where m
+    n_runs = int(starts.sum())
+    # (2) vertical adjacencies between runs → fully vectorized
+    # min-label propagation over the run graph (edge relaxation +
+    # pointer jumping converges in O(log diameter) rounds, each O(E))
+    adj = m[1:, :] & m[:-1, :]
+    ra = run_id[:-1, :][adj]
+    rb = run_id[1:, :][adj]
+    roots = np.arange(n_runs)
+    if ra.size:
+        ea = np.concatenate([ra, rb])
+        eb = np.concatenate([rb, ra])
+        while True:
+            upd = roots.copy()
+            np.minimum.at(upd, ea, roots[eb])
+            upd = np.minimum(upd, upd[upd])
+            if np.array_equal(upd, roots):
+                break
+            roots = upd
+    # (3) dense-rank roots (a component's root IS its min run id)
+    uniq, comp_of_run = np.unique(roots, return_inverse=True)
+    lbl[m] = comp_of_run[run_id[m]] + 1
+    return lbl, len(uniq)
 
 
 def flood(mask: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
@@ -189,104 +208,137 @@ def find_contours(field: np.ndarray, level: float) -> list[np.ndarray]:
     list of (n, 2) float arrays of (row, col) points in traversal
     order; closed contours repeat their first point last.
 
-    Implementation: classify each cell edge crossing, link crossings
-    cell-to-cell. Saddle cells are disambiguated with the cell-mean
-    rule (same default as the public algorithm).
+    Implementation (vectorized): classify every cell at once with
+    array ops; each physical grid edge gets ONE canonical interpolated
+    crossing point shared by both adjacent cells, so stitching keys
+    match bit-exactly. Saddle cells are disambiguated with the
+    cell-mean rule (same default as the public algorithm). Segments
+    are ordered by (cell scan order, intra-cell order) to keep output
+    deterministic. The per-segment stitching loop that remains is
+    O(#contour segments), not O(#pixels).
     """
-    n0, n1 = field.shape
-    segs: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    f = np.asarray(field, dtype=float)
+    n0, n1 = f.shape
+    b = f > level
+    # canonical edge crossings: H[i,j] on edge (i,j)-(i,j+1),
+    # V[i,j] on edge (i,j)-(i+1,j)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        th = (level - f[:, :-1]) / (f[:, 1:] - f[:, :-1])
+        tv = (level - f[:-1, :]) / (f[1:, :] - f[:-1, :])
+    # cell case from the four corners ul, ur, lr, ll — the only other
+    # full-array pass; everything below gathers active cells only
+    case = (
+        b[:-1, :-1] * 1 + b[:-1, 1:] * 2 + b[1:, 1:] * 4 + b[1:, :-1] * 8
+    ).ravel()
+    act = np.flatnonzero((case != 0) & (case != 15))
+    ca = case[act]
+    ai = act // (n1 - 1)
+    aj = act % (n1 - 1)
+    # per-active-cell edge points; edges: 0 top, 1 right, 2 bottom, 3 left
+    t_top = th[ai, aj]
+    t_bot = th[ai + 1, aj]
+    t_left = tv[ai, aj]
+    t_right = tv[ai, aj + 1]
+    aif = ai.astype(float)
+    ajf = aj.astype(float)
+    er = [aif, aif + t_right, aif + 1.0, aif + t_left]
+    ec = [ajf + t_top, ajf + 1.0, ajf + t_bot, ajf]
+    # saddle disambiguation needs the cell mean (same association
+    # order as the naive sum over corners)
+    mean = (
+        (f[ai, aj] + f[ai, aj + 1]) + f[ai + 1, aj + 1]
+    ) + f[ai + 1, aj]
+    mean = mean / 4.0
+    edge_pairs = {
+        1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+        6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)], 9: [(2, 0)],
+        11: [(2, 1)], 12: [(1, 3)], 13: [(1, 0)], 14: [(0, 3)],
+    }
+    seg_a0, seg_a1, seg_b0, seg_b1, seg_order = [], [], [], [], []
 
-    def interp(p0, p1, v0, v1):
-        t = (level - v0) / (v1 - v0)
-        return (p0[0] + t * (p1[0] - p0[0]), p0[1] + t * (p1[1] - p0[1]))
+    def emit(sel: np.ndarray, ea: int, eb: int, sub: int) -> None:
+        if not sel.any():
+            return
+        seg_a0.append(er[ea][sel])
+        seg_a1.append(ec[ea][sel])
+        seg_b0.append(er[eb][sel])
+        seg_b1.append(ec[eb][sel])
+        # scan-order key: cell linear index * 2 + intra-cell position
+        seg_order.append(act[sel] * 2 + sub)
 
-    seg_list: list[tuple[tuple[float, float], tuple[float, float]]] = []
-    for i in range(n0 - 1):
-        for j in range(n1 - 1):
-            # corners: ul, ur, lr, ll (row, col)
-            c = [
-                ((i, j), field[i, j]),
-                ((i, j + 1), field[i, j + 1]),
-                ((i + 1, j + 1), field[i + 1, j + 1]),
-                ((i + 1, j), field[i + 1, j]),
-            ]
-            case = sum(1 << k for k, (_, v) in enumerate(c) if v > level)
-            if case in (0, 15):
-                continue
-            # edge crossing points; edges: top(0-1) right(1-2)
-            # bottom(2-3) left(3-0)
-            pts = {}
-            for e, (a, b) in enumerate(((0, 1), (1, 2), (2, 3), (3, 0))):
-                (pa, va), (pb, vb) = c[a], c[b]
-                if (va > level) != (vb > level):
-                    pts[e] = interp(pa, pb, va, vb)
-            edge_pairs = {
-                1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
-                6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)], 9: [(2, 0)],
-                11: [(2, 1)], 12: [(1, 3)], 13: [(1, 0)], 14: [(0, 3)],
-            }
-            if case in (5, 10):
-                mean = sum(v for _, v in c) / 4.0
-                if case == 5:
-                    pairs = [(3, 0), (1, 2)] if mean <= level else [(3, 2), (1, 0)]
-                else:
-                    pairs = [(0, 1), (2, 3)] if mean <= level else [(0, 3), (2, 1)]
-            else:
-                pairs = edge_pairs[case]
-            for ea, eb in pairs:
-                seg_list.append((pts[ea], pts[eb]))
+    for cs, pairs in edge_pairs.items():
+        sel = ca == cs
+        for sub, (ea, eb) in enumerate(pairs):
+            emit(sel, ea, eb, sub)
+    # saddles: two segments each, resolved by the cell mean
+    for cs, lo_pairs, hi_pairs in (
+        (5, [(3, 0), (1, 2)], [(3, 2), (1, 0)]),
+        (10, [(0, 1), (2, 3)], [(0, 3), (2, 1)]),
+    ):
+        sel = ca == cs
+        for sub, (ea, eb) in enumerate(lo_pairs):
+            emit(sel & (mean <= level), ea, eb, sub)
+        for sub, (ea, eb) in enumerate(hi_pairs):
+            emit(sel & (mean > level), ea, eb, sub)
+
+    contours: list[np.ndarray] = []
+    if not seg_a0:
+        return contours
+    a0 = np.concatenate(seg_a0)
+    a1 = np.concatenate(seg_a1)
+    b0 = np.concatenate(seg_b0)
+    b1 = np.concatenate(seg_b1)
+    order = np.argsort(np.concatenate(seg_order), kind="stable")
+    a0, a1, b0, b1 = a0[order], a1[order], b0[order], b1[order]
+    # endpoint keys, quantized vectorized (the round(p, 9) of the
+    # naive version) — merges coincident points from level==vertex ties
+    ka = list(zip(np.round(a0, 9).tolist(), np.round(a1, 9).tolist()))
+    kb = list(zip(np.round(b0, 9).tolist(), np.round(b1, 9).tolist()))
+    pa = list(zip(a0.tolist(), a1.tolist()))
+    pb = list(zip(b0.tolist(), b1.tolist()))
 
     # stitch segments into polylines (undirected): trace from
-    # degree-1 endpoints first (open contours), then remaining cycles
-    def key(p):
-        return (round(p[0], 9), round(p[1], 9))
-
-    # drop degenerate output from level==vertex ties: zero-length
-    # segments and duplicates emitted by both adjacent cells
+    # degree-1 endpoints first (open contours), then remaining cycles.
+    # First drop degenerate output: zero-length segments and
+    # duplicates emitted by both adjacent cells.
     seen_segs = set()
-    clean = []
-    for a, b in seg_list:
-        ka, kb = key(a), key(b)
-        if ka == kb:
+    segs: list[tuple] = []  # (pt_a, key_a, pt_b, key_b)
+    for i in range(len(ka)):
+        k1, k2 = ka[i], kb[i]
+        if k1 == k2:
             continue
-        sk = (ka, kb) if ka <= kb else (kb, ka)
+        sk = (k1, k2) if k1 <= k2 else (k2, k1)
         if sk in seen_segs:
             continue
         seen_segs.add(sk)
-        clean.append((a, b))
-    seg_list = clean
+        segs.append((pa[i], k1, pb[i], k2))
 
     adj: dict = {}
-    for sid, (a, b) in enumerate(seg_list):
-        adj.setdefault(key(a), []).append((sid, b))
-        adj.setdefault(key(b), []).append((sid, a))
+    for sid, (a, k1, b, k2) in enumerate(segs):
+        adj.setdefault(k1, []).append((sid, b, k2))
+        adj.setdefault(k2, []).append((sid, a, k1))
 
-    used = [False] * len(seg_list)
-    contours = []
+    used = [False] * len(segs)
 
-    def trace(start_pt):
+    def trace(start_key, start_pt):
         path = [start_pt]
+        k = start_key
         while True:
-            cands = [
-                (sid, other)
-                for sid, other in adj.get(key(path[-1]), [])
-                if not used[sid]
-            ]
+            cands = [e for e in adj.get(k, []) if not used[e[0]]]
             if not cands:
                 return path
-            sid, other = cands[0]
+            sid, other, k = cands[0]
             used[sid] = True
             path.append(other)
 
-    open_starts = [p for p, lst in adj.items() if len(lst) == 1]
+    open_starts = [k for k, lst in adj.items() if len(lst) == 1]
     for start_key in open_starts:
-        lst = [(sid, o) for sid, o in adj[start_key] if not used[sid]]
-        if not lst:
+        if all(used[sid] for sid, _, _ in adj[start_key]):
             continue
-        contours.append(np.array(trace(start_key)))
-    for sid, (a, b) in enumerate(seg_list):
+        contours.append(np.array(trace(start_key, start_key)))
+    for sid, (a, _k1, b, k2) in enumerate(segs):
         if not used[sid]:
             used[sid] = True
-            path = trace(b)
+            path = trace(k2, b)
             contours.append(np.array([a] + path))
     return contours

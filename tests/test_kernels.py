@@ -88,6 +88,57 @@ def test_label_and_flood():
     assert holes[2, :].all() and not holes[0, 0]
 
 
+def _label_bfs(mask):
+    """Naive scan-order BFS labeling — the semantic oracle for the
+    vectorized run-based label()."""
+    from collections import deque
+
+    lbl = np.zeros(mask.shape, dtype=np.int64)
+    current = 0
+    for i in range(mask.shape[0]):
+        for j in range(mask.shape[1]):
+            if mask[i, j] and lbl[i, j] == 0:
+                current += 1
+                dq = deque([(i, j)])
+                lbl[i, j] = current
+                while dq:
+                    y, x = dq.popleft()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if (
+                            0 <= ny < mask.shape[0]
+                            and 0 <= nx < mask.shape[1]
+                            and mask[ny, nx]
+                            and lbl[ny, nx] == 0
+                        ):
+                            lbl[ny, nx] = current
+                            dq.append((ny, nx))
+    return lbl, current
+
+
+def test_label_matches_bfs_on_random_masks():
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        shape = (rng.integers(1, 24), rng.integers(1, 24))
+        mask = rng.random(shape) < rng.uniform(0.2, 0.8)
+        lo, no = _label_bfs(mask)
+        ln, nn = label(mask)
+        assert no == nn
+        np.testing.assert_array_equal(lo, ln)
+
+
+def test_label_edge_cases():
+    empty = np.zeros((4, 5), dtype=bool)
+    lbl, n = label(empty)
+    assert n == 0 and not lbl.any()
+    full = np.ones((3, 3), dtype=bool)
+    lbl, n = label(full)
+    assert n == 1 and (lbl == 1).all()
+    one_row = np.array([[1, 0, 1, 1, 0, 1]], dtype=bool)
+    lbl, n = label(one_row)
+    assert n == 3 and lbl.tolist() == [[1, 0, 2, 2, 0, 3]]
+
+
 def test_binary_dilation_cross():
     m = np.zeros((5, 5), dtype=bool)
     m[2, 2] = True
