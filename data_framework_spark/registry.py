@@ -37,6 +37,7 @@ from data_framework_spark.operators import (
     windows,
 )
 from data_framework_spark.plans import structures as structures_plan
+from data_framework_spark.sources import array_ingest
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.streaming import windows as stream_windows
 
@@ -64,6 +65,12 @@ QUERIES: dict[str, Query] = {
         slicing.q_select_vars_substring,
         slicing.Q_SELECT_VARS_SUBSTRING_SQL,
         "case-sensitive substring variable selection (vpicdataset.py:206-213)",
+    ),
+    "array_ingest_roundtrip": Query(
+        array_ingest.q_array_ingest_roundtrip,
+        array_ingest.Q_ARRAY_INGEST_ROUNDTRIP_SQL,
+        "array-source scan: get_vars filter + degenerate-dim squeeze + "
+        "long-format explosion + export/restore (vpicdataset.py:142-230)",
     ),
     # --- reference surface: aggregates (SURVEY.md §2.4) ---
     "bounds_events": Query(
