@@ -23,10 +23,14 @@ full cross product — that's the point of LSH vs brute-force O(n²).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
+
+logger = logging.getLogger(__name__)
 
 K = 8  # minhash components
 BANDS = 4  # → 2 rows per band
@@ -64,10 +68,22 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def candidate_pairs(bands: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame,
+    probe: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct pairs sharing at least one band bucket.
 
-    Without `probe`: all (a < b) pairs — quadratic in bucket sizes.
+    Without `probe`: all (a < b) pairs — quadratic in bucket sizes,
+    which is the LSH failure mode on degenerate corpora (thousands of
+    identical docs land in one bucket → millions of pairs). Pass
+    `max_bucket` to drop buckets larger than the cap before the
+    self-join; the dropped bucket/pair counts are logged so the
+    truncation is never silent. A dropped mega-bucket is better
+    handled by `signature_dedup` (linear collapse) than by pair
+    enumeration anyway.
+
     With `probe` (a DataFrame of doc ids, column `doc`): only pairs
     touching a probe doc — the left join side shrinks to the probe
     set, so cost scales with |probe|·bucket, not bucket². Pairs are
@@ -75,6 +91,39 @@ def candidate_pairs(bands: DataFrame, probe: DataFrame | None = None) -> DataFra
     """
     right = bands.alias("r")
     if probe is None:
+        if max_bucket is not None:
+            sizes = bands.groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).alias("__bn")
+            )
+            over = (
+                sizes.filter(F.col("__bn") > max_bucket)
+                .agg(
+                    F.count(F.lit(1)).alias("buckets"),
+                    F.sum(
+                        F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2)
+                    ).alias("pairs"),
+                )
+                .collect()[0]
+            )
+            if over["buckets"]:
+                logger.warning(
+                    "candidate_pairs: dropping %d LSH buckets over "
+                    "max_bucket=%d (~%d intra-bucket candidate pairs); "
+                    "use signature_dedup for degenerate clusters",
+                    over["buckets"],
+                    max_bucket,
+                    int(over["pairs"]),
+                )
+            # the size join shuffles on the same (band, band_hash) key
+            # as the self-join below, so the partitioning is reused
+            bands = (
+                bands.join(
+                    sizes.filter(F.col("__bn") <= max_bucket),
+                    on=["band", "band_hash"],
+                )
+                .drop("__bn")
+            )
+            right = bands.alias("r")
         return (
             bands.alias("l")
             .join(
@@ -108,11 +157,14 @@ def verified_near_dups(
     text_col: str,
     threshold: float = 0.9,
     probe: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates filtered by exact word-set Jaccard ≥ threshold."""
     sh = _shingles(docs, id_col, text_col)
     pairs = candidate_pairs(
-        lsh_bands(minhash_signatures(docs, id_col, text_col)), probe=probe
+        lsh_bands(minhash_signatures(docs, id_col, text_col)),
+        probe=probe,
+        max_bucket=max_bucket,
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     inter = (

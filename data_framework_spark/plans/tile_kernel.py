@@ -12,8 +12,11 @@ Scale posture: a tile is ONE timestep of ONE variable — the
 reference's own working-set unit (its whole pipeline is per-timestep,
 vpicdataset.py:334-336). Parallelism across timesteps/variables is
 what Spark gives for free; a single tile exceeding executor memory is
-the signal to switch that operator to its windowed/pure-join variant
-(documented per-operator in operators/raster.py).
+the signal to switch that operator to a windowed/pure-join variant —
+the prefix-sum and gradient forms live in operators/windows.py, and
+operators/raster_queries.py shows each stencil (smoothing, extrema,
+gap fill, dilation, labeling, contours) re-expressed as joins/window
+SQL against the same kernels in kernels/ndimage.py.
 """
 
 from __future__ import annotations

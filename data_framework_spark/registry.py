@@ -341,7 +341,13 @@ QUERIES: dict[str, Query] = {
     "embedding_near_dups": Query(
         ann_mod.q_embedding_near_dups,
         ann_mod.Q_EMBEDDING_NEAR_DUPS_SQL,
-        "embedding-cosine near-duplicate pairs",
+        "embedding-cosine near-duplicate pairs (exact blocked GEMM)",
+    ),
+    "embedding_dedup_lsh": Query(
+        ann_mod.q_embedding_dedup_lsh,
+        ann_mod.Q_EMBEDDING_DEDUP_LSH_SQL,
+        "duplicate embeddings via sign-LSH bands + in-bucket GEMM "
+        "(structural recall for colinear twins, logged candidate pruning)",
     ),
 }
 

@@ -20,6 +20,7 @@ oracle comparison.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
+
+logger = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -220,7 +223,7 @@ def blocked_cosine_pairs(
         .withColumnRenamed("b_vec", "a_vec")
     )
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf.side == 0]
         b = pdf[pdf.side == 1]
         if a.empty or b.empty:
@@ -356,11 +359,141 @@ WHERE rank <= {k}
 Q_ANN_LSH_TOPK_SQL = _ann_lsh_sql()
 
 
+def lsh_bucketed_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    rows_per_band: int = 4,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH banding + in-bucket GEMM — the
+    composition of `signature_bits` buckets with `blocked_cosine_pairs`'
+    dense kernel, so the pair search is NOT all-pairs.
+
+    Each vector gets `n_bands` bucket ids (one per band of
+    `rows_per_band` hyperplanes); candidates are pairs sharing a
+    bucket in ANY band, verified by a per-bucket normalized GEMM.
+    Compared-pair count ≈ n_bands/2^rows_per_band of the full N²/2
+    (plus the true-positive mass), vs 100% for the exact path — the
+    candidate total is computed and logged per call so the pruning is
+    measurable, never assumed.
+
+    Recall: a pair at angle θ survives one plane with prob 1−θ/π;
+    colinear duplicates (cos≈1, e.g. the same content re-encoded at a
+    different scale) have IDENTICAL sign bits, so their recall is
+    structurally 100%, independent of parameters. For looser
+    thresholds, raise n_bands / lower rows_per_band per standard LSH
+    math — or fall back to the exact `blocked_cosine_pairs`: on an
+    isotropic corpus with a θ≈66° threshold (cos 0.4), banding was
+    MEASURED to produce more candidates than all-pairs while still
+    missing true pairs, which is why `q_embedding_near_dups` below
+    stays on the exact path.
+    """
+    sig_rows = []
+    for band in range(n_bands):
+        bits = []
+        for p_local in range(rows_per_band):
+            p = band * rows_per_band + p_local
+            comps = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), comps, lambda x, c: x.cast("double") * c
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(2**p_local)
+            )
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        sig_rows.append(
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+        )
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*sig_rows)).alias("bb"),
+    ).select("vid", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    sizes = tagged.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    stats = sizes.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand")
+    ).collect()[0]
+    n_total = corpus.count()
+    logger.info(
+        "lsh_bucketed_pairs: %d candidate pairs across %d bands vs %d "
+        "all-pairs (%.1f%%)",
+        int(stats["cand"] or 0),
+        n_bands,
+        n_total * (n_total - 1) // 2,
+        100.0 * (stats["cand"] or 0) / max(n_total * (n_total - 1) / 2, 1),
+    )
+
+    def bucket_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sim = vn @ vn.T
+        ids = pdf["vid"].to_numpy()
+        ii, jj = np.nonzero(np.round(sim, 6) >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "a": ids[ii][keep],
+                "b": ids[jj][keep],
+                "cos": np.round(sim[ii, jj][keep], 6),
+            }
+        )
+
+    raw = tagged.groupBy("band", "bucket").applyInPandas(
+        bucket_gemm, schema="a long, b long, cos double"
+    )
+    # a pair sharing buckets in several bands is emitted once per band
+    # with an identical rounded cos — distinct collapses them
+    return raw.distinct()
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.4; the corpus is isotropic-random so its
-    pairwise-cosine tail tops out near 0.5)."""
+    pairwise-cosine tail tops out near 0.5).
+
+    Deliberately the EXACT blocked-GEMM path: at cos 0.4 (θ≈66°)
+    sign-LSH banding was measured on this corpus to generate ≥100% of
+    all-pairs as candidates while missing true pairs — the LSH-routed
+    variant is `embedding_dedup_lsh`, on a corpus whose duplicates are
+    actually close."""
     emb = load_table(spark, sf_dir, "embeddings")
     return blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-embedding detection via sign-LSH buckets + in-bucket
+    GEMM: the corpus is embeddings ∪ re-scaled twins (vec_id+100000,
+    2·v — the same content re-encoded without normalization, a real
+    pipeline artifact). Scaling preserves every sign bit, so each twin
+    pair shares all band buckets and recall is structural, while the
+    bucketing prunes the compared pairs to ~n_bands/2^rows_per_band of
+    all-pairs (logged per call). The oracle is the exact all-pairs SQL
+    over the same doubled corpus — hashes match because recall is
+    exact for colinear pairs and nothing else clears cos ≥ 0.9999."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    return lsh_bucketed_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9999,
+        rows_per_band=4, n_bands=4, dim=64,
+    )
 
 
 Q_EMBEDDING_NEAR_DUPS_SQL = """
@@ -380,4 +513,30 @@ WHERE a.vec_id < b.vec_id
         list_sum(list_transform(range(1, len(a.embedding) + 1),
                                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         / (a.nrm * b.nrm), 6) >= 0.40
+"""
+
+
+Q_EMBEDDING_DEDUP_LSH_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x * 2) AS embedding
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM base
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (a.nrm * b.nrm), 6) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (a.nrm * b.nrm), 6) >= 0.9999
 """
