@@ -169,6 +169,10 @@ def find_structures(
             flux.df.select("t", "i0", "i1", F.col("value").alias("psi")),
             on=["t", "i0", "i1"],
         )
+        # consumed twice (Hessian kernel + nulls kernel) — cache so the
+        # smoothing tiles + flux windows run once; one row per cell of
+        # a single timestep, bounded by the tile working set
+        .cache()
     )
 
     m0 = mesh0.copy()
@@ -265,7 +269,7 @@ def find_structures(
             "t double, i0 long, i1 long, c0 double, c1 double, "
             "separatrices double, o_structures double, current_sheets double"
         ),
-    )
+    ).cache()  # three output variables slice this one kernel result
     base = ["t", "i0", "i1", "c0", "c1"]
     for out_name in ("separatrices", "o_structures", "current_sheets"):
         vdf = masks.select(*base, F.col(out_name).alias("value"))
