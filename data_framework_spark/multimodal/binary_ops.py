@@ -179,3 +179,83 @@ def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def q_multimodal_resize_plan(spark, sf_dir: str) -> DataFrame:
+    """The metadata-only resize planner, driver-checked: asset dims
+    are synthesized deterministically from doc_id (same arithmetic in
+    the oracle), then `resize_meta` computes aspect-preserving bounded
+    targets as pure column expressions — the payload column is never
+    touched, so at 100 TB this plan reads ONLY the metadata struct."""
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            (320 + (F.col("doc_id") * 7) % 3700).cast("int").alias("width"),
+            (200 + (F.col("doc_id") * 13) % 2100).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = resize_meta(assets, 1024)
+    return out.select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("resize_to.width").alias("out_width"),
+        F.col("resize_to.height").alias("out_height"),
+    )
+
+
+Q_MULTIMODAL_RESIZE_PLAN_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         (320 + (doc_id * 7) % 3700)::INT  AS width,
+         (200 + (doc_id * 13) % 2100)::INT AS height
+  FROM documents
+),
+scaled AS (
+  SELECT *, least(1.0, 1024.0 / greatest(width, height)::DOUBLE) AS scale
+  FROM assets
+)
+SELECT asset_id, width, height,
+       round(width * scale)::INT  AS out_width,
+       round(height * scale)::INT AS out_height
+FROM scaled
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """The video frame-sampling plan, driver-checked: per-video frame
+    counts synthesized from doc_id, exploded to one row per sampled
+    frame index (stride 4) via `sequence` — the shuffle-free prelude
+    that a decode kernel would map over."""
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2  # the corpus's "video" assets
+    )
+    vids = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("doc_id") % 50) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(vids, 4)
+
+
+Q_MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS asset_id,
+       unnest(range(0, (doc_id % 50) + 1, 4))::INT AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""

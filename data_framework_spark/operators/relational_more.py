@@ -631,3 +631,176 @@ UNION ALL
 SELECT 'except', count(*)
   FROM (SELECT k FROM building EXCEPT SELECT k FROM buyers96)
 """
+
+
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year — a
+    5-way join where every dimension (part with a name filter,
+    supplier, nation) broadcasts and the only shuffle is
+    lineitem⋈orders on orderkey. (Adapted: the reduced schema has no
+    partsupp/ps_supplycost, so profit is discounted revenue.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        # per-row double product is engine-identical; summing it as
+        # DECIMAL makes the aggregate order-independent, so the hash
+        # can't flip on a .005 rounding boundary (it did at sf0.01
+        # with a double sum)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+# decimal accumulation + decimal rounding, then one cast: both
+# engines round the identical exact value (see the Spark-side comment)
+TPCH_Q9_PROFIT_SQL = """
+SELECT
+  n_name AS nation,
+  year(o_orderdate) AS o_year,
+  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+    AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — correlated EXISTS and NOT EXISTS
+    on the same fact table, the hardest decorrelation pattern in the
+    suite. (Adapted: no receipt/commit dates, so "late" is shipping
+    more than 30 days after the order date.)
+
+    Plan shape: l1⋈orders is the orderkey shuffle; the EXISTS becomes
+    a LEFT SEMI and the NOT EXISTS a LEFT ANTI join, both also on
+    orderkey — AQE can stack all three on one exchange. Nothing here
+    enumerates pairs of lineitems.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    late1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        late1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.date_add(F.col("o_orderdate"), 30)),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q21_WAITING_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value filtered against a
+    fraction of the GLOBAL total — a grouped aggregate gated by a
+    scalar subquery over itself. (Adapted: value is price×quantity
+    from lineitem; the reduced schema has no partsupp.)
+
+    The per-part aggregate is computed once and reused for both the
+    rows and the threshold (self-referential scalar), which Spark
+    expresses as agg → 1-row broadcast cross join → filter: the big
+    side is never re-shuffled.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    )
+    # threshold relative to the AVERAGE part value (not a fixed total
+    # fraction, which degenerates as the part count scales: every part
+    # passes at sf0.001, none at sf0.01)
+    total = val.agg((F.avg("v") * F.lit(1.2)).alias("__thr"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") > F.col("__thr"))
+        .select("partkey", F.round("v", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+TPCH_Q11_IMPORTANT_PARTS_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey, sum(l_extendedprice * l_quantity) AS v
+  FROM lineitem GROUP BY 1
+)
+SELECT partkey, round(v, 2) AS value
+FROM val
+WHERE v > (SELECT avg(v) * 1.2 FROM val)
+ORDER BY value DESC, partkey ASC
+"""

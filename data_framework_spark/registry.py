@@ -176,6 +176,16 @@ QUERIES: dict[str, Query] = {
         multimodal_mod.Q_MULTIMODAL_FEATURES_SQL,
         "binary-asset decode kernel: n_bytes + md5 digest per payload",
     ),
+    "multimodal_resize_plan": Query(
+        multimodal_mod.q_multimodal_resize_plan,
+        multimodal_mod.Q_MULTIMODAL_RESIZE_PLAN_SQL,
+        "metadata-only bounded-resize planner (payload never read)",
+    ),
+    "multimodal_frame_sample": Query(
+        multimodal_mod.q_multimodal_frame_sample,
+        multimodal_mod.Q_MULTIMODAL_FRAME_SAMPLE_SQL,
+        "video frame-sampling index explosion (decode-kernel prelude)",
+    ),
     "tumbling_window_events": Query(
         stream_windows.q_tumbling_window_events,
         stream_windows.Q_TUMBLING_WINDOW_EVENTS_SQL,
@@ -261,6 +271,21 @@ QUERIES: dict[str, Query] = {
         relational_more.tpch_q22_idle_customers,
         relational_more.TPCH_Q22_IDLE_CUSTOMERS_SQL,
         "well-funded inactive customers (LEFT ANTI join)",
+    ),
+    "tpch_q9_profit": Query(
+        relational_more.tpch_q9_profit,
+        relational_more.TPCH_Q9_PROFIT_SQL,
+        "product-type profit by nation/year (5-way join, 3 broadcasts)",
+    ),
+    "tpch_q21_waiting": Query(
+        relational_more.tpch_q21_waiting,
+        relational_more.TPCH_Q21_WAITING_SQL,
+        "sole-late-supplier detection (EXISTS + NOT EXISTS self-joins)",
+    ),
+    "tpch_q11_important_parts": Query(
+        relational_more.tpch_q11_important_parts,
+        relational_more.TPCH_Q11_IMPORTANT_PARTS_SQL,
+        "per-part value above a global-total fraction (self-referential scalar)",
     ),
     "distinct_suppliers_by_brand": Query(
         relational_more.distinct_suppliers_by_brand,
