@@ -39,6 +39,7 @@ from data_framework_spark.operators import (
 from data_framework_spark.plans import structures as structures_plan
 from data_framework_spark.sources import array_ingest
 from data_framework_spark.similarity import ann as ann_mod
+from data_framework_spark.streaming import stateful as stream_stateful
 from data_framework_spark.streaming import windows as stream_windows
 
 
@@ -201,6 +202,12 @@ QUERIES: dict[str, Query] = {
         stream_windows.q_session_window_events,
         stream_windows.Q_SESSION_WINDOW_EVENTS_SQL,
         "native session_window gap aggregation per user",
+    ),
+    "stateful_user_totals_live": Query(
+        stream_stateful.q_stateful_user_totals_live,
+        stream_stateful.Q_STATEFUL_USER_TOTALS_LIVE_SQL,
+        "custom stateful streaming op (applyInPandasWithState) run "
+        "end-to-end over a 3-chunk replay; final state vs batch oracle",
     ),
     "json_props_events": Query(
         semi_mod.q_json_props_events,

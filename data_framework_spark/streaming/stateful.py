@@ -1,0 +1,162 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`).
+
+The built-in windows in streaming/windows.py cover time-bucketed
+aggregation; this module is the CUSTOM-state path — per-key state the
+engine can't express with `window`/`session_window`, carried across
+micro-batches by the state store. The demonstrator is a per-user
+running accumulator (event count + value total emitted on every
+update), the minimal shape of online feature stores / per-entity
+counters in a training-data pipeline.
+
+Execution model: each micro-batch groups its rows by key, the kernel
+reads the key's state (Arrow-batched pandas in, pandas out), folds
+the new rows, writes the state back. State lives in the checkpointed
+state store, partitioned by key — at 100 TB/day the knobs that matter
+are key cardinality (state size) and a timeout policy to evict idle
+keys (`GroupStateTimeout` — NoTimeout here because the bounded test
+source finishes; production uses ProcessingTimeTimeout).
+
+The batch-equivalence contract (same rule as streaming/windows.py):
+after the bounded source drains, the LAST update emitted per user
+must equal the plain batch `groupBy(user).agg(count, sum)` — that is
+exactly what the driver-checked query below asserts against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from data_framework_spark.sources.tables import load_table
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, total) across micro-batches.
+
+    Works on any DataFrame with user_id/value; on a streaming input
+    each micro-batch folds into the key's persisted state and emits
+    the updated running row (outputMode=update downstream).
+    """
+
+    def track(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def chunked_events_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Split the events table into time-ordered chunk files and open
+    them as a one-file-per-trigger stream — the bounded stand-in for
+    a live source that forces genuinely incremental execution."""
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(pdf)
+    for i in range(n_chunks):
+        p = os.path.join(out_dir, f"chunk-{i}.parquet")
+        pdf.iloc[i * n // n_chunks : (i + 1) * n // n_chunks].to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(out_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def run_stateful_to_completion(
+    spark: SparkSession, stream_out: DataFrame
+) -> tuple[DataFrame, list[Any]]:
+    """Drive a stateful streaming plan over its bounded source; returns
+    (memory-sink DataFrame of ALL emitted updates, query progress)."""
+    name = f"stateful_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    return spark.table(name), progress
+
+
+# --- driver-checkable query -------------------------------------------------
+
+
+def q_stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming run inside the correctness check: chunked
+    events replay through `applyInPandasWithState` in 3 micro-batches;
+    the final update per user must equal the batch groupBy — which the
+    DuckDB oracle computes relationally. This is the driver-visible
+    proof that custom state survives across micro-batches correctly,
+    not just that the plan compiles."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stateful_live_")
+    stream = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    updates, progress = run_stateful_to_completion(
+        spark, stateful_user_totals(stream)
+    )
+    n_batches = len([p for p in progress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
+    # keep only each user's final state (n_events is monotone per user)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        updates.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+    # materialize before the memory sink table is dropped/overwritten
+    pdf = final.toPandas()
+    return spark.createDataFrame(pdf, schema=final.schema)
+
+
+Q_STATEFUL_USER_TOTALS_LIVE_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
