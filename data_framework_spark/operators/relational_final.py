@@ -1,0 +1,301 @@
+"""The last four TPC-H shapes: Q2 (correlated min over a derived
+part–supplier relation), Q12 (conditional two-way counts by a derived
+shipping class), Q16 (COUNT(DISTINCT) with a NOT-IN anti filter), and
+Q20 (nested IN chains narrowing suppliers by supplied volume).
+
+All absent from the reference (SURVEY.md §2.3/§2.4 "Absent"); this is
+the driver-mandated extension layer (SURVEY.md §7 phase 5). The
+synthetic schema (TESTDATA.md) has no `partsupp` table, so — same
+convention as tpch_q11 in relational_more.py — the part–supplier
+relation is DERIVED from lineitem: supply cost per (part, supplier)
+is avg(l_extendedprice / l_quantity), the observed unit price. The
+oracle SQL applies the identical derivation, so correctness is exact.
+
+Scale notes: the derived partsupp is a single shuffle on
+(partkey, suppkey) with map-side partial aggregation; everything
+dimension-sized after it (region-filtered suppliers, min-cost rows)
+broadcasts. No query here materializes to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → (ps_partkey, ps_suppkey, ps_supplycost): the stand-in
+    for TPC-H partsupp. One shuffle, heavily pre-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "ps_supplycost"
+        )
+    )
+
+
+_DERIVED_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of a chosen size class, the
+    supplier(s) in a region offering the MINIMUM supply cost — a
+    correlated-min subquery.
+
+    Plan: derived partsupp (one shuffle) ⋈ broadcast(region-filtered
+    supplier dim); the per-part min is a window-free groupBy + semi
+    join back on (partkey, cost) — both sides of that re-join share
+    the partkey shuffle key, and the min side is tiny (one row per
+    part) so it broadcasts. No correlated re-execution, unlike the
+    literal SQL's nested subquery.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) | (F.col("p_size") == 30)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    rsupp = (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rps = ps.join(F.broadcast(rsupp), ps.ps_suppkey == rsupp.s_suppkey).join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        ps.ps_partkey == F.col("p_partkey"),
+    )
+    min_cost = rps.groupBy(F.col("ps_partkey").alias("__mc_pk")).agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    return (
+        rps.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("__mc_pk"))
+            & (F.col("ps_supplycost") == F.col("__min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_MIN_COST_SUPPLIER_SQL = f"""
+WITH partsupp AS ({_DERIVED_PARTSUPP_SQL}),
+rps AS (
+  SELECT ps.*, s.s_name, s.s_acctbal, n.n_name, p.p_brand
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size IN (25, 30)
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       ps_partkey AS p_partkey, p_brand, ps_supplycost
+FROM rps
+WHERE ps_supplycost = (
+  SELECT min(ps_supplycost) FROM rps r2 WHERE r2.ps_partkey = rps.ps_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class, how many HIGH- vs
+    non-HIGH-priority orders shipped in a window — conditional
+    aggregation (sum of CASE) after a fact⋈fact join.
+
+    (Adapted: the reduced schema has no l_shipmode/commitdate, so the
+    class is the derived ship-delay bucket: 'SLOW' if the line shipped
+    >60 days after the order date, else 'FAST'.) The orderkey join is
+    the only shuffle; the CASE sums are map-side partials over a
+    2-value key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "ship_class",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "SLOW"
+        ).otherwise("FAST"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+TPCH_Q12_SHIP_PRIORITY_SQL = """
+SELECT
+  CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+       THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    combo, EXCLUDING a blacklist of suppliers — COUNT(DISTINCT) over
+    an anti join.
+
+    The blacklist (suppliers with negative account balance — the
+    stand-in for TPC-H's comment-pattern filter) is dimension-sized,
+    so the anti join broadcasts; the count-distinct shuffles once on
+    (brand, type, size-bucket) with partial distinct aggregation
+    map-side.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#3"
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        ps.join(
+            F.broadcast(bad_supp),
+            ps.ps_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .withColumn("size_bucket", (F.col("p_size") / 10).cast("int"))
+        .groupBy("p_brand", "p_type", "size_bucket")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket"
+        )
+    )
+
+
+TPCH_Q16_SUPPLIER_COUNT_SQL = f"""
+WITH partsupp AS ({_DERIVED_PARTSUPP_SQL})
+SELECT p_brand, p_type, (p_size // 10)::INTEGER AS size_bucket,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+"""
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation who supplied more than
+    half the year's moved quantity of some watched part — two nested
+    IN subqueries collapsing to semi joins.
+
+    Plan: the per-(part, supplier) shipped-quantity aggregate is one
+    orderkey-free shuffle; the watched-part filter broadcasts; the
+    qualifying (part, supplier) pairs reduce to a distinct supplier
+    set that semi-joins (broadcast) against the nation-filtered
+    supplier dim. Nothing re-executes per outer row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    watched = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    shipped = (
+        li.join(
+            F.broadcast(watched.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    total_per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("part_total")
+    )
+    excess = (
+        shipped.join(
+            F.broadcast(total_per_part), shipped.l_partkey == F.col("pk")
+        )
+        .filter(F.col("qty") > 0.5 * F.col("part_total") / 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_EXCESS_SUPPLIERS_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+ AND n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped s1
+  WHERE qty > 0.5 * (SELECT sum(qty) FROM shipped s2
+                     WHERE s2.l_partkey = s1.l_partkey) / 2
+)
+ORDER BY s_name
+"""

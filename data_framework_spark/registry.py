@@ -31,6 +31,7 @@ from data_framework_spark.operators import (
     aggregates,
     raster_queries,
     relational,
+    relational_final,
     relational_more,
     resample,
     slicing,
@@ -293,6 +294,26 @@ QUERIES: dict[str, Query] = {
         relational_more.tpch_q11_important_parts,
         relational_more.TPCH_Q11_IMPORTANT_PARTS_SQL,
         "per-part value above a global-total fraction (self-referential scalar)",
+    ),
+    "tpch_q2_min_cost_supplier": Query(
+        relational_final.tpch_q2_min_cost_supplier,
+        relational_final.TPCH_Q2_MIN_COST_SUPPLIER_SQL,
+        "correlated min-cost supplier over derived partsupp (Q2 shape)",
+    ),
+    "tpch_q12_ship_priority": Query(
+        relational_final.tpch_q12_ship_priority,
+        relational_final.TPCH_Q12_SHIP_PRIORITY_SQL,
+        "conditional priority counts by derived ship-delay class (Q12 shape)",
+    ),
+    "tpch_q16_supplier_count": Query(
+        relational_final.tpch_q16_supplier_count,
+        relational_final.TPCH_Q16_SUPPLIER_COUNT_SQL,
+        "COUNT(DISTINCT) per part attrs with NOT-IN anti filter (Q16 shape)",
+    ),
+    "tpch_q20_excess_suppliers": Query(
+        relational_final.tpch_q20_excess_suppliers,
+        relational_final.TPCH_Q20_EXCESS_SUPPLIERS_SQL,
+        "nested-IN excess-volume supplier narrowing (Q20 shape)",
     ),
     "distinct_suppliers_by_brand": Query(
         relational_more.distinct_suppliers_by_brand,
