@@ -379,20 +379,24 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose quantity is below half that part's average quantity — a
     correlated aggregate subquery, decorrelated as aggregate + join.
 
-    The per-part average is computed over ALL lineitem (as in Q17),
-    then broadcast-joined to the brand-filtered lines; weekly-revenue
-    division is applied after the single-row sum. At 100 TB the
-    per-part aggregate shuffles on partkey with map-side partials —
-    the decorrelated plan Catalyst would also choose for the SQL form.
+    Q17's correlated average for part p ranges over all of p's lines,
+    so restricting lineitem to the brand's partkeys FIRST (broadcast
+    semi filter) leaves every per-part average unchanged while
+    shrinking the aggregate's input ~25×. The per-part averages are
+    then dimension-sized and broadcast back — the whole query runs
+    with zero shuffles of lineitem (two broadcast hash joins + a
+    partial-aggregated scalar agg), the plan that survives 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        brand_lines.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue")

@@ -81,22 +81,42 @@ def chunked_events_source(
 ) -> DataFrame:
     """Split the events table into time-ordered chunk files and open
     them as a one-file-per-trigger stream — the bounded stand-in for
-    a live source that forces genuinely incremental execution."""
+    a live source that forces genuinely incremental execution.
+
+    The split is executor-side: approximate time quantiles bound each
+    chunk, and each chunk is written by a Spark job (no driver
+    materialization of the table — at production scale the chunks
+    would simply BE the incoming files). coalesce(1) keeps one file
+    per chunk so maxFilesPerTrigger=1 yields exactly n_chunks
+    micro-batches.
+    """
+    import glob
+    import shutil
+
     ev = load_table(spark, sf_dir, "events")
-    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = ev.select(
+        F.percentile_approx(F.unix_micros("ts"), qs, 10_000).alias("c")
+    ).first()["c"]
+    bounds = [None, *cuts, None]
     os.makedirs(out_dir, exist_ok=True)
-    n = len(pdf)
     for i in range(n_chunks):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (F.unix_micros("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            cond = cond & (F.unix_micros("ts") < F.lit(bounds[i + 1]))
+        stage = os.path.join(out_dir, f"__stage_{i}")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         p = os.path.join(out_dir, f"chunk-{i}.parquet")
-        pdf.iloc[i * n // n_chunks : (i + 1) * n // n_chunks].to_parquet(p)
+        os.rename(part, p)
+        shutil.rmtree(stage)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
-    schema = spark.read.parquet(out_dir).schema
     return (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(out_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 
