@@ -232,7 +232,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
 
 def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers in a nation who supplied more than
-    half the year's moved quantity of some watched part — two nested
+    a sixth of the year's moved quantity of some watched part — two nested
     IN subqueries collapsing to semi joins.
 
     Plan: the per-(part, supplier) shipped-quantity aggregate is one
@@ -263,13 +263,13 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shipped.join(
             F.broadcast(total_per_part), shipped.l_partkey == F.col("pk")
         )
-        .filter(F.col("qty") > 0.5 * F.col("part_total") / 2)
+        .filter(F.col("qty") > F.col("part_total") / 6)
         .select("l_suppkey")
         .distinct()
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(5, 11)])
     )
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -291,11 +291,11 @@ WITH shipped AS (
 SELECT s_name, round(s_acctbal, 2) AS s_acctbal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
- AND n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+ AND n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9','NATION_10')
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM shipped s1
-  WHERE qty > 0.5 * (SELECT sum(qty) FROM shipped s2
-                     WHERE s2.l_partkey = s1.l_partkey) / 2
+  WHERE qty > (SELECT sum(qty) FROM shipped s2
+               WHERE s2.l_partkey = s1.l_partkey) / 6
 )
 ORDER BY s_name
 """

@@ -39,7 +39,9 @@ from data_framework_spark.operators import (
 )
 from data_framework_spark.plans import structures as structures_plan
 from data_framework_spark.sources import array_ingest
+from data_framework_spark.sources import formats as formats_mod
 from data_framework_spark.similarity import ann as ann_mod
+from data_framework_spark.similarity import ivf as ivf_mod
 from data_framework_spark.streaming import stateful as stream_stateful
 from data_framework_spark.streaming import windows as stream_windows
 
@@ -209,6 +211,18 @@ QUERIES: dict[str, Query] = {
         stream_stateful.Q_STATEFUL_USER_TOTALS_LIVE_SQL,
         "custom stateful streaming op (applyInPandasWithState) run "
         "end-to-end over a 3-chunk replay; final state vs batch oracle",
+    ),
+    "streaming_dedup_events": Query(
+        stream_stateful.q_streaming_dedup_events,
+        stream_stateful.Q_STREAMING_DEDUP_EVENTS_SQL,
+        "streaming exact dedup (dropDuplicates state across "
+        "micro-batches) over a 3-chunk replay vs batch DISTINCT",
+    ),
+    "format_roundtrip": Query(
+        formats_mod.q_format_roundtrip,
+        formats_mod.Q_FORMAT_ROUNDTRIP_SQL,
+        "CSV + JSON sink/source round-trip, schema-on-read, "
+        "joined and verified against the parquet originals",
     ),
     "json_props_events": Query(
         semi_mod.q_json_props_events,
@@ -385,6 +399,12 @@ QUERIES: dict[str, Query] = {
         ann_mod.q_ann_lsh_topk,
         ann_mod.Q_ANN_LSH_TOPK_SQL,
         "sign-LSH bucketed approximate top-k neighbors",
+    ),
+    "ann_ivf_topk": Query(
+        ivf_mod.q_ann_ivf_topk,
+        ivf_mod.Q_ANN_IVF_TOPK_SQL,
+        "inverted-file (IVF) approximate top-k: sampled coarse "
+        "quantizer, nprobe cell search",
     ),
     "cosine_topk": Query(
         ann_mod.q_cosine_topk,

@@ -1,0 +1,202 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The third leg of the similarity stack (brute_force_topk = exact
+baseline, bucketed_topk = sign-LSH): partition the corpus into the
+Voronoi cells of a coarse quantizer, keep an inverted list per cell,
+and at query time score only the `nprobe` cells nearest the query —
+candidates shrink from N to ~nprobe·N/ncells, and the candidate
+retrieval is an equi-join on cell id (shuffle-partitionable by cell),
+never a cross product.
+
+Quantizer choice: deterministic SAMPLED centroids (the first `ncells`
+corpus vectors) rather than Lloyd-iterated k-means. That is k-means
+with zero refinement steps — the IVF *structure* (cell assignment,
+inverted lists, nprobe search) is identical, the centroids are
+bit-reproducible in the DuckDB oracle, and a trained quantizer is a
+drop-in replacement that changes recall, not the plan. Cell
+assignment is cosine-to-centroid with the centroid matrix constant-
+folded into JVM-side array expressions (same trick as the sign-LSH
+hyperplanes in similarity/ann.py) — no Python in the assignment path.
+
+Assignment ties/precision: cosines to centroids are rounded to 9
+decimals before the argmax and ties break to the smallest cell id, so
+Spark (array_position of array_max) and DuckDB (row_number over
+d DESC, cid ASC) agree bit-for-bit.
+
+At 100 TB: the corpus-side assignment is one narrow projection
+(vec_id, cell) computed in a single scan; the inverted lists are the
+corpus repartitioned by cell; per-query work is bounded by the probed
+lists. ncells scales as ~sqrt(N) with a trained quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_framework_spark.similarity.ann import cosine, l2_norm
+from data_framework_spark.sources.tables import load_table
+
+
+def _centroid_rows(emb: DataFrame, ncells: int) -> list:
+    """Deterministic coarse quantizer: the `ncells` lowest vec_ids.
+    Bounded driver-side collect (ncells rows), exactly like the null-
+    point params in plans/structures.py."""
+    rows = (
+        emb.filter(F.col("vec_id") < ncells)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) != ncells:
+        raise ValueError(f"need vec_ids 0..{ncells-1} as centroids")
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _cell_cosines(cents: list) -> F.Column:
+    """Array of round(cos(embedding, centroid_c), 9) for every cell c —
+    centroid components are literal constants, so the whole assignment
+    stays inside whole-stage codegen."""
+    nrm = l2_norm(F.col("embedding"))
+    cols = []
+    for cvec in cents:
+        cn = sum(x * x for x in cvec) ** 0.5
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in cvec]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot / (nrm * F.lit(cn)), 9))
+    return F.array(*cols)
+
+
+def assign_cells(emb: DataFrame, cents: list) -> DataFrame:
+    """corpus → (vec_id, embedding, cell): first-max argmax over the
+    rounded centroid cosines (ties → smallest cell id)."""
+    arr = _cell_cosines(cents)
+    return emb.withColumn("__cc", arr).withColumn(
+        "cell",
+        (F.array_position(F.col("__cc"), F.array_max(F.col("__cc"))) - 1).cast(
+            "int"
+        ),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    ncells: int,
+    nprobe: int,
+) -> DataFrame:
+    """Top-k cosine neighbors per query, searching only the nprobe
+    cells nearest each query. Candidate retrieval is an equi-join on
+    cell id; the probe side (|Q|·nprobe rows) broadcasts."""
+    cents = _centroid_rows(emb, ncells)
+    corpus = assign_cells(emb, cents).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    probes = (
+        queries.withColumn("__cc", _cell_cosines(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode("__cc").alias("cell", "cq"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cq").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("c_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 neighbors for the first 20 query vectors: 16 sampled
+    centroids, 4 probed cells — the inverted-file scale path with a
+    bit-exact DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, ncells=16, nprobe=4
+    )
+
+
+def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 5, dim: int = 64) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+    )
+    return f"""
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, embedding, n AS cn FROM nrm WHERE vec_id < {ncells}),
+cc AS (
+  SELECT e.vec_id, round({dot} / (e.n * c.cn), 9) AS d,
+         c.cid
+  FROM nrm e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS r
+  FROM cc
+),
+assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+           WHERE r <= {nprobe} AND vec_id < 20),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, {dim + 1}),
+                    i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (q.n * e.n), 6) AS cos
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN nrm q ON q.vec_id = p.query_id
+  JOIN nrm e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+Q_ANN_IVF_TOPK_SQL = _ivf_sql()

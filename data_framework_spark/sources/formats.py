@@ -1,0 +1,71 @@
+"""CSV and JSON source/sink connectors.
+
+The engine's native interchange format is Parquet (sources/tables.py,
+Dataset.export/restore); this module proves the text-format edges a
+real pipeline needs at its boundaries: schema-explicit CSV and
+JSON-lines read/write. Both writes are executor-side (`df.write`),
+both reads are schema-ON-READ with an explicit StructType — never
+inferSchema, which at 100 TB means a full extra pass over the data
+and nondeterministic typing.
+
+The driver-checked query round-trips two dimension tables through the
+two formats and joins them back, so a value mangled by either codec
+(quoting, timestamp formatting, numeric precision) breaks the oracle
+hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV → read back; region → JSON → read back; join the
+    two rehydrated tables and count nations per region. Any codec
+    corruption in either format surfaces as a hash mismatch against
+    the oracle computed from the original parquet."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    write_csv(nation, f"{tmp}/nation_csv")
+    write_json(region, f"{tmp}/region_json")
+    n2 = read_csv(spark, f"{tmp}/nation_csv", nation.schema)
+    r2 = read_json(spark, f"{tmp}/region_json", region.schema)
+    return (
+        n2.join(F.broadcast(r2), n2.n_regionkey == r2.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q_FORMAT_ROUNDTRIP_SQL = """
+SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""

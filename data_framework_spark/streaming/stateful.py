@@ -121,13 +121,13 @@ def chunked_events_source(
 
 
 def run_stateful_to_completion(
-    spark: SparkSession, stream_out: DataFrame
+    spark: SparkSession, stream_out: DataFrame, output_mode: str = "update"
 ) -> tuple[DataFrame, list[Any]]:
     """Drive a stateful streaming plan over its bounded source; returns
-    (memory-sink DataFrame of ALL emitted updates, query progress)."""
+    (memory-sink DataFrame of ALL emitted rows, query progress)."""
     name = f"stateful_{uuid.uuid4().hex[:12]}"
     q = (
-        stream_out.writeStream.outputMode("update")
+        stream_out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -179,4 +179,42 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 ORDER BY user_id
+"""
+
+
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: `dropDuplicates` over the 3-chunk events
+    replay emits each (user_id, event_type) key once, on its FIRST
+    arrival across micro-batches — the streaming analog of the batch
+    exact-dedup operator (dedup/exact.py), with the key-set carried in
+    the state store between triggers.
+
+    The emitted set equals batch DISTINCT regardless of which
+    occurrence fired, which is what the DuckDB oracle checks. State
+    here is unbounded by design (exact global dedup); the bounded-
+    state production variant is `dropDuplicatesWithinWatermark`, which
+    trades re-emission of duplicates farther apart than the watermark
+    gap for eviction — it cannot match a batch oracle and so isn't the
+    driver-checked path."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    stream = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    emitted, progress = run_stateful_to_completion(
+        spark, deduped, output_mode="append"
+    )
+    n_batches = len([p for p in progress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
+    final = emitted.orderBy("user_id", "event_type")
+    pdf = final.toPandas()
+    return spark.createDataFrame(pdf, schema=final.schema)
+
+
+Q_STREAMING_DEDUP_EVENTS_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
 """
