@@ -29,11 +29,13 @@ from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
+    dataset_query,
     raster_queries,
     relational,
     relational_final,
     relational_more,
     resample,
+    skew,
     slicing,
     windows,
 )
@@ -77,6 +79,13 @@ QUERIES: dict[str, Query] = {
         "long-format explosion + export/restore (vpicdataset.py:142-230)",
     ),
     # --- reference surface: aggregates (SURVEY.md §2.4) ---
+    "dataset_api_events": Query(
+        dataset_query.q_dataset_api_events,
+        dataset_query.Q_DATASET_API_EVENTS_SQL,
+        "Dataset API composition: construct + add_var/add_param + "
+        "ndslice (inclusive time, unsorted zoom) + get_vars lookup + "
+        "most-inclusive bounds as constant columns",
+    ),
     "bounds_events": Query(
         aggregates.q_bounds_events,
         aggregates.Q_BOUNDS_EVENTS_SQL,
@@ -338,6 +347,11 @@ QUERIES: dict[str, Query] = {
         relational_more.set_ops_customers,
         relational_more.SET_OPS_CUSTOMERS_SQL,
         "UNION / INTERSECT / EXCEPT cardinalities",
+    ),
+    "skew_salted_agg": Query(
+        skew.q_skew_salted_agg,
+        skew.Q_SKEW_SALTED_AGG_SQL,
+        "salted two-stage exact count-distinct over 5 hot keys",
     ),
     "sessionize_events": Query(
         relational.sessionize_events,
