@@ -232,3 +232,97 @@ SELECT doc_id,
        list_max(list_transform(alpha, s -> length(s)))::INT AS longest_token
 FROM t
 """
+
+
+# --- language identification (n-gram heuristic) ----------------------------
+
+# signature n-grams per language, scored by occurrence count; argmax
+# with first-match (alphabetical) tie-break. A real profile set would
+# be trained (top character trigrams per language, cf. Cavnar &
+# Trenkle 1994); the MACHINERY — JVM-side occurrence counting, score
+# vector, deterministic argmax — is identical.
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("de", [" der ", " und ", " ein ", "sch", " ich "]),
+    ("en", [" the ", " and ", " of ", "ing ", " to "]),
+    ("es", [" los ", " las ", " que ", " de ", "ción"]),
+    ("fr", [" les ", " des ", " que ", " est ", "tion"]),
+    ("zh", ["的", "是", "了", "在", "我"]),
+]
+
+
+def _gram_count(t: F.Column, gram: str) -> F.Column:
+    """Occurrences of `gram` in t: (len(t) - len(t w/o gram)) / len(gram),
+    exact integer arithmetic, whole-stage codegen."""
+    removed = F.replace(t, F.lit(gram), F.lit(""))
+    return ((F.length(t) - F.length(removed)) / F.lit(len(gram))).cast("long")
+
+
+def lang_scores(t: F.Column) -> F.Column:
+    """Array of per-language signature-gram counts, LANG_PROFILES order."""
+    scores = []
+    for _, grams in LANG_PROFILES:
+        s = None
+        for g in grams:
+            c = _gram_count(t, g)
+            s = c if s is None else s + c
+        scores.append(s)
+    return F.array(*scores)
+
+
+def lang_id(t: F.Column) -> F.Column:
+    """Predicted language code: argmax score, ties to the first
+    (alphabetically smallest) language."""
+    arr = lang_scores(t)
+    idx = F.array_position(arr, F.array_max(arr))  # 1-based first max
+    codes = F.array(*[F.lit(code) for code, _ in LANG_PROFILES])
+    return F.element_at(codes, idx.cast("int"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID over the padded text (' ' + lower(text) +
+    ' ' so edge words match the padded grams), with the winning score
+    and agreement against the corpus tag. The oracle recomputes the
+    identical heuristic relationally — parity pins the counting,
+    scoring, and tie-break semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        lang_id(t).alias("pred_lang"),
+        F.array_max(lang_scores(t)).alias("score"),
+        (lang_id(t) == F.col("lang")).alias("tag_match"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for code, grams in LANG_PROFILES:
+        parts = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) // {len(g)}"
+            for g in grams
+        )
+        score_exprs.append(f"({parts}) AS s_{code}")
+    codes = [c for c, _ in LANG_PROFILES]
+    greatest = ", ".join(f"s_{c}" for c in codes)
+    pick = " ".join(
+        f"WHEN s_{c} = m THEN '{c}'" for c in codes
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM padded
+),
+m AS (
+  SELECT *, greatest({greatest}) AS m FROM scored
+)
+SELECT doc_id,
+       (CASE {pick} END) AS pred_lang,
+       m AS score,
+       ((CASE {pick} END) = lang) AS tag_match
+FROM m
+"""
+
+
+Q_LANG_ID_SQL = _lang_id_sql()

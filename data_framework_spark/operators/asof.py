@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join — an operator Spark's API lacks.
+
+For each left row, attach the latest right row whose timestamp is <=
+the left timestamp, within the same key group: the temporal-join
+primitive behind point-in-time feature lookups, trade/quote matching,
+and last-touch attribution.
+
+Implementation is the union-marker pattern, NOT a per-row subquery or
+an inequality join: tag both sides, union them on (key, ts), and take
+`last(right_payload, ignorenulls=True)` over a window ordered by
+(ts, side) with unbounded-preceding framing — the right row "carries
+forward" to every later left row in its key group. One shuffle on the
+key (both inputs co-partitioned by definition), linear scan per
+group, no quadratic candidate generation; the plan that survives
+100 TB of events. Ties (right.ts == left.ts) are INCLUSIVE: the side
+marker orders right rows before left rows at equal timestamps, the
+same semantics as DuckDB's ASOF JOIN (ON right.ts <= left.ts) which
+the oracle uses natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner as-of join: left rows paired with the latest right row at
+    or before their timestamp, per `by` group. Left rows with no prior
+    right row are dropped (inner semantics, matching ASOF JOIN)."""
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        by,
+        ts,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+    ).withColumn("__side", F.lit(0))
+    payload = [f"{c}{suffix}" for c in right_payload]
+    unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
+        f"{ts}{suffix}", F.when(F.col("__side") == 0, F.col(ts))
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(f"{ts}{suffix}", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+    )
+    return carried.filter(
+        (F.col("__side") == 1) & F.col(f"{ts}{suffix}").isNotNull()
+    ).drop("__side")
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every 'error' event joined as-of to the
+    user's most recent 'click' at or before it — error id, the click's
+    value, and the gap in seconds. Oracle uses DuckDB's NATIVE ASOF
+    JOIN, so the two engines' independent as-of semantics must agree
+    exactly (inclusive ties, per-user grouping, inner drop)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(errors, clicks, by="user_id", ts="ts", right_payload=["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value_r").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_ATTRIBUTION_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id,
+       c.value AS click_value,
+       (epoch_us(e.ts) - epoch_us(c.ts)) AS gap_us
+FROM errors e
+ASOF JOIN clicks c
+  ON e.user_id = c.user_id AND c.ts <= e.ts
+ORDER BY e.event_id
+"""

@@ -29,7 +29,9 @@ from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
+    asof,
     dataset_query,
+    rangejoin,
     raster_queries,
     relational,
     relational_final,
@@ -348,6 +350,18 @@ QUERIES: dict[str, Query] = {
         relational_more.SET_OPS_CUSTOMERS_SQL,
         "UNION / INTERSECT / EXCEPT cardinalities",
     ),
+    "asof_attribution": Query(
+        asof.q_asof_attribution,
+        asof.Q_ASOF_ATTRIBUTION_SQL,
+        "as-of join (union-marker + carry-forward window) vs DuckDB's "
+        "native ASOF JOIN",
+    ),
+    "range_join_clicks": Query(
+        rangejoin.q_range_join_clicks,
+        rangejoin.Q_RANGE_JOIN_CLICKS_SQL,
+        "bucketed interval join (bucket-quantized equi-join + exact "
+        "post-filter) vs direct range predicate",
+    ),
     "skew_salted_agg": Query(
         skew.q_skew_salted_agg,
         skew.Q_SKEW_SALTED_AGG_SQL,
@@ -368,6 +382,12 @@ QUERIES: dict[str, Query] = {
         text_mod.q_lang_profile,
         text_mod.Q_LANG_PROFILE_SQL,
         "per-language corpus profile",
+    ),
+    "lang_id": Query(
+        text_mod.q_lang_id,
+        text_mod.Q_LANG_ID_SQL,
+        "n-gram-heuristic language identification (signature-gram "
+        "scores, deterministic argmax)",
     ),
     "winnow_fingerprint": Query(
         text_mod.q_winnow_fingerprint,
