@@ -286,11 +286,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, and tie-break semantics."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    return docs.select(
+    scored = docs.select(
+        "doc_id", "lang", lang_scores(t).alias("__s")
+    # deliberate exchange barrier: without it Catalyst collapses the
+    # projections and re-evaluates the 25-replace score array once per
+    # derived column (same trick as dedup/ngram.py)
+    ).repartition(32, "doc_id")
+    codes = F.array(*[F.lit(code) for code, _ in LANG_PROFILES])
+    pred = F.element_at(
+        codes, F.array_position(F.col("__s"), F.array_max("__s")).cast("int")
+    )
+    return scored.select(
         "doc_id",
-        lang_id(t).alias("pred_lang"),
-        F.array_max(lang_scores(t)).alias("score"),
-        (lang_id(t) == F.col("lang")).alias("tag_match"),
+        pred.alias("pred_lang"),
+        F.array_max("__s").alias("score"),
+        (pred == F.col("lang")).alias("tag_match"),
     )
 
 

@@ -236,10 +236,11 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN subqueries collapsing to semi joins.
 
     Plan: the per-(part, supplier) shipped-quantity aggregate is one
-    orderkey-free shuffle; the watched-part filter broadcasts; the
-    qualifying (part, supplier) pairs reduce to a distinct supplier
-    set that semi-joins (broadcast) against the nation-filtered
-    supplier dim. Nothing re-executes per outer row.
+    partkey-partitioned shuffle; the per-part total rides the SAME
+    partitioning as a window sum (no second aggregate, no recompute of
+    the shipped subtree); the qualifying pairs reduce to a distinct
+    supplier set that semi-joins (broadcast) against the nation-
+    filtered supplier dim. Nothing re-executes per outer row.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
@@ -256,13 +257,11 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    total_per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("qty").alias("part_total")
-    )
+    from pyspark.sql import Window as W
+
+    part_total = F.sum("qty").over(W.partitionBy("l_partkey"))
     excess = (
-        shipped.join(
-            F.broadcast(total_per_part), shipped.l_partkey == F.col("pk")
-        )
+        shipped.withColumn("part_total", part_total)
         .filter(F.col("qty") > F.col("part_total") / 6)
         .select("l_suppkey")
         .distinct()
