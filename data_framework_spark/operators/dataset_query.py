@@ -33,7 +33,15 @@ _H0 = 1_704_067_200 // 3600
 
 
 def _events_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # the ndslice below keeps hours [H0+24, H0+72]; hand the enclosing
+    # ts range to the loader as a coarse raw-column predicate so the
+    # scan prunes row groups (the exact slice still applies on t)
+    ev = load_table(
+        spark,
+        sf_dir,
+        "events",
+        ts_between=("2024-01-02 00:00:00", "2024-01-04 01:00:00"),
+    )
     return (
         ev.withColumn("t", F.floor(F.unix_micros("ts") / 3_600_000_000).cast("double"))
         .withColumn("i0", F.col("user_id"))
@@ -47,7 +55,10 @@ def _events_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dataset_api_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = _events_grid(spark, sf_dir)
+    # cache: bounds() + the variable's timeseries/mesh properties each
+    # launch a job over the grid; without this every one re-runs the
+    # events groupBy (bounded: one row per (hour, user) cell)
+    grid = _events_grid(spark, sf_dir).cache()
     base = ["t", "i0", "c0"]
     ds = SparkDataset()
     ds.add_var(

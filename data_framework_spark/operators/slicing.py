@@ -75,9 +75,15 @@ def select_vars_substring(df: DataFrame, var_col: str, patterns: Sequence[str]) 
 
 
 def q_timeslice_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`ndslice(timelims=...)` analog on `events`: inclusive ts range."""
-    ev = load_table(spark, sf_dir, "events")
-    return timeslice(ev, "ts", ("2024-01-02 00:00:00", "2024-01-04 00:00:00")).select(
+    """`ndslice(timelims=...)` analog on `events`: inclusive ts range.
+
+    The bounds go to `load_table(ts_between=...)` as well, which
+    installs the coarse raw-column twin of the predicate so row-group
+    pruning happens at the scan; the exact inclusive filter on the
+    converted ts stays here (see sources/tables.py)."""
+    lims = ("2024-01-02 00:00:00", "2024-01-04 00:00:00")
+    ev = load_table(spark, sf_dir, "events", ts_between=lims)
+    return timeslice(ev, "ts", lims).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 

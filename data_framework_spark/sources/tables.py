@@ -35,8 +35,28 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from `sf_dir`."""
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_between: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Load one star-schema table from `sf_dir`.
+
+    `ts_between=("YYYY-MM-DD HH:MM:SS", ...)` (events only, UTC,
+    inclusive) installs a coarse range predicate on the RAW nanosecond
+    column BEFORE the µs conversion. The converted `ts` is an
+    expression (`timestamp_micros(ts div 1000)`), so predicates
+    against it never reach the parquet scan — explain shows only
+    `PushedFilters: [IsNotNull(ts)]` and every row group is read. The
+    raw-attribute filter pushes down and prunes row groups by their
+    min/max statistics — on a 100 TB time-ordered events table this is
+    the difference between reading the queried window and scanning
+    everything. The bounds are widened to the enclosing-µs edges
+    (+999 ns), so the coarse filter admits a superset of the exact
+    µs predicate: callers keep their exact filter, semantics are
+    unchanged.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -55,8 +75,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
+        if ts_between is not None:
+            lo_ns, hi_ns = (_utc_ns(b) for b in ts_between)
+            df = df.filter(
+                (F.col("ts") >= F.lit(lo_ns)) & (F.col("ts") <= F.lit(hi_ns + 999))
+            )
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _utc_ns(bound: str) -> int:
+    """'YYYY-MM-DD HH:MM:SS' (UTC) → integer epoch nanoseconds."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

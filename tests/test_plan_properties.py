@@ -1,0 +1,67 @@
+"""Physical-plan assertions for headline queries — the properties that
+matter at 100 TB, pinned so a refactor can't silently regress them:
+predicate pushdown reaching the parquet scan, column pruning in
+ReadSchema, broadcast joins where a dimension is involved, and the
+absence of accidental cartesian products.
+
+These parse `explain("formatted")` output. Plan text is version-
+sensitive, so assertions are substring-level and target invariants
+(filter names, join strategy names), not full plan shapes.
+"""
+
+import contextlib
+import io
+
+from data_framework_spark.operators.relational import tpch_q1, tpch_q5
+from data_framework_spark.operators.relational_more import tpch_q17_small_qty
+from data_framework_spark.operators.slicing import (
+    q_timeslice_events,
+    q_zoom_lineitem,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_timeslice_range_pushdown(spark):
+    """The events time window must prune row groups at the scan: the
+    coarse raw-ns twin predicate appears in PushedFilters (the exact
+    µs filter alone cannot push — ts is a conversion expression)."""
+    p = plan_text(q_timeslice_events(spark, SF))
+    assert "GreaterThanOrEqual(ts," in p and "LessThanOrEqual(ts," in p
+
+
+def test_zoom_pushdown_and_pruning(spark):
+    p = plan_text(q_zoom_lineitem(spark, SF))
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in p
+    assert "LessThanOrEqual(l_extendedprice,20000.0)" in p
+    # projection pruning: untouched columns never leave the scan
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_shipdate" not in scan and "l_returnflag" not in scan
+
+
+def test_q1_column_pruning(spark):
+    p = plan_text(tpch_q1(spark, SF))
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+    assert "l_returnflag" in scan
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    p = plan_text(tpch_q5(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q17_no_sort_merge_join(spark):
+    """q17's decorrelated plan runs on broadcast joins only — a
+    SortMergeJoin would mean the full-table shuffle crept back."""
+    p = plan_text(tpch_q17_small_qty(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
