@@ -85,9 +85,15 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("grams"), F.col("p_grams")))
     union = F.size("grams") + F.size("p_grams") - inter
+    # exact-safe length prefilter: J(A,B) >= t implies
+    # |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+    # min >= t·max — pairs failing the cheap size-ratio test cannot
+    # reach the threshold and skip the O(|A|+|B|) intersect entirely
+    sa, sb = F.size("grams"), F.size("p_grams")
+    ratio_ok = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
     return (
         gram_sets.crossJoin(F.broadcast(probe_sets))
-        .filter(F.col("doc") != F.col("p_doc"))
+        .filter((F.col("doc") != F.col("p_doc")) & ratio_ok)
         .select(
             F.least(F.col("doc"), F.col("p_doc")).alias("a"),
             F.greatest(F.col("doc"), F.col("p_doc")).alias("b"),

@@ -229,6 +229,12 @@ QUERIES: dict[str, Query] = {
         "streaming exact dedup (dropDuplicates state across "
         "micro-batches) over a 3-chunk replay vs batch DISTINCT",
     ),
+    "streaming_interval_join": Query(
+        stream_stateful.q_streaming_interval_join,
+        stream_stateful.Q_STREAMING_INTERVAL_JOIN_SQL,
+        "stream-stream watermarked interval join over the 3-chunk "
+        "replay vs the batch interval join",
+    ),
     "format_roundtrip": Query(
         formats_mod.q_format_roundtrip,
         formats_mod.Q_FORMAT_ROUNDTRIP_SQL,

@@ -233,3 +233,72 @@ SELECT DISTINCT user_id, event_type
 FROM events
 ORDER BY user_id, event_type
 """
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: 'error' events joined to the same
+    user's 'click' events within the preceding hour, both sides read
+    from the SAME 3-chunk replay as two independent streams with
+    event-time watermarks. Inner stream-stream joins emit a match as
+    soon as both rows have arrived; the watermark bounds how long an
+    unmatched row is buffered. The delay here (48h) exceeds the
+    replay's cross-chunk disorder, so no needed row is evicted early
+    and the emitted set equals the batch interval join — which is
+    exactly what the DuckDB oracle computes (the streaming counterpart
+    of operators/rangejoin.py, same predicate). In production the
+    delay is tuned to the source's real disorder bound; correctness
+    degrades to 'matches within the watermark' beyond it."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    left = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    tmp2 = tempfile.mkdtemp(prefix="stream_join_r_")
+    right = chunked_events_source(spark, sf_dir, tmp2, n_chunks=3)
+
+    errors = (
+        left.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "48 hours")
+    )
+    clicks = (
+        right.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "48 hours")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    emitted, progress = run_stateful_to_completion(
+        spark, joined, output_mode="append"
+    )
+    n_batches = len([p for p in progress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
+    final = emitted.orderBy("event_id", "gap_us")
+    pdf = final.toPandas()
+    return spark.createDataFrame(pdf, schema=final.schema)
+
+
+Q_STREAMING_INTERVAL_JOIN_SQL = """
+SELECT e.event_id, e.user_id,
+       c.value AS click_value,
+       (epoch_us(e.ts) - epoch_us(c.ts)) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 1 HOUR
+ AND c.ts <= e.ts
+ORDER BY e.event_id, gap_us
+"""
