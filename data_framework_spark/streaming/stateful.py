@@ -108,25 +108,22 @@ def chunked_events_source(
         )
 
     ev = load_table(spark, sf_dir, "events")
-    qs = [i / n_chunks for i in range(1, n_chunks)]
-    cuts = ev.select(
-        F.percentile_approx(F.unix_micros("ts"), qs, 10_000).alias("c")
-    ).first()["c"]
-    bounds = [None, *cuts, None]
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(n_chunks):
-        cond = F.lit(True)
-        if bounds[i] is not None:
-            cond = cond & (F.unix_micros("ts") >= F.lit(bounds[i]))
-        if bounds[i + 1] is not None:
-            cond = cond & (F.unix_micros("ts") < F.lit(bounds[i + 1]))
-        stage = os.path.join(out_dir, f"__stage_{i}")
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    # ONE distributed job: range-partition on ts into n_chunks
+    # partitions (the range partitioner samples the distribution
+    # itself — no separate quantile pass) and write one part file per
+    # time-ordered chunk
+    stage = os.path.join(out_dir, "__stage")
+    ev.repartitionByRange(n_chunks, F.col("ts")).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    assert len(parts) == n_chunks, f"expected {n_chunks} parts, got {len(parts)}"
+    for i, part in enumerate(parts):
         p = os.path.join(out_dir, f"chunk-{i}.parquet")
         os.rename(part, p)
-        shutil.rmtree(stage)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(stage)
     _CHUNK_CACHE[(sf_dir, n_chunks)] = out_dir
     return (
         spark.readStream.schema(ev.schema)

@@ -143,15 +143,32 @@ class SparkVariable:
 
     def bounds(self, time: bool = True, space: bool = True) -> list[list[float]]:
         """[min, max] of timeseries then each mesh dim, time first
-        (statmeshvar.py:35-59)."""
-        out = []
+        (statmeshvar.py:35-59).
+
+        When the coordinate arrays are already cached driver-side they
+        answer directly; otherwise this runs ONE min/max aggregate over
+        the plan — never the distinct-collect the timeseries/mesh
+        properties do (an extremum over 100 TB is an aggregate, not a
+        driver-side array build)."""
+        if self._timeseries is not None and (not space or self._mesh is not None):
+            out = []
+            if time:
+                ts = self._timeseries
+                out.append([float(ts.min()), float(ts.max())])
+            if space:
+                for m in self._mesh:
+                    out.append([float(m.min()), float(m.max())])
+            return out
+        aggs = []
         if time:
-            ts = self.timeseries
-            out.append([float(ts.min()), float(ts.max())])
+            aggs += [F.min("t"), F.max("t")]
         if space:
-            for m in self.mesh:
-                out.append([float(m.min()), float(m.max())])
-        return out
+            for d in range(self.ndim):
+                aggs += [F.min(f"c{d}"), F.max(f"c{d}")]
+        row = self.df.agg(*aggs).first()
+        return [
+            [float(row[i]), float(row[i + 1])] for i in range(0, len(row), 2)
+        ]
 
     # -- construction helpers ----------------------------------------------
 
