@@ -71,3 +71,66 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- scalar/vector math surface (SURVEY.md §2.8) ---------------------------
+
+
+def q_scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar/vector helpers as column math, driver-
+    checked: vector norm + unit-vector components (the unit_vec
+    computation of Dataset.ndslice, dataset.py:240-243), sign relative
+    to a global scalar (threshold masks, vpicdataset.py:531-533), and
+    uniform-spacing arithmetic (uniform(), vpicdataset.py:18-22) on
+    the hour grid. (The reference's seeded-RNG flood ordering is
+    deliberately neutralized — SURVEY.md §2.8 — so no RNG appears.)
+
+    Per event_type: v = (avg, stddev_pop) of value; emit |v|, v/|v|,
+    sign(avg - global avg), and the grid spacing of the type's hour
+    timeline including a uniformity flag."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = F.floor(F.unix_micros("ts") / 3_600_000_000)
+    per_type = ev.groupBy("event_type").agg(
+        F.avg("value").alias("a"),
+        F.stddev_pop("value").alias("s"),
+        F.count_distinct(hours).alias("n_hours"),
+        (F.max(hours) - F.min(hours)).alias("hour_span"),
+    )
+    g = per_type.agg(F.avg("a").alias("g_avg"))
+    nrm = F.sqrt(F.col("a") * F.col("a") + F.col("s") * F.col("s"))
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.round(nrm, 6).alias("norm"),
+            F.round(F.col("a") / nrm, 6).alias("unit_0"),
+            F.round(F.col("s") / nrm, 6).alias("unit_1"),
+            F.signum(F.col("a") - F.col("g_avg")).alias("sign_vs_global"),
+            # spacing of an hour grid with every hour occupied is 1
+            (F.col("hour_span") / (F.col("n_hours") - 1)).alias("spacing"),
+            (F.col("hour_span") == F.col("n_hours") - 1).alias("uniform"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_SCALAR_FNS_EVENTS_SQL = """
+WITH per_type AS (
+  SELECT event_type,
+         avg(value) AS a,
+         stddev_pop(value) AS s,
+         count(DISTINCT epoch(ts)::BIGINT // 3600) AS n_hours,
+         (max(epoch(ts)::BIGINT // 3600) - min(epoch(ts)::BIGINT // 3600)) AS hour_span
+  FROM events GROUP BY event_type
+),
+g AS (SELECT avg(a) AS g_avg FROM per_type)
+SELECT event_type,
+       round(sqrt(a*a + s*s), 6) AS norm,
+       round(a / sqrt(a*a + s*s), 6) AS unit_0,
+       round(s / sqrt(a*a + s*s), 6) AS unit_1,
+       sign(a - g_avg)::DOUBLE AS sign_vs_global,
+       (hour_span / (n_hours - 1))::DOUBLE AS spacing,
+       (hour_span = n_hours - 1) AS uniform
+FROM per_type CROSS JOIN g
+ORDER BY event_type
+"""

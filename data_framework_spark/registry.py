@@ -373,6 +373,12 @@ QUERIES: dict[str, Query] = {
         skew.Q_SKEW_SALTED_AGG_SQL,
         "salted two-stage exact count-distinct over 5 hot keys",
     ),
+    "scalar_fns_events": Query(
+        skew.q_scalar_fns_events,
+        skew.Q_SCALAR_FNS_EVENTS_SQL,
+        "scalar/vector math surface: norm, unit vector, sign, grid "
+        "spacing + uniformity (SURVEY.md §2.8)",
+    ),
     "sessionize_events": Query(
         relational.sessionize_events,
         relational.SESSIONIZE_EVENTS_SQL,
