@@ -116,6 +116,7 @@ def find_structures(
     smoothing=3,
     de_tol: float = 5.0,
     cs_limit: float = 0.5,
+    multi_t: bool = False,
 ) -> SparkDataset:
     """The 10-step structure-finding pipeline (vpicdataset.py:295-533).
 
@@ -123,12 +124,19 @@ def find_structures(
     SURVEY.md §3 EP3) with variables `fluxfn_hessian_det`,
     `separatrices`, `o_structures`, `current_sheets` and params
     `x_coords` / `o_coords` (physical coordinates of X / O nulls).
-    """
+
+    `multi_t=True` implements the reference's own TODO
+    (vpicdataset.py:323-325): every kernel already partitions by `t`
+    (timesteps are the embarrassingly-parallel axis — the 100× scale
+    path), so the relaxed mode just lifts the single-timestep guard
+    and keys the null points per timestep; `x_coords`/`o_coords`
+    become {t: [[z, x], ...]} dicts instead of flat lists."""
     b1, b2 = ds.variables[b1_name], ds.variables[b2_name]
     _validate_pair(b1, b2)
-    if len(b1.timeseries) != 1:
+    if not multi_t and len(b1.timeseries) != 1:
         raise ValueError(
-            "find_structures supports a single timestep (vpicdataset.py:334-336)"
+            "find_structures supports a single timestep (vpicdataset.py:334-336);"
+            " pass multi_t=True for the relaxed per-timestep mode"
         )
     sig = _norm_smoothing(smoothing)
     mesh0, mesh1 = b1.mesh
@@ -233,10 +241,34 @@ def find_structures(
     def to_phys(r, c):
         return [float(m0[0] + r * d0), float(m1[0] + c * d1)]
 
-    x_idx = np.array([[p["r"], p["c"]] for p in pts if p["kind"] == "x"]).reshape(-1, 2)
-    o_idx = np.array([[p["r"], p["c"]] for p in pts if p["kind"] == "o"]).reshape(-1, 2)
-    ds.add_param("x_coords", [to_phys(r, c) for r, c in x_idx])
-    ds.add_param("o_coords", [to_phys(r, c) for r, c in o_idx])
+    # null points keyed per timestep — the masks kernel for timestep t
+    # must only see t's X points (identical to the flat layout when
+    # there is one timestep)
+    x_idx_by_t: dict[float, list] = {}
+    o_idx_by_t: dict[float, list] = {}
+    for p in pts:
+        tgt = x_idx_by_t if p["kind"] == "x" else o_idx_by_t
+        tgt.setdefault(float(p["t"]), []).append([p["r"], p["c"]])
+    x_idx_by_t = {
+        t: np.array(v).reshape(-1, 2) for t, v in x_idx_by_t.items()
+    }
+    o_idx_by_t = {
+        t: np.array(v).reshape(-1, 2) for t, v in o_idx_by_t.items()
+    }
+    if multi_t:
+        ds.add_param(
+            "x_coords",
+            {t: [to_phys(r, c) for r, c in v] for t, v in x_idx_by_t.items()},
+        )
+        ds.add_param(
+            "o_coords",
+            {t: [to_phys(r, c) for r, c in v] for t, v in o_idx_by_t.items()},
+        )
+    else:
+        x_idx = next(iter(x_idx_by_t.values()), np.zeros((0, 2)))
+        o_idx = next(iter(o_idx_by_t.values()), np.zeros((0, 2)))
+        ds.add_param("x_coords", [to_phys(r, c) for r, c in x_idx])
+        ds.add_param("o_coords", [to_phys(r, c) for r, c in o_idx])
 
     # (8-9) separatrices / O-structures / current sheets — mask kernel.
     # jy is the reference's hardcoded input name (:482)
@@ -248,13 +280,15 @@ def find_structures(
         jys_df.select("t", "i0", "i1", F.col("value").alias("jys")),
         on=["t", "i0", "i1"],
     )
-    x_idx_local = x_idx.copy()
+    x_idx_local = {t: v.copy() for t, v in x_idx_by_t.items()}
 
     def masks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         psi, r0, r1 = densify(pdf, "psi")
         jys, _, _ = densify(pdf, "jys")
+        t_key = float(pdf["t"].iloc[0])
+        x_idx_t = x_idx_local.get(t_key, np.zeros((0, 2)))
         sep, o_mask = separatrices_and_o_structures(
-            psi, x_idx_local, max(d_per_de, 1), de_tol
+            psi, x_idx_t, max(d_per_de, 1), de_tol
         )
         cs = current_sheets(jys, cs_limit)
         out = pdf[["t", "i0", "i1", "c0", "c1"]].copy()
@@ -281,44 +315,61 @@ def find_structures(
 
 
 def q_find_structures_island(spark, sf_dir: str):
-    """Full find_structures pipeline on the deterministic island-chain
-    field (ψ = ln cosh z + ε·cos kx; same construction as the golden
-    test, tests/test_structures.py). Ignores sf_dir — the input is
-    synthetic by design, with analytically known X/O nulls.
+    """Full find_structures pipeline in MULTI-TIMESTEP mode on the
+    deterministic island-chain field (ψ = ln cosh z + ε·cos kx; same
+    construction as the golden test, tests/test_structures.py), run
+    over two timesteps with a phase-shifted island chain at t=1 so the
+    per-timestep isolation is observable (different null positions per
+    t). Ignores sf_dir — the input is synthetic by design, with
+    analytically known X/O nulls.
 
     Rows-only driver check (the 10-step pipeline is not
-    SQL-expressible): emits X/O null physical coordinates plus
-    nonzero-cell counts of each output mask, so the driver record
-    proves the whole pipeline executes and produces structures.
+    SQL-expressible): emits per-timestep X/O null physical coordinates
+    plus per-timestep nonzero-cell counts of each output mask, so the
+    driver record proves the whole pipeline executes per timestep and
+    produces structures.
     """
-    k, eps = 1.0, 0.3
+    k, eps, phase = 1.0, 0.3, 0.7
     z = np.linspace(-8.0, 8.0, 120)
     x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
     zz, xx = np.meshgrid(z, x, indexing="ij")
-    b1 = eps * k * np.sin(k * xx)
     b2 = np.tanh(zz)
     jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
         4.7 * zz
     ) * np.cos(4.5 * xx)
-    ts = np.array([0.0])
+    b1_t = np.stack(
+        [eps * k * np.sin(k * xx), eps * k * np.sin(k * xx - phase)]
+    )
+    b2_t = np.stack([b2, b2])
+    jy_t = np.stack([jy, jy])
+    ts = np.array([0.0, 1.0])
     ds = SparkDataset()
-    ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1[None]))
-    ds.add_var(SparkVariable.from_numpy(spark, "b2", ts, [z, x], b2[None]))
-    ds.add_var(SparkVariable.from_numpy(spark, "jy", ts, [z, x], jy[None]))
-    find_structures(ds, "b1", "b2", smoothing=1)
+    ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1_t))
+    ds.add_var(SparkVariable.from_numpy(spark, "b2", ts, [z, x], b2_t))
+    ds.add_var(SparkVariable.from_numpy(spark, "jy", ts, [z, x], jy_t))
+    find_structures(ds, "b1", "b2", smoothing=1, multi_t=True)
 
-    rows = [
-        ("x_point", round(float(r), 4), round(float(c), 4))
-        for r, c in ds.params["x_coords"]
-    ] + [
-        ("o_point", round(float(r), 4), round(float(c), 4))
-        for r, c in ds.params["o_coords"]
-    ]
+    rows = []
+    for t in ts:
+        t = float(t)
+        rows += [
+            (f"x_point_t{t:g}", round(float(r), 4), round(float(c), 4))
+            for r, c in ds.params["x_coords"].get(t, [])
+        ] + [
+            (f"o_point_t{t:g}", round(float(r), 4), round(float(c), 4))
+            for r, c in ds.params["o_coords"].get(t, [])
+        ]
     for name in ("separatrices", "o_structures", "current_sheets"):
-        n = (
-            ds.variables[name]
+        counts = {
+            r["t"]: r["n"]
+            for r in ds.variables[name]
             .df.filter(F.col("value") != 0.0)
-            .count()
-        )
-        rows.append((f"{name}_cells", float(n), 0.0))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for t in ts:
+            rows.append(
+                (f"{name}_cells_t{float(t):g}", float(counts.get(float(t), 0)), 0.0)
+            )
     return spark.createDataFrame(rows, schema="kind string, a double, b double")

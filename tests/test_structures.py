@@ -181,3 +181,69 @@ def test_missing_jy_rejected(spark):
     ds.add_var(SparkVariable.from_numpy(spark, "b2", ts, [z, x], np.tanh(zz)[None]))
     with pytest.raises(KeyError, match="jy"):
         find_structures(ds, "b1", "b2")
+
+
+def test_multi_t_matches_single_t(spark):
+    """multi_t=True over two timesteps (t=0 same field as the single-t
+    golden run, t=1 phase-shifted): t=0's nulls and mask counts must
+    equal the single-t run exactly, and t=1's X nulls must sit at the
+    shifted positions — per-timestep isolation."""
+    k, eps, phase = 1.0, 0.3, 0.7
+    z = np.linspace(-8.0, 8.0, 120)
+    x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
+    zz, xx = np.meshgrid(z, x, indexing="ij")
+    b2 = np.tanh(zz)
+    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
+        4.7 * zz
+    ) * np.cos(4.5 * xx)
+    b1_0 = eps * k * np.sin(k * xx)
+    b1_1 = eps * k * np.sin(k * xx - phase)
+
+    single = SparkDataset()
+    ts1 = np.array([0.0])
+    single.add_var(SparkVariable.from_numpy(spark, "b1", ts1, [z, x], b1_0[None]))
+    single.add_var(SparkVariable.from_numpy(spark, "b2", ts1, [z, x], b2[None]))
+    single.add_var(SparkVariable.from_numpy(spark, "jy", ts1, [z, x], jy[None]))
+    find_structures(single, "b1", "b2", smoothing=1)
+
+    multi = SparkDataset()
+    ts2 = np.array([0.0, 1.0])
+    multi.add_var(
+        SparkVariable.from_numpy(spark, "b1", ts2, [z, x], np.stack([b1_0, b1_1]))
+    )
+    multi.add_var(
+        SparkVariable.from_numpy(spark, "b2", ts2, [z, x], np.stack([b2, b2]))
+    )
+    multi.add_var(
+        SparkVariable.from_numpy(spark, "jy", ts2, [z, x], np.stack([jy, jy]))
+    )
+    find_structures(multi, "b1", "b2", smoothing=1, multi_t=True)
+
+    # t=0 nulls identical to the single-timestep run
+    s_x = np.array(sorted(map(tuple, single.params["x_coords"])))
+    m_x = np.array(sorted(map(tuple, multi.params["x_coords"][0.0])))
+    assert s_x.shape == m_x.shape
+    assert np.allclose(s_x, m_x)
+
+    # t=1 X nulls shifted in x by ~phase/k relative to t=0
+    m_x1 = np.array(sorted(map(tuple, multi.params["x_coords"][1.0])))
+    assert m_x1.shape[0] >= 1
+    shifts = []
+    for pt in m_x1:
+        d = np.abs(m_x[:, 1] + phase / k - pt[1])
+        shifts.append(d.min())
+    assert max(shifts) < 0.5
+
+    # t=0 mask cell counts identical to the single-timestep run
+    from pyspark.sql import functions as F
+
+    for name in ("separatrices", "o_structures", "current_sheets"):
+        n_single = (
+            single.variables[name].df.filter(F.col("value") != 0.0).count()
+        )
+        n_multi_t0 = (
+            multi.variables[name]
+            .df.filter((F.col("value") != 0.0) & (F.col("t") == 0.0))
+            .count()
+        )
+        assert n_single == n_multi_t0, name
