@@ -31,6 +31,7 @@ from data_framework_spark.operators import (
     aggregates,
     asof,
     dataset_query,
+    profile,
     rangejoin,
     raster_queries,
     relational,
@@ -355,6 +356,26 @@ QUERIES: dict[str, Query] = {
         relational_more.set_ops_customers,
         relational_more.SET_OPS_CUSTOMERS_SQL,
         "UNION / INTERSECT / EXCEPT cardinalities",
+    ),
+    "profile_percentiles": Query(
+        profile.q_profile_percentiles,
+        profile.Q_PROFILE_PERCENTILES_SQL,
+        "exact percentile profiling per group (p50/p90/p99)",
+    ),
+    "moving_average_events": Query(
+        profile.q_moving_average_events,
+        profile.Q_MOVING_AVERAGE_EVENTS_SQL,
+        "bounded ROWS-frame moving average/max per user",
+    ),
+    "cube_orders": Query(
+        profile.q_cube_orders,
+        profile.Q_CUBE_ORDERS_SQL,
+        "CUBE multi-level aggregation with grouping() labels",
+    ),
+    "pivot_events": Query(
+        profile.q_pivot_events,
+        profile.Q_PIVOT_EVENTS_SQL,
+        "pivot with pinned vocabulary vs FILTERed conditional aggs",
     ),
     "asof_attribution": Query(
         asof.q_asof_attribution,
