@@ -32,15 +32,23 @@ def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus spread. The 100 TB variant swaps percentile→approx_percentile
     (mergeable sketches); exact is the oracle-checkable contract."""
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile aggregate with an array of quantiles: the group's
+    # value buffer is built once, not once per requested percentile
+    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
-            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+            pcts.alias("__p"),
             F.round(
                 F.max("l_extendedprice") - F.min("l_extendedprice"), 4
             ).alias("price_range"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("p50"),
+            F.round(F.element_at("__p", 2), 4).alias("p90"),
+            F.round(F.element_at("__p", 3), 4).alias("p99"),
+            "price_range",
         )
         .orderBy("l_returnflag")
     )
