@@ -1,0 +1,91 @@
+"""Deterministic stratified sampling / corpus mixing.
+
+Training-data pipelines don't sample with an RNG — a mixture must be
+REPRODUCIBLE across reruns, engines, and partitionings, and must
+stay stable when the corpus is appended to (a doc's keep/drop fate
+depends only on its key, never on row order or partition layout). The
+standard construction: hash the stable key to a uniform fraction in
+[0, 1) and keep the row iff fraction < its stratum's rate.
+
+The hash fraction here is the first 8 hex digits of md5(key) / 2^32 —
+bit-identical in Spark (`conv(substring(md5(..), 1, 8), 16, 10)`) and
+DuckDB (`('0x' || substring(md5(..), 1, 8))::UBIGINT`), the same
+cross-engine trick as the sign-LSH hyperplanes. Rates ride along as a
+broadcast dimension table, exactly how a mixture config ships at
+scale; the scan stays a single pass with the predicate evaluated
+row-local (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+# mixture config: fraction of each source bucket to keep
+MIX_RATES: dict[str, float] = {
+    **{f"src{i}": 0.8 for i in range(0, 5)},     # high-quality: keep most
+    **{f"src{i}": 0.4 for i in range(5, 12)},    # mid tier
+    **{f"src{i}": 0.1 for i in range(12, 20)},   # low tier: thin sample
+}
+
+
+def hash_fraction(key: F.Column) -> F.Column:
+    """Uniform [0, 1) fraction from a stable key — md5-derived, so
+    engine- and partitioning-independent."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float]
+) -> DataFrame:
+    """Keep each row iff hash_fraction(key) < rates[stratum]; rows in
+    strata absent from `rates` are dropped."""
+    rate_rows = [(s, float(r)) for s, r in sorted(rates.items())]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rate_rows, f"{stratum} string, __rate double")
+    return (
+        df.join(F.broadcast(rate_df), stratum)
+        .filter(hash_fraction(F.col(key)) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier corpus mixture over `documents`: per-source keep
+    rates applied via deterministic hash sampling; returns the kept
+    per-source counts and mean document length so the mixture's
+    composition is the checked artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "source", MIX_RATES)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT source,
+       count(*) AS n_kept,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+       / 4294967296.0)
+      < (CASE source {cases} ELSE 0.0 END)
+GROUP BY source
+ORDER BY source
+"""
+
+
+Q_CORPUS_MIX_SQL = _mix_sql()

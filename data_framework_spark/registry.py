@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from data_framework_spark.dedup import exact as dedup_exact_mod
 from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
+from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
 from data_framework_spark.functions import semistructured as semi_mod
+from data_framework_spark.functions import sampling as sampling_mod
 from data_framework_spark.functions import text as text_mod
 from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
@@ -432,6 +434,12 @@ QUERIES: dict[str, Query] = {
         text_mod.Q_TOKEN_REGEX_PROFILE_SQL,
         "regex tokenization profile (alpha/digit runs)",
     ),
+    "corpus_mix": Query(
+        sampling_mod.q_corpus_mix,
+        sampling_mod.Q_CORPUS_MIX_SQL,
+        "deterministic hash-based stratified sampling (3-tier corpus "
+        "mixture by source)",
+    ),
     "dedup_exact": Query(
         dedup_exact_mod.q_dedup_exact,
         dedup_exact_mod.Q_DEDUP_EXACT_SQL,
@@ -446,6 +454,12 @@ QUERIES: dict[str, Query] = {
         dedup_minhash_mod.q_minhash_near_dups,
         dedup_minhash_mod.Q_MINHASH_NEAR_DUPS_SQL,
         "probe-set minhash+LSH pairs verified by exact jaccard",
+    ),
+    "dedup_clusters": Query(
+        dedup_clusters_mod.q_dedup_clusters,
+        dedup_clusters_mod.clusters_sql(),
+        "connected components over the near-dup graph (iterative "
+        "min-label propagation vs recursive-CTE closure)",
     ),
     "dedup_simhash": Query(
         dedup_simhash_mod.q_simhash_dedup,
