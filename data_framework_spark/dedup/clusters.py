@@ -35,6 +35,21 @@ def connected_components(
     # the whole chain back to the edge producer. Checkpointing the
     # edge list once and the labels each round keeps every round's
     # plan two joins deep (measured ~40x on the near-dup graph).
+    # The rounds run on few shuffle partitions: the label table is
+    # vertex-sized (thousands), so per-round cost is task scheduling,
+    # not data — partitions scale with |V|, not the cluster default.
+    spark = edges.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _cc_rounds(edges, a, b, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _cc_rounds(
+    edges: DataFrame, a: str, b: str, max_rounds: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -54,23 +69,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry a changed flag instead of re-joining against the old
+        # labels: the fixpoint check is then a filter on the (already
+        # checkpointed) new frame
         new_labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
             .select(
                 "v",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select(
+            "v", F.col("new_label").alias("label")
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
