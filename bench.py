@@ -44,6 +44,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # apples-to-apples subtotal over the round-1 query set: the
+    # registry grows every round, so the headline total is not
+    # comparable across rounds; this is.
+    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(r1_path) as f:
+            r1_queries = set(json.load(f)["parsed"]["queries"])
+        out["r1_subset_value"] = round(
+            sum(v for k, v in timings.items() if k in r1_queries), 4
+        )
+        out["r1_subset_n"] = sum(1 for k in timings if k in r1_queries)
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
     print(json.dumps(out))
 
 
