@@ -1,0 +1,147 @@
+"""Bucketed (co-located) joins — pre-shuffling at write time.
+
+The lineitem⋈orders orderkey join appears in half the TPC-H shapes;
+on a cluster it costs a full shuffle of both facts EVERY query. The
+fix at 100 TB is layout: write both tables bucketed by the join key
+(`bucketBy(n, key).sortBy(key)`), after which any equi-join on that
+key is exchange-free — each task zips matching buckets (explain shows
+SortMergeJoin with NO Exchange under either side). This module
+materializes the bucketed twin once per (sf_dir, buckets) into a
+session-scoped warehouse and runs the join on it; the plan-property
+test pins the no-Exchange invariant.
+
+The driver-checked query compares the bucketed join's result against
+the plain SQL join in DuckDB — same rows, different physical plan,
+proving layout changes semantics not at all and shuffles entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+_BUCKETED_READY: dict[tuple[str, int], tuple[str, str]] = {}
+
+
+def bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Materialize lineitem/orders bucketed+sorted by orderkey; returns
+    the two table names. One-time cost per session, amortized over
+    every subsequent orderkey join (exactly the production trade)."""
+    key = (sf_dir, n_buckets)
+    if key in _BUCKETED_READY:
+        return _BUCKETED_READY[key]
+    tag = abs(hash(key)) % 10_000_000
+    base = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    # external tables (explicit path): only metadata lands in the
+    # catalog; spark.sql.warehouse.dir is a static conf we can't touch
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(li_name)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(ord_name)
+    )
+    _BUCKETED_READY[key] = (li_name, ord_name)
+    return li_name, ord_name
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> DataFrame:
+    """Orderkey join over the bucketed twins, with the merge-join path
+    forced: at test scale Catalyst would broadcast orders (and skip
+    the bucketed read entirely); the point of this operator is the
+    big-big plan, where both sides stream their co-located buckets
+    with NO exchange and NO sort (bucketBy+sortBy metadata)."""
+    li_name, ord_name = bucketed_tables(spark, sf_dir, n_buckets)
+    li = spark.table(li_name).hint("merge")
+    orders = spark.table(ord_name)
+    return li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+
+def q_bucketed_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the BUCKETED orderkey join —
+    zero exchanges on either fact (see tests/test_plan_properties.py).
+    The oracle runs the plain join: identical rows prove the layout
+    path changes the physical plan only."""
+    j = bucketed_join(spark, sf_dir)
+    return (
+        j.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_BUCKETED_JOIN_LINEITEM_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sketch_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy CONTRACT: per event_type, the exact distinct
+    user count plus booleans asserting the mergeable sketches
+    (approx_count_distinct HLL++, approx_percentile) land within
+    tolerance of the exact answers computed in the same pass. Sketch
+    VALUES are engine-specific so they can't be hash-compared; the
+    tolerance booleans can — the oracle states exact values and
+    literal TRUEs, so a sketch drifting out of tolerance fails the
+    hash. At 100 TB the sketches are the only viable plan (partial-
+    aggregatable, bounded memory); this query pins how much accuracy
+    that trade costs."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("__acd"),
+        F.percentile("value", 0.5).alias("__p50"),
+        F.percentile_approx("value", 0.5, 10_000).alias("__ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("__acd") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("acd_within_5pct"),
+        (
+            F.abs(F.col("__ap50") - F.col("__p50"))
+            <= F.lit(0.01) * F.abs(F.col("__p50"))
+        ).alias("p50_within_1pct"),
+    ).orderBy("event_type")
+
+
+Q_SKETCH_ACCURACY_EVENTS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS acd_within_5pct,
+       TRUE AS p50_within_1pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -32,6 +32,7 @@ from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
     asof,
+    bucketed,
     dataset_query,
     profile,
     rangejoin,
@@ -358,6 +359,17 @@ QUERIES: dict[str, Query] = {
         relational_more.set_ops_customers,
         relational_more.SET_OPS_CUSTOMERS_SQL,
         "UNION / INTERSECT / EXCEPT cardinalities",
+    ),
+    "bucketed_join_lineitem": Query(
+        bucketed.q_bucketed_join_lineitem,
+        bucketed.Q_BUCKETED_JOIN_LINEITEM_SQL,
+        "co-located orderkey join via bucketBy layout (zero exchanges)",
+    ),
+    "sketch_accuracy_events": Query(
+        bucketed.q_sketch_accuracy_events,
+        bucketed.Q_SKETCH_ACCURACY_EVENTS_SQL,
+        "HLL++/approx-percentile accuracy contract vs exact, "
+        "tolerance booleans hash-checked",
     ),
     "profile_percentiles": Query(
         profile.q_profile_percentiles,

@@ -59,6 +59,19 @@ def test_q5_broadcasts_dims_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def test_bucketed_join_no_exchange(spark):
+    """The bucketBy layout must eliminate the orderkey shuffle: merge
+    join over co-located buckets with no Exchange of either kind, and
+    both scans reading bucket-aware."""
+    from data_framework_spark.operators.bucketed import bucketed_join
+
+    p = plan_text(bucketed_join(spark, SF))
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastExchange" not in p
+    assert p.count("Bucketed: true") == 2
+
+
 def test_q17_no_sort_merge_join(spark):
     """q17's decorrelated plan runs on broadcast joins only — a
     SortMergeJoin would mean the full-table shuffle crept back."""
