@@ -89,3 +89,60 @@ ORDER BY source
 
 
 Q_CORPUS_MIX_SQL = _mix_sql()
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget bins (2048
+    "tokens" ≈ whitespace words here) by contiguous fill in a
+    deterministic order — the batch-construction step of a pretraining
+    pipeline. Within each source stratum, documents are laid end to
+    end in doc_id order and a document starts a new bin when it would
+    cross the budget boundary: bin = floor(exclusive-prefix-sum /
+    budget) over a window partitioned by source. One shuffle on the
+    stratum key; at 100 TB strata partition the work and bins never
+    span strata (the property that lets packing parallelize). Emits
+    per-bin document count and fill so over/under-packing is what the
+    oracle checks."""
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = W.partitionBy("source").orderBy("doc_id")
+    packed = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn(
+            "prefix", F.sum("n_tok").over(w) - F.col("n_tok")
+        )
+        .withColumn("bin", F.floor(F.col("prefix") / budget))
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("fill"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+Q_PACK_SEQUENCES_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source,
+         (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+           // 2048 AS bin,
+         n_tok
+  FROM toks
+)
+SELECT source, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS fill
+FROM packed
+GROUP BY source, bin
+ORDER BY source, bin
+"""

@@ -452,6 +452,12 @@ QUERIES: dict[str, Query] = {
         "deterministic hash-based stratified sampling (3-tier corpus "
         "mixture by source)",
     ),
+    "pack_sequences": Query(
+        sampling_mod.q_pack_sequences,
+        sampling_mod.Q_PACK_SEQUENCES_SQL,
+        "sequence packing: fixed-budget contiguous-fill binning via "
+        "exclusive prefix sums per stratum",
+    ),
     "dedup_exact": Query(
         dedup_exact_mod.q_dedup_exact,
         dedup_exact_mod.Q_DEDUP_EXACT_SQL,
