@@ -1,8 +1,15 @@
 """Benchmark runner: every registry query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+Prints TWO JSON lines:
+  1. the full record {"metric": ..., "queries": {name: sec, ...}, ...}
+  2. a compact summary (same record minus the per-query dict, plus the
+     count) — printed LAST because the driver keeps only the final
+     ~2000 chars of stdout: with 91 queries the full line is >2.6 KB,
+     so its prefix falls outside the captured tail and the round
+     artifact ends up unparseable (BENCH_r02.json "parsed": null).
+     The short last line always survives the tail capture intact.
+The full record is also written to BENCH_DETAIL.json next to this
+file so per-query timings stay recoverable from the repo.
 
 Each query is materialized with the noop sink (full computation, no
 driver-side collect) after a warm-up of the session itself. Timings
@@ -47,17 +54,31 @@ def main() -> None:
     # apples-to-apples subtotal over the round-1 query set: the
     # registry grows every round, so the headline total is not
     # comparable across rounds; this is.
-    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # bench_subsets.json freezes the registry's query set as of each
+    # past round, so cross-round totals compare identical work.
     try:
-        with open(r1_path) as f:
-            r1_queries = set(json.load(f)["parsed"]["queries"])
-        out["r1_subset_value"] = round(
-            sum(v for k, v in timings.items() if k in r1_queries), 4
-        )
-        out["r1_subset_n"] = sum(1 for k in timings if k in r1_queries)
-    except (OSError, KeyError, json.JSONDecodeError):
+        with open(os.path.join(here, "bench_subsets.json")) as f:
+            subsets = json.load(f)
+        for rnd, names in subsets.items():
+            nameset = set(names)
+            out[f"{rnd}_subset_value"] = round(
+                sum(v for k, v in timings.items() if k in nameset), 4
+            )
+            out[f"{rnd}_subset_n"] = sum(1 for k in timings if k in nameset)
+    except (OSError, KeyError, json.JSONDecodeError, TypeError):
         pass
     print(json.dumps(out))
+
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["n_queries"] = len(timings)
+    compact["slowest5"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
