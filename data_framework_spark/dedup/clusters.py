@@ -19,8 +19,19 @@ the Spark path is the one that scales).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# one shuffle task per this many directed edges during the label-
+# propagation rounds; floor/cap bound scheduling overhead on tiny
+# graphs and task-count blow-up on huge ones
+_EDGES_PER_PARTITION = 500_000
+_MIN_PARTITIONS = 8
+_MAX_PARTITIONS = 2048
 
 
 def connected_components(
@@ -29,39 +40,46 @@ def connected_components(
     """(vertex, component) for every vertex appearing in `edges`;
     component = min vertex id reachable. Iterates label propagation to
     a fixpoint (checked per round with a cheap count of changed
-    labels)."""
+    labels); logs a warning if max_rounds expires before the fixpoint
+    (diameter > max_rounds), in which case labels are upper bounds on
+    the true component minima."""
     # eager localCheckpoint: iterative plans grow lineage every round —
     # without truncation each action re-analyzes (and can re-execute)
     # the whole chain back to the edge producer. Checkpointing the
     # edge list once and the labels each round keeps every round's
     # plan two joins deep (measured ~40x on the near-dup graph).
-    # The rounds run on few shuffle partitions: the label table is
-    # vertex-sized (thousands), so per-round cost is task scheduling,
-    # not data — partitions scale with |V|, not the cluster default.
+    # The rounds run on shuffle partitions sized from |E|: the label
+    # table is vertex-sized, so per-round cost on a small graph is task
+    # scheduling, not data — the partition count scales with the graph,
+    # not the cluster default.
     spark = edges.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _cc_rounds(edges, a, b, max_rounds)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-
-def _cc_rounds(
-    edges: DataFrame, a: str, b: str, max_rounds: int
-) -> DataFrame:
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()  # cheap: scans the checkpoint, not the producer
+    parts = max(
+        _MIN_PARTITIONS,
+        min(_MAX_PARTITIONS, -(-n_edges // _EDGES_PER_PARTITION)),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _cc_rounds(sym, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_rounds):
         # min label over the closed neighborhood: own label ∪ neighbors'
         neighbor_min = (
@@ -91,6 +109,15 @@ def _cc_rounds(
         )
         if changed == 0:
             break
+    if changed != 0:
+        logger.warning(
+            "connected_components: fixpoint NOT reached after %d rounds "
+            "(%d labels still changing last round) — graph diameter "
+            "exceeds max_rounds; returned labels are not guaranteed "
+            "component minima. Raise max_rounds.",
+            max_rounds,
+            changed,
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 
@@ -105,9 +132,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_minhash_near_dups(spark, sf_dir).select("a", "b")
     cc = connected_components(pairs)
+    # no broadcast hint: sizes has one row per component, which at
+    # corpus scale is itself huge; both sides are already partitioned
+    # by component, so the sort-merge/AQE choice is the safe one.
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        cc.join(F.broadcast(sizes), "component")
+        cc.join(sizes, "component")
         .select(
             F.col("vertex").alias("doc_id"),
             F.col("component").alias("cluster_rep"),

@@ -68,6 +68,38 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def _cap_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets larger than `max_bucket`, logging the dropped
+    bucket/pair counts so the truncation is never silent."""
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    over = (
+        sizes.filter(F.col("__bn") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum(
+                F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2)
+            ).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    if over["buckets"]:
+        logger.warning(
+            "candidate_pairs: dropping %d LSH buckets over "
+            "max_bucket=%d (~%d intra-bucket candidate pairs); "
+            "use signature_dedup for degenerate clusters",
+            over["buckets"],
+            max_bucket,
+            int(over["pairs"]),
+        )
+    # the size join shuffles on the same (band, band_hash) key as the
+    # downstream join, so the partitioning is reused
+    return bands.join(
+        sizes.filter(F.col("__bn") <= max_bucket), on=["band", "band_hash"]
+    ).drop("__bn")
+
+
 def candidate_pairs(
     bands: DataFrame,
     probe: DataFrame | None = None,
@@ -88,42 +120,15 @@ def candidate_pairs(
     touching a probe doc — the left join side shrinks to the probe
     set, so cost scales with |probe|·bucket, not bucket². Pairs are
     normalized to (least, greatest) so the two forms agree.
+
+    `max_bucket` applies in BOTH modes: with probe, an uncapped
+    mega-bucket still blows up as |probe|·bucket, so the cap filters
+    `bands` before either branch.
     """
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, max_bucket)
     right = bands.alias("r")
     if probe is None:
-        if max_bucket is not None:
-            sizes = bands.groupBy("band", "band_hash").agg(
-                F.count(F.lit(1)).alias("__bn")
-            )
-            over = (
-                sizes.filter(F.col("__bn") > max_bucket)
-                .agg(
-                    F.count(F.lit(1)).alias("buckets"),
-                    F.sum(
-                        F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2)
-                    ).alias("pairs"),
-                )
-                .collect()[0]
-            )
-            if over["buckets"]:
-                logger.warning(
-                    "candidate_pairs: dropping %d LSH buckets over "
-                    "max_bucket=%d (~%d intra-bucket candidate pairs); "
-                    "use signature_dedup for degenerate clusters",
-                    over["buckets"],
-                    max_bucket,
-                    int(over["pairs"]),
-                )
-            # the size join shuffles on the same (band, band_hash) key
-            # as the self-join below, so the partitioning is reused
-            bands = (
-                bands.join(
-                    sizes.filter(F.col("__bn") <= max_bucket),
-                    on=["band", "band_hash"],
-                )
-                .drop("__bn")
-            )
-            right = bands.alias("r")
         return (
             bands.alias("l")
             .join(

@@ -45,8 +45,18 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
     ).withColumn("__side", F.lit(0))
     payload = [f"{c}{suffix}" for c in right_payload]
+    # Carry ts and payload as ONE struct through a single
+    # last(ignorenulls=True): the struct is non-null exactly for right
+    # rows (even when every payload field is NULL), so all carried
+    # fields always come from the SAME right row. Independent last()
+    # calls per column would skip a legitimately-NULL payload value and
+    # pair an older payload with a newer ts_r.
     unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
-        f"{ts}{suffix}", F.when(F.col("__side") == 0, F.col(ts))
+        "__carry",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(F.col(ts).alias("__ts"), *[F.col(c) for c in payload]),
+        ),
     )
     w = (
         W.partitionBy(by)
@@ -56,12 +66,16 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last(f"{ts}{suffix}", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
     )
-    return carried.filter(
-        (F.col("__side") == 1) & F.col(f"{ts}{suffix}").isNotNull()
-    ).drop("__side")
+    return (
+        carried.filter((F.col("__side") == 1) & F.col("__carry").isNotNull())
+        .select(
+            *lcols,
+            *[F.col(f"__carry.{c}").alias(c) for c in payload],
+            F.col("__carry.__ts").alias(f"{ts}{suffix}"),
+        )
+    )
 
 
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
 
+
+def _round6_half_away(x: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals half-AWAY-from-zero, matching SQL round()
+    on both Spark and DuckDB. np.round is banker's (half-to-even): a
+    cosine landing on an exact 6-decimal halfway point would flip
+    threshold inclusion or the emitted value vs the oracle. Same trick
+    as ivf._rounded_centroid_cosines."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
 logger = logging.getLogger(__name__)
 
 
@@ -235,12 +244,13 @@ def blocked_cosine_pairs(
         sim = an @ bn.T
         ai = a["a_id"].to_numpy()
         bi_ = b["a_id"].to_numpy()
-        ii, jj = np.nonzero(np.round(sim, 6) >= threshold)
+        rsim = _round6_half_away(sim)
+        ii, jj = np.nonzero(rsim >= threshold)
         lo = np.minimum(ai[ii], bi_[jj])
         hi = np.maximum(ai[ii], bi_[jj])
         keep = lo < hi  # drop self-pairs; same-block pairs appear once per order
         out = pd.DataFrame(
-            {"a": lo[keep], "b": hi[keep], "cos": np.round(sim[ii, jj][keep], 6)}
+            {"a": lo[keep], "b": hi[keep], "cos": rsim[ii, jj][keep]}
         )
         return out.drop_duplicates(subset=["a", "b"])
 
@@ -441,13 +451,14 @@ def lsh_bucketed_pairs(
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
         sim = vn @ vn.T
         ids = pdf["vid"].to_numpy()
-        ii, jj = np.nonzero(np.round(sim, 6) >= threshold)
+        rsim = _round6_half_away(sim)
+        ii, jj = np.nonzero(rsim >= threshold)
         keep = ids[ii] < ids[jj]
         return pd.DataFrame(
             {
                 "a": ids[ii][keep],
                 "b": ids[jj][keep],
-                "cos": np.round(sim[ii, jj][keep], 6),
+                "cos": rsim[ii, jj][keep],
             }
         )
 

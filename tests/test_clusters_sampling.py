@@ -39,6 +39,19 @@ def test_cc_long_chain_converges(spark):
     assert len(comps) == 1 and comps[0]["component"] == 0
 
 
+def test_cc_warns_when_fixpoint_not_reached(spark, caplog):
+    """Exhausting max_rounds without convergence must be loud: the
+    returned labels are then upper bounds, not component minima."""
+    import logging
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long"
+    )
+    with caplog.at_level(logging.WARNING, "data_framework_spark.dedup.clusters"):
+        connected_components(edges, max_rounds=2).collect()
+    assert any("fixpoint NOT reached" in r.message for r in caplog.records)
+
+
 def test_sampling_partition_independent(spark):
     df = spark.range(0, 2000).select(
         F.col("id").alias("k"),

@@ -52,6 +52,23 @@ def test_cap_is_noop_on_normal_buckets(spark):
     assert a == b
 
 
+def test_cap_applies_in_probe_mode_too(spark, caplog):
+    """max_bucket combined with probe must still drop mega-buckets:
+    a probe doc inside a 200-doc bucket would otherwise produce ~200
+    pairs despite the cap (the ADVICE r2 silent-ignore bug)."""
+    docs = _degenerate_docs(spark, n=200)
+    bands = lsh_bands(minhash_signatures(docs, "doc_id", "text"))
+    probe = spark.createDataFrame([(0,), (200,)], "doc long")
+    uncapped = candidate_pairs(bands, probe=probe).count()
+    assert uncapped >= 199  # probe doc 0 pairs with the whole mega-bucket
+    with caplog.at_level(logging.WARNING, "data_framework_spark.dedup.minhash"):
+        capped = candidate_pairs(bands, probe=probe, max_bucket=100)
+        n_capped = capped.count()
+    assert n_capped <= 3  # only probe doc 200's small genuine cluster
+    assert capped.filter((F.col("a") < 200) & (F.col("b") < 200)).count() == 0
+    assert any("dropping" in r.message for r in caplog.records)
+
+
 def test_signature_dedup_collapses_degenerate_corpus_linearly(spark):
     docs = _degenerate_docs(spark, n=2000)
     out = signature_dedup(docs, "doc_id", "text")

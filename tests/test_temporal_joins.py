@@ -42,6 +42,30 @@ def test_asof_inclusive_tie_and_inner_drop(spark):
     assert out[3][0] == 3.0  # latest prior, not first
 
 
+def test_asof_null_payload_is_a_valid_match(spark):
+    """A right row whose payload is NULL must still win the as-of
+    match: the left row gets (NULL payload, that row's ts), never an
+    older row's payload paired with the newer ts (the frankenstein
+    match independent per-column last() calls would produce)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:01:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:10"), 7.0),   # older, non-null
+            (10, _ts("2024-01-01T00:00:30"), None),  # latest prior, NULL
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = asof_join(
+        left, right, by="user_id", ts="ts", right_payload=["value"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["value_r"] is None  # NOT 7.0
+    assert rows[0]["ts_r"] == _ts("2024-01-01T00:00:30")
+
+
 def test_range_join_boundaries(spark):
     hour_us = 3_600_000_000
     left = spark.createDataFrame(
