@@ -94,30 +94,66 @@ Q_CORPUS_MIX_SQL = _mix_sql()
 # --- sequence packing ------------------------------------------------------
 
 
+# docs per doc_id-range chunk for the two-level prefix sum; chunk ids
+# are monotone in doc_id, so chunk order == doc_id order within a
+# stratum. Small enough that a test-scale stratum still splits into
+# several chunks; at 100 TB raise it so the per-stratum chunk-totals
+# table stays millions of rows, not billions.
+PACK_CHUNK = 4096
+
+
+def pack_bins(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """Assign (doc_id, source, n_tok) rows to fixed-budget bins by
+    contiguous fill in doc_id order within each source stratum: a doc
+    starts a new bin when it would cross the budget boundary, i.e.
+    bin = floor(exclusive-prefix-sum / budget).
+
+    The prefix sum is TWO-LEVEL so no stratum is a single task (a
+    plain window partitioned by source serializes each stratum):
+      1. local running sums within (source, chunk), chunk =
+         doc_id // PACK_CHUNK — parallelism = number of chunks;
+      2. per-chunk totals → exclusive offsets via a window over the
+         chunk-totals table (rows = chunks, thousands of times smaller
+         than the input) — joined back on (source, chunk), the same
+         key the local window already partitioned by.
+    No broadcast hint on the offsets join: at corpus scale the totals
+    table can itself be large; AQE picks broadcast when it fits."""
+    from pyspark.sql import Window as W
+
+    toks = docs.withColumn("chunk", F.floor(F.col("doc_id") / PACK_CHUNK))
+    w_local = W.partitionBy("source", "chunk").orderBy("doc_id")
+    local = toks.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    chunk_tot = local.groupBy("source", "chunk").agg(
+        F.sum("n_tok").alias("__ctot")
+    )
+    w_chunks = W.partitionBy("source").orderBy("chunk")
+    offsets = chunk_tot.withColumn(
+        "__offset", F.sum("__ctot").over(w_chunks) - F.col("__ctot")
+    ).select("source", "chunk", "__offset")
+    return (
+        local.join(offsets, ["source", "chunk"])
+        .withColumn(
+            "prefix", F.col("__offset") + F.col("local_cum") - F.col("n_tok")
+        )
+        .withColumn("bin", F.floor(F.col("prefix") / budget))
+        .drop("chunk", "local_cum", "__offset")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed-budget bins (2048
     "tokens" ≈ whitespace words here) by contiguous fill in a
     deterministic order — the batch-construction step of a pretraining
-    pipeline. Within each source stratum, documents are laid end to
-    end in doc_id order and a document starts a new bin when it would
-    cross the budget boundary: bin = floor(exclusive-prefix-sum /
-    budget) over a window partitioned by source. One shuffle on the
-    stratum key; at 100 TB strata partition the work and bins never
-    span strata (the property that lets packing parallelize). Emits
-    per-bin document count and fill so over/under-packing is what the
-    oracle checks."""
+    pipeline. Bins never span strata (the property that lets packing
+    parallelize); within a stratum the prefix sum is two-level (see
+    pack_bins) so the plan has no single-task stage. Emits per-bin
+    document count and fill so over/under-packing is what the oracle
+    checks."""
     budget = 2048
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
     n_tok = F.size(F.split(F.col("text"), " "))
-    w = W.partitionBy("source").orderBy("doc_id")
-    packed = (
-        docs.select("doc_id", "source", n_tok.alias("n_tok"))
-        .withColumn(
-            "prefix", F.sum("n_tok").over(w) - F.col("n_tok")
-        )
-        .withColumn("bin", F.floor(F.col("prefix") / budget))
+    packed = pack_bins(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")), budget
     )
     return (
         packed.groupBy("source", "bin")

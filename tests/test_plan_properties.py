@@ -78,3 +78,23 @@ def test_q17_no_sort_merge_join(spark):
     p = plan_text(tpch_q17_small_qty(spark, SF))
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_no_single_task_stratum(spark):
+    """The packing prefix sum must be two-level: the window over the
+    full input partitions by (source, chunk) — many tasks per stratum
+    — and only the chunk-totals window (thousands of times smaller)
+    partitions by source alone."""
+    from data_framework_spark.functions.sampling import q_pack_sequences
+
+    p = plan_text(q_pack_sequences(spark, SF))
+    # the big window runs over (source, chunk)
+    assert "windowspecdefinition(source" in p
+    assert p.count("chunk") >= 2  # chunk key present in window + join
+    # count Window operators: one local (source, chunk), one offsets
+    # (source only, over the tiny chunk-totals aggregate)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    local_specs = [s for s in specs if "chunk" in s]
+    assert local_specs, f"no (source, chunk) window in plan: {specs}"
