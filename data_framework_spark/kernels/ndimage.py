@@ -29,7 +29,6 @@ a few k × few k cells.
 
 from __future__ import annotations
 
-from collections import deque
 
 import numpy as np
 
@@ -143,24 +142,54 @@ def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
 
 def flood(mask: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     """Boolean region connected to `seed` over equal values
-    (connectivity=1), as skimage.segmentation.flood."""
+    (connectivity=1), as skimage.segmentation.flood.
+
+    Run-based scanline fill: row runs of the equal-value mask are
+    extracted vectorized (one pass over the frame), then the BFS walks
+    RUNS, not pixels — each step finds the overlapping runs in the
+    rows above/below with two searchsorted calls (runs within a row
+    are disjoint and sorted, so overlaps form a contiguous slice).
+    Python-loop work is O(#runs in the region), independent of region
+    area; the old per-pixel deque BFS was O(#pixels) Python steps."""
     assert mask.ndim == 2
-    target = mask[seed]
-    out = np.zeros(mask.shape, dtype=bool)
-    dq = deque([seed])
-    out[seed] = True
-    while dq:
-        y, x = dq.popleft()
-        for dy, dx in _CROSS:
-            ny, nx = y + dy, x + dx
-            if (
-                0 <= ny < mask.shape[0]
-                and 0 <= nx < mask.shape[1]
-                and not out[ny, nx]
-                and mask[ny, nx] == target
-            ):
-                out[ny, nx] = True
-                dq.append((ny, nx))
+    eq = mask == mask[seed]
+    h, w = eq.shape
+    # run starts: set pixel with unset left neighbor; ends symmetric
+    left = np.zeros_like(eq)
+    left[:, 1:] = eq[:, :-1]
+    right = np.zeros_like(eq)
+    right[:, :-1] = eq[:, 1:]
+    srow, x0 = np.nonzero(eq & ~left)   # per-run row, first col
+    _, x1 = np.nonzero(eq & ~right)     # same order: last col
+    n_runs = srow.size
+    # first run index of each row (runs are emitted in row-major order)
+    row_lo = np.searchsorted(srow, np.arange(h))
+    row_hi = np.searchsorted(srow, np.arange(h), side="right")
+    # run containing the seed
+    sy, sx = seed
+    r0 = row_lo[sy] + int(np.searchsorted(x0[row_lo[sy] : row_hi[sy]], sx, "right")) - 1
+    visited = np.zeros(n_runs, dtype=bool)
+    visited[r0] = True
+    stack = [r0]
+    while stack:
+        r = stack.pop()
+        for ny in (srow[r] - 1, srow[r] + 1):
+            if ny < 0 or ny >= h:
+                continue
+            lo, hi = row_lo[ny], row_hi[ny]
+            if lo == hi:
+                continue
+            # overlapping runs: x0' <= x1[r] and x1' >= x0[r]; both
+            # bounds are contiguous because runs are sorted + disjoint
+            a = lo + np.searchsorted(x1[lo:hi], x0[r])
+            b = lo + np.searchsorted(x0[lo:hi], x1[r], side="right")
+            for nr in range(a, b):
+                if not visited[nr]:
+                    visited[nr] = True
+                    stack.append(nr)
+    out = np.zeros(eq.shape, dtype=bool)
+    for r in np.nonzero(visited)[0]:
+        out[srow[r], x0[r] : x1[r] + 1] = True
     return out
 
 
