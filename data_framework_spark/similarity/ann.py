@@ -150,13 +150,22 @@ def bucketed_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket
+    plus (multi-probe) every bucket within Hamming distance
+    `probe_hamming` of it — a near neighbor that lands just across one
+    hyperplane differs in exactly one signature bit, so probing the
+    n_planes Hamming-1 buckets lifts recall precisely where single-
+    bucket LSH loses it (boundary vectors) at (1 + n_planes)/2^n_planes
+    of the corpus per query instead of 1/2^n_planes.
 
-    The join is an equi-join on bucket id — at scale that's a shuffle
-    by bucket instead of a full cross product, cutting compared pairs
-    by ~2^n_planes at the cost of recall near bucket boundaries
-    (standard multi-probe / multi-table extensions apply).
+    The join stays an equi-join on bucket id — the query side explodes
+    into its probe set (tiny: |queries| × (1 + n_planes) rows,
+    broadcast), the corpus side is untouched; each (query, candidate)
+    pair appears at most once because a corpus vector has one bucket
+    and the probe buckets are distinct. probe_hamming=0 recovers
+    single-bucket LSH.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -168,6 +177,15 @@ def bucketed_topk(
         F.col(vec_col).alias("qv"),
         signature_bits(F.col(vec_col), n_planes, dim),
     )
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -301,20 +319,24 @@ WHERE rank <= 5
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors (first 20 query vectors) via
-    sign-LSH bucketing — the scale path: candidates shrink from N to
-    the query's bucket (~N/2^planes), the join becomes an equi-join
-    on bucket id instead of a cross product."""
+    sign-LSH bucketing with Hamming-1 multi-probe — the scale path:
+    candidates shrink from N to the query's probe set (~5N/16 at 4
+    planes), the join becomes an equi-join on bucket id instead of a
+    cross product, and boundary vectors are recovered by probing the
+    one-bit-flipped buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return bucketed_topk(
-        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64
+        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64,
+        probe_hamming=1,
     )
 
 
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
-    """Oracle mirroring `bucketed_topk`: the md5-derived hyperplanes
-    are bit-identical constants in both engines, so bucket membership
-    — and therefore the approximate result — matches exactly."""
+    """Oracle mirroring `bucketed_topk` (incl. Hamming-1 multi-probe):
+    the md5-derived hyperplanes are bit-identical constants in both
+    engines, so bucket membership — and therefore the approximate
+    result — matches exactly."""
     plane_lists = []
     for p in range(n_planes):
         comps = ", ".join(
@@ -345,6 +367,11 @@ proj AS (
 bucketed AS (
   SELECT vec_id, embedding, nrm, ({bucket}) AS bucket FROM proj
 ),
+probes AS (
+  SELECT vec_id, embedding, nrm,
+         unnest([bucket, {', '.join(f'xor(bucket, {1 << p})' for p in range(n_planes))}]) AS bucket
+  FROM bucketed WHERE vec_id < 20
+),
 scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -353,8 +380,8 @@ scored AS (
       list_sum(list_transform(range(1, {dim + 1}),
                               i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       / (q.nrm * c.nrm), 6) AS cos
-  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
-  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  FROM probes q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cos, rank
 FROM (
