@@ -1,0 +1,386 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Extension layer (SURVEY.md §7 phase 5) — the document-level filters
+and corpus-level analytics a pretraining data pipeline runs between
+raw crawl and tokenizer: rule-based quality filtering (Gopher-style,
+cf. Rae et al. 2021 §A1.1), repetition detection, TF-IDF term
+profiling, deterministic shard assignment, cross-source contamination
+checks, n-gram frequency, and per-label embedding centroids.
+
+Everything is JVM-side column expressions or a two-stage aggregate —
+no Python UDFs, no driver-side loops. Per-document metrics are
+shuffle-free single scans; corpus-level aggregates shuffle once on
+their group key with map-side partial aggregation. Each query has a
+DuckDB oracle computing the identical arithmetic (same tokenizer,
+same md5-derived hashing, same rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_framework_spark.functions.sampling import hash_fraction
+from data_framework_spark.functions.text import (
+    STOPWORDS,
+    avg_token_len,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from data_framework_spark.sources.tables import load_table
+
+# Gopher-style rule thresholds (adapted to the synthetic corpus's
+# 1-char function words; the rule STRUCTURE is what's exercised).
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_LEN = 2.0
+QF_MAX_MEAN_LEN = 12.0
+QF_MIN_STOPWORD_FRAC = 0.01
+
+# a doc whose single most frequent token exceeds this fraction of all
+# tokens is flagged repetitious
+REP_THRESHOLD = 0.2
+
+N_SHARDS = 64
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: per source, how many documents pass
+    ALL of (token count in range, mean token length in range,
+    stopword fraction above floor) plus the average stopword fraction
+    — the accept/reject accounting of a quality-filter stage. Single
+    scan, per-row expressions, one aggregate; nothing here shuffles
+    more than the final per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t)
+    mean_len = avg_token_len(t)
+    stop_frac = stopword_ratio(t)
+    passed = (
+        n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & mean_len.between(QF_MIN_MEAN_LEN, QF_MAX_MEAN_LEN)
+        & (stop_frac >= QF_MIN_STOPWORD_FRAC)
+    )
+    return (
+        docs.select("source", passed.alias("ok"), stop_frac.alias("sf"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_pass"),
+            F.round(F.avg("sf"), 6).alias("avg_stopword_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_QUALITY_FILTER_SQL = f"""
+WITH m AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_len,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains({list(STOPWORDS)}, t)))::DOUBLE
+           / len(string_split(text, ' ')) AS stop_frac
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+                 AND mean_len BETWEEN {QF_MIN_MEAN_LEN} AND {QF_MAX_MEAN_LEN}
+                 AND stop_frac >= {QF_MIN_STOPWORD_FRAC}
+            THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(avg(stop_frac), 6) AS avg_stopword_frac
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher/Dolma 'repetitious text'
+    family): per document, the frequency of its single most common
+    token as a fraction of all tokens; per source, how many documents
+    exceed REP_THRESHOLD and the mean ratio. Token counting explodes
+    once and aggregates by (doc, token) — partial aggregation absorbs
+    the fan-out map-side, and the per-doc max rides the same
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rep_ratio") > REP_THRESHOLD).cast("long")).alias(
+                "n_repetitive"
+            ),
+            F.round(F.avg("rep_ratio"), 6).alias("avg_rep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_REPETITION_FILTER_SQL = f"""
+WITH per_tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, source, tok, count(*) AS c
+  FROM per_tok GROUP BY doc_id, source, tok
+),
+per_doc AS (
+  SELECT doc_id, source, max(c)::DOUBLE / sum(c) AS rep_ratio
+  FROM counted GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN rep_ratio > {REP_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+         AS n_repetitive,
+       round(avg(rep_ratio), 6) AS avg_rep_ratio
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by TF-IDF (source-level tf, ln(#sources
+    / #sources-containing-term) idf) — the term-profile analytic for
+    corpus mixing decisions. Two aggregates sharing the token
+    explosion plus a small per-term df table; the ranking window
+    partitions by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_sources = tf.select("source").distinct().count()
+    df = tf.groupBy("term").agg(
+        F.countDistinct("source").alias("df")
+    )
+    scored = tf.join(df, "term").select(
+        "source",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "tf", "tfidf", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+Q_TFIDF_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+),
+n AS (SELECT count(DISTINCT source)::DOUBLE AS n_sources FROM tf),
+df AS (
+  SELECT term, count(DISTINCT source)::BIGINT AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         round(tf.tf * ln(n.n_sources / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY tfidf DESC, tf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, tf, tfidf, rank
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard =
+    floor(md5-hash-fraction(doc_id) * N_SHARDS) — reproducible across
+    engines, partitionings, and corpus appends (a doc's shard depends
+    only on its id). Emits per-shard doc and token counts, i.e. the
+    balance check a sharding step ships with. Single scan + one
+    aggregate; the assignment itself is shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.floor(hash_fraction(F.col("doc_id")) * N_SHARDS).alias("shard")
+    return (
+        docs.select(shard, token_count(F.col("text")).alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+Q_SHARD_ASSIGN_SQL = f"""
+SELECT floor((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+              / 4294967296.0) * {N_SHARDS})::BIGINT AS shard,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+CONTAM_PREFIX_TOKENS = 8
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination: for every unordered source pair,
+    the number of distinct shared document fingerprints — the
+    train/eval decontamination accounting step. The fingerprint is the
+    md5 of the first CONTAM_PREFIX_TOKENS tokens (prefix n-gram
+    overlap, the practical decontamination test — whole-document
+    equality misses near-verbatim leakage). The distinct (hash,
+    source) table is tiny relative to the corpus; the pair enumeration
+    self-joins it on hash, and a hash shared by k sources contributes
+    C(k,2) pairs — bounded because k ≤ #sources, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(tokens(F.col("text")), 1, CONTAM_PREFIX_TOKENS)
+    )
+    hs = docs.select(F.md5(prefix).alias("h"), F.col("source")).distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("a.h").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q_CONTAMINATION_CHECK_SQL = f"""
+WITH hs AS (
+  SELECT DISTINCT
+    md5(array_to_string(string_split(text, ' ')[1:{CONTAM_PREFIX_TOKENS}], ' ')) AS h,
+    source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(DISTINCT a.h)::BIGINT AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams — the n-gram frequency sweep
+    behind tokenizer/contamination analyses. Bigrams are built inside
+    the array domain (transform over an index sequence), so the only
+    shuffle is the final count aggregate with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] for a
+    # one-token doc (Spark semantics), then index 0 errors
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+Q_BIGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid statistics: vector count and the
+    L2 norm of the mean embedding — the cluster-quality readout of a
+    labeled embedding table. The mean vector is computed positionally
+    (posexplode → avg per (label, dim) → sum of squares), which is the
+    shuffle-once shape that scales: no collect, no UDF, dims stay
+    columnar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    norms = per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+            "centroid_norm"
+        )
+    )
+    return counts.join(norms, "label").orderBy("label")
+
+
+Q_LABEL_CENTROIDS_SQL = """
+WITH per_dim AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+means AS (
+  SELECT label, dim, avg(x) AS m FROM per_dim GROUP BY label, dim
+),
+norms AS (
+  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+  FROM means GROUP BY label
+),
+counts AS (
+  SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT counts.label, counts.n_vecs, norms.centroid_norm
+FROM counts JOIN norms ON counts.label = norms.label
+ORDER BY counts.label
+"""

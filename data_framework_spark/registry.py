@@ -24,6 +24,7 @@ from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
+from data_framework_spark.functions import corpus as corpus_mod
 from data_framework_spark.functions import semistructured as semi_mod
 from data_framework_spark.functions import sampling as sampling_mod
 from data_framework_spark.functions import text as text_mod
@@ -521,6 +522,42 @@ QUERIES: dict[str, Query] = {
         "duplicate embeddings via sign-LSH bands + in-bucket GEMM "
         "(structural recall for colinear twins, logged candidate pruning)",
     ),
+    # --- corpus curation (extension: training-data pipeline, round 3) ---
+    "quality_filter": Query(
+        corpus_mod.q_quality_filter,
+        corpus_mod.Q_QUALITY_FILTER_SQL,
+        "Gopher-style rule filter: per-source pass counts + stopword frac",
+    ),
+    "repetition_filter": Query(
+        corpus_mod.q_repetition_filter,
+        corpus_mod.Q_REPETITION_FILTER_SQL,
+        "repetitious-text detection: top-token frequency ratio per doc",
+    ),
+    "tfidf_top_terms": Query(
+        corpus_mod.q_tfidf_top_terms,
+        corpus_mod.Q_TFIDF_TOP_TERMS_SQL,
+        "top-5 TF-IDF terms per source",
+    ),
+    "shard_assign": Query(
+        corpus_mod.q_shard_assign,
+        corpus_mod.Q_SHARD_ASSIGN_SQL,
+        "deterministic md5 shard assignment + balance accounting",
+    ),
+    "contamination_check": Query(
+        corpus_mod.q_contamination_check,
+        corpus_mod.Q_CONTAMINATION_CHECK_SQL,
+        "cross-source exact-dup overlap (decontamination accounting)",
+    ),
+    "bigram_topk": Query(
+        corpus_mod.q_bigram_topk,
+        corpus_mod.Q_BIGRAM_TOPK_SQL,
+        "corpus top-20 word bigrams, array-domain n-gram build",
+    ),
+    "label_centroids": Query(
+        corpus_mod.q_label_centroids,
+        corpus_mod.Q_LABEL_CENTROIDS_SQL,
+        "per-label embedding centroid norm via positional aggregation",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -532,6 +569,14 @@ QUERIES: dict[str, Query] = {
 # green block.  Queries not listed here keep their definition order after
 # the hoisted block.
 _VERIFY_FIRST: list[str] = [
+    # -- new this round (never driver-checked) --
+    "quality_filter",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "shard_assign",
+    "contamination_check",
+    "bigram_topk",
+    "label_centroids",
     # -- never driver-checked (no CORRECTNESS row in r1 or r2) --
     "tpch_q9_profit",
     "tpch_q21_waiting",
