@@ -522,6 +522,12 @@ QUERIES: dict[str, Query] = {
         "duplicate embeddings via sign-LSH bands + in-bucket GEMM "
         "(structural recall for colinear twins, logged candidate pruning)",
     ),
+    "ann_hamming_rerank": Query(
+        ann_mod.q_ann_hamming_rerank,
+        ann_mod.Q_ANN_HAMMING_RERANK_SQL,
+        "two-stage ANN: 24-bit signature Hamming scan + exact top-100 "
+        "cosine re-rank (compress-then-rerank)",
+    ),
     # --- corpus curation (extension: training-data pipeline, round 3) ---
     "quality_filter": Query(
         corpus_mod.q_quality_filter,
@@ -570,6 +576,7 @@ QUERIES: dict[str, Query] = {
 # the hoisted block.
 _VERIFY_FIRST: list[str] = [
     # -- new this round (never driver-checked) --
+    "ann_hamming_rerank",
     "quality_filter",
     "repetition_filter",
     "tfidf_top_terms",

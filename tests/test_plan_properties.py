@@ -98,3 +98,25 @@ def test_pack_sequences_no_single_task_stratum(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     local_specs = [s for s in specs if "chunk" in s]
     assert local_specs, f"no (source, chunk) window in plan: {specs}"
+
+
+def test_corpus_queries_prune_columns(spark):
+    """The corpus-curation scans must read only the columns they use —
+    a 100 TB documents table scanned for all columns to compute a
+    2-column metric is the canonical pruning failure."""
+    from data_framework_spark.functions.corpus import (
+        q_bigram_topk,
+        q_quality_filter,
+        q_shard_assign,
+    )
+
+    p = plan_text(q_quality_filter(spark, SF))
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "source" in scan
+    assert "doc_id" not in scan and "n_chars" not in scan and "lang" not in scan
+    scan = plan_text(q_bigram_topk(spark, SF))
+    scan = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "source" not in scan and "doc_id" not in scan
+    scan = plan_text(q_shard_assign(spark, SF))
+    scan = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
