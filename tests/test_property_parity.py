@@ -1,0 +1,198 @@
+"""Property-based parity tests: randomized inputs checked against an
+independent reference implementation (pandas / a slow-but-obviously-
+correct kernel). These catch the corner cases hand-picked fixtures
+miss — NULL payloads, tie storms, degenerate masks, pathological
+partitionings."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_framework_spark.dedup.clusters import connected_components
+from data_framework_spark.functions.sampling import pack_bins
+from data_framework_spark.kernels.ndimage import _CROSS, flood
+from data_framework_spark.operators.asof import asof_join
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _flood_reference(mask: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
+    """Per-pixel BFS — the obviously-correct O(pixels) reference."""
+    from collections import deque
+
+    target = mask[seed]
+    out = np.zeros(mask.shape, dtype=bool)
+    dq = deque([seed])
+    out[seed] = True
+    while dq:
+        y, x = dq.popleft()
+        for dy, dx in _CROSS:
+            ny, nx = y + dy, x + dx
+            if (
+                0 <= ny < mask.shape[0]
+                and 0 <= nx < mask.shape[1]
+                and not out[ny, nx]
+                and mask[ny, nx] == target
+            ):
+                out[ny, nx] = True
+                dq.append((ny, nx))
+    return out
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_flood_matches_pixel_bfs(data):
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    density = data.draw(st.floats(0.1, 0.9), label="density")
+    seed_rng = data.draw(st.integers(0, 2**31 - 1), label="rng")
+    rng = np.random.default_rng(seed_rng)
+    mask = (rng.random((h, w)) < density).astype(np.int64)
+    sy = data.draw(st.integers(0, h - 1), label="sy")
+    sx = data.draw(st.integers(0, w - 1), label="sx")
+    got = flood(mask, (sy, sx))
+    want = _flood_reference(mask, (sy, sx))
+    assert np.array_equal(got, want)
+
+
+@given(st.data())
+@_SLOW
+def test_asof_matches_pandas_merge_asof(spark, data):
+    """asof_join vs pandas.merge_asof on random frames with NULL
+    payloads and timestamp ties — DuckDB-equivalent semantics:
+    inclusive ties, per-key grouping, inner drop, payload and ts_r
+    from the SAME right row."""
+    n_left = data.draw(st.integers(1, 20), label="n_left")
+    n_right = data.draw(st.integers(1, 20), label="n_right")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    base = datetime.datetime(2024, 1, 1)
+    mk_ts = lambda n: [
+        base + datetime.timedelta(seconds=int(s))
+        for s in rng.integers(0, 30, n)
+    ]
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left),
+            "user_id": rng.integers(0, 4, n_left),
+            "ts": mk_ts(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 4, n_right),
+            "ts": mk_ts(n_right),
+            "value": [
+                None if rng.random() < 0.3 else float(v)
+                for v in rng.integers(0, 100, n_right)
+            ],
+        }
+    )
+    got = asof_join(
+        spark.createDataFrame(left, "event_id long, user_id long, ts timestamp"),
+        spark.createDataFrame(right, "user_id long, ts timestamp, value double"),
+        by="user_id",
+        ts="ts",
+        right_payload=["value"],
+    ).toPandas()
+
+    # reference: merge_asof needs sorted inputs; ties within right on
+    # the same (user_id, ts) resolve to the LAST occurrence in sort
+    # order, matching last() over the (ts, side) window. The value col
+    # may be a legit NULL, so inner-drop detection uses a sentinel
+    # has_match column rather than value's null-ness.
+    rs = (
+        right.sort_values(["ts"], kind="stable")
+        .reset_index(drop=True)
+        .assign(ts_r_ref=lambda d: d["ts"], has_match=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        rs[["user_id", "ts", "value", "ts_r_ref", "has_match"]],
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+        suffixes=("", "_r"),
+    )
+    want = want[want["has_match"].notna()]
+
+    got_s = {
+        (int(r.event_id), r.ts_r, None if pd.isna(r.value_r) else float(r.value_r))
+        for r in got.itertuples()
+    }
+    want_s = {
+        (
+            int(r.event_id),
+            r.ts_r_ref.to_pydatetime(),
+            None if pd.isna(r.value) else float(r.value),
+        )
+        for r in want.itertuples()
+    }
+    assert got_s == want_s
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 17))
+@_SLOW
+def test_pack_bins_partition_independent(spark, seed, n_parts):
+    """Bin assignment must depend only on (doc_id, source, n_tok) —
+    never on the physical partitioning of the input."""
+    rng = np.random.default_rng(seed)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": [f"s{int(x)}" for x in rng.integers(0, 3, n)],
+            "n_tok": rng.integers(1, 500, n),
+        }
+    )
+    base = spark.createDataFrame(pdf, "doc_id long, source string, n_tok long")
+    a = {
+        (r.doc_id, r.bin)
+        for r in pack_bins(base.repartition(1), budget=512).collect()
+    }
+    b = {
+        (r.doc_id, r.bin)
+        for r in pack_bins(base.repartition(n_parts, "doc_id"), budget=512).collect()
+    }
+    assert a == b
+
+
+def test_cc_matches_networkx_free_reference(spark):
+    """connected_components vs a driver-side union-find on a random
+    graph (200 vertices, 300 edges) — one deterministic heavy case in
+    addition to the fixed-shape tests."""
+    rng = np.random.default_rng(42)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (300, 2))]
+    parent = list(range(201))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {v for e in edges for v in e}
+    want = {v: find(v) for v in sorted(seen)}
+    # min-label CC: component id = min vertex id; union-find with
+    # min-root merging yields the same representative
+    got = {
+        r.vertex: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, "a long, b long")
+        ).collect()
+    }
+    assert got == want
