@@ -522,6 +522,11 @@ QUERIES: dict[str, Query] = {
         "duplicate embeddings via sign-LSH bands + in-bucket GEMM "
         "(structural recall for colinear twins, logged candidate pruning)",
     ),
+    "partitioned_prune_roundtrip": Query(
+        formats_mod.q_partitioned_prune_roundtrip,
+        formats_mod.Q_PARTITIONED_PRUNE_ROUNDTRIP_SQL,
+        "hive-partitioned parquet write + partition-pruned read-back",
+    ),
     "ann_hamming_rerank": Query(
         ann_mod.q_ann_hamming_rerank,
         ann_mod.Q_ANN_HAMMING_RERANK_SQL,
@@ -576,6 +581,7 @@ QUERIES: dict[str, Query] = {
 # the hoisted block.
 _VERIFY_FIRST: list[str] = [
     # -- new this round (never driver-checked) --
+    "partitioned_prune_roundtrip",
     "ann_hamming_rerank",
     "quality_filter",
     "repetition_filter",

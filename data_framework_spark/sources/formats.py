@@ -69,3 +69,39 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
 """
+
+
+def q_partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: documents
+    written `partitionBy("source")` to parquet, read back with a
+    source predicate — at 100 TB this layout turns a per-source query
+    from a full scan into a directory listing (the read plan carries
+    the predicate as PartitionFilters, pinned by the plan test). The
+    oracle aggregates the same slice of the original table, so a row
+    lost or duplicated by the partitioned write breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="part_roundtrip_")
+    (
+        docs.write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(f"{tmp}/documents_by_source")
+    )
+    back = spark.read.parquet(f"{tmp}/documents_by_source")
+    return (
+        back.filter(F.col("source").isin("src0", "src7", "src15"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+Q_PARTITIONED_PRUNE_ROUNDTRIP_SQL = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+WHERE source IN ('src0', 'src7', 'src15')
+GROUP BY source, lang
+ORDER BY source, lang
+"""

@@ -120,3 +120,48 @@ def test_corpus_queries_prune_columns(spark):
     scan = plan_text(q_shard_assign(spark, SF))
     scan = scan[scan.index("ReadSchema") :].splitlines()[0]
     assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The partitioned read-back must prune at the directory level:
+    the source predicate appears as PartitionFilters on the scan, and
+    the partition column is absent from ReadSchema (it comes from the
+    path, not the data)."""
+    from data_framework_spark.sources.formats import (
+        q_partitioned_prune_roundtrip,
+    )
+
+    p = plan_text(q_partitioned_prune_roundtrip(spark, SF))
+    i = p.index("PartitionFilters")
+    pf = p[i : i + 200]
+    assert "source" in pf
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "source" not in scan  # partition col is path-derived
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep EVERY registry query's physical plan: CartesianProduct
+    may appear only in the explicitly-labeled exact baselines (none
+    use it today — broadcast cross joins compile to
+    BroadcastNestedLoopJoin, which is bounded by the broadcast side).
+    A new query regressing to an unbroadcast cartesian join fails
+    here before it fails at scale."""
+    import pytest
+
+    from data_framework_spark.registry import QUERIES
+
+    # streaming replays execute work on plan construction; grid
+    # kernels are applyInPandas over tiny fixed tiles — skip the
+    # slow-to-plan entries, sweep the rest
+    skip_prefixes = ("streaming_", "stateful_", "find_structures")
+    offenders = []
+    for name, q in QUERIES.items():
+        if name.startswith(skip_prefixes):
+            continue
+        try:
+            p = plan_text(q.fn(spark, SF))
+        except Exception as ex:  # pragma: no cover - sweep robustness
+            pytest.fail(f"{name} failed to plan: {ex}")
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert offenders == []
