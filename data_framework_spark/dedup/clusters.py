@@ -33,16 +33,33 @@ _EDGES_PER_PARTITION = 500_000
 _MIN_PARTITIONS = 8
 _MAX_PARTITIONS = 2048
 
+# below this many distinct directed edges the component computation
+# runs driver-side (union-find over one bounded collect, ~16 B/edge →
+# ~32 MB at the threshold) instead of paying 3-5 Spark jobs of
+# fixed overhead per propagation round. Same bounded-collect pattern
+# as the IVF centroid sample (similarity/ivf.py); the distributed
+# label-propagation path is unchanged and remains the route for
+# every graph above the threshold.
+SMALL_GRAPH_EDGES = 2_000_000
+
 
 def connected_components(
-    edges: DataFrame, a: str = "a", b: str = "b", max_rounds: int = 50
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in `edges`;
     component = min vertex id reachable. Iterates label propagation to
     a fixpoint (checked per round with a cheap count of changed
     labels); logs a warning if max_rounds expires before the fixpoint
     (diameter > max_rounds), in which case labels are upper bounds on
-    the true component minima."""
+    the true component minima. Graphs with fewer than
+    `small_graph_edges` distinct directed edges short-circuit to a
+    driver-side union-find (identical min-label result — pinned by
+    tests/test_property_parity.py — without per-round job overhead);
+    pass small_graph_edges=0 to force the distributed path."""
     # eager localCheckpoint: iterative plans grow lineage every round —
     # without truncation each action re-analyzes (and can re-execute)
     # the whole chain back to the edge producer. Checkpointing the
@@ -60,6 +77,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_edges = sym.count()  # cheap: scans the checkpoint, not the producer
+    if n_edges < small_graph_edges:
+        return _cc_driver_side(sym)
     parts = max(
         _MIN_PARTITIONS,
         min(_MAX_PARTITIONS, -(-n_edges // _EDGES_PER_PARTITION)),
@@ -70,6 +89,37 @@ def connected_components(
         return _cc_rounds(sym, max_rounds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _cc_driver_side(sym: DataFrame) -> DataFrame:
+    """Union-find with min-root merging over a bounded edge collect —
+    the representative of each component is its minimum vertex id,
+    identical to the distributed algorithm's fixpoint."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        s, d = r["src"], r["dst"]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    out = [(v, find(v)) for v in parent]
+    return sym.sparkSession.createDataFrame(
+        out, "vertex long, component long"
+    )
 
 
 def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame:

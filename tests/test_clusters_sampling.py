@@ -17,15 +17,20 @@ def test_cc_known_graph(spark):
         [(1, 2), (2, 3), (4, 5), (10, 11), (11, 12), (12, 13), (13, 14)],
         "a long, b long",
     )
-    out = {
-        r["vertex"]: r["component"]
-        for r in connected_components(edges).collect()
-    }
-    assert out == {
+    want = {
         1: 1, 2: 1, 3: 1,
         4: 4, 5: 4,
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
     }
+    # both the driver-side fast path (default for small graphs) and
+    # the distributed label-propagation path (forced) must agree
+    for threshold in (None, 0):
+        kw = {} if threshold is None else {"small_graph_edges": 0}
+        out = {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges, **kw).collect()
+        }
+        assert out == want, f"threshold={threshold}"
 
 
 def test_cc_long_chain_converges(spark):
@@ -34,7 +39,7 @@ def test_cc_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "a long, b long"
     )
-    out = connected_components(edges)
+    out = connected_components(edges, small_graph_edges=0)
     comps = out.select("component").distinct().collect()
     assert len(comps) == 1 and comps[0]["component"] == 0
 
@@ -48,7 +53,7 @@ def test_cc_warns_when_fixpoint_not_reached(spark, caplog):
         [(i, i + 1) for i in range(30)], "a long, b long"
     )
     with caplog.at_level(logging.WARNING, "data_framework_spark.dedup.clusters"):
-        connected_components(edges, max_rounds=2).collect()
+        connected_components(edges, max_rounds=2, small_graph_edges=0).collect()
     assert any("fixpoint NOT reached" in r.message for r in caplog.records)
 
 

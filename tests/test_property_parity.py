@@ -189,10 +189,10 @@ def test_cc_matches_networkx_free_reference(spark):
     want = {v: find(v) for v in sorted(seen)}
     # min-label CC: component id = min vertex id; union-find with
     # min-root merging yields the same representative
-    got = {
-        r.vertex: r.component
-        for r in connected_components(
-            spark.createDataFrame(edges, "a long, b long")
-        ).collect()
-    }
-    assert got == want
+    df = spark.createDataFrame(edges, "a long, b long")
+    for kw in ({}, {"small_graph_edges": 0}):  # fast path AND distributed
+        got = {
+            r.vertex: r.component
+            for r in connected_components(df, **kw).collect()
+        }
+        assert got == want, f"kwargs={kw}"
