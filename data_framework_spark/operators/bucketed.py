@@ -164,3 +164,66 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def q_hll_union_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch CONTRACT for DataSketches HLL: per event_type,
+    the exact distinct-user count plus a boolean asserting the HLL
+    estimate (lgK=12, ~1.6% RSE) lands within 5%; then the per-type
+    sketches are UNION-MERGED (hll_union_agg) and the merged estimate
+    is checked against the exact global distinct count. The merge is
+    the property that matters at 100 TB: per-partition sketches
+    combine associatively, so the global estimate needs one tiny
+    reduce instead of a full distinct shuffle. Sketch values are
+    engine-specific, so (as with q_sketch_accuracy_events) the oracle
+    states exact counts and literal TRUEs — an estimate drifting out
+    of tolerance fails the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"),
+    )
+    global_exact = ev.agg(
+        F.countDistinct("user_id").alias("__g_exact")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__g_est")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate(F.col("__sk")) - F.col("n_users")
+                )
+                <= F.lit(0.05) * F.col("n_users")
+            ).alias("hll_within_5pct"),
+        )
+        .crossJoin(F.broadcast(global_exact))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "event_type",
+            "n_users",
+            "hll_within_5pct",
+            F.col("__g_exact").alias("global_users"),
+            (
+                F.abs(F.col("__g_est") - F.col("__g_exact"))
+                <= F.lit(0.05) * F.col("__g_exact")
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_HLL_UNION_CONTRACT_EVENTS_SQL = """
+WITH g AS (SELECT count(DISTINCT user_id) AS global_users FROM events)
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS hll_within_5pct,
+       g.global_users,
+       TRUE AS merged_within_5pct
+FROM events CROSS JOIN g
+GROUP BY event_type, g.global_users
+ORDER BY event_type
+"""

@@ -97,6 +97,38 @@ ORDER BY event_id
 """
 
 
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling MEDIAN over the trailing 10 events — the
+    robust-statistics sibling of the moving average (outlier-resistant
+    rolling features). Exact interpolated percentile per bounded frame
+    (Spark percentile == DuckDB quantile_cont), deterministic frame
+    order via the (ts, event_id) tie-break. Window cost is
+    O(frame log frame) per row and partition-parallel by user — no
+    repartition beyond the window's own shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("rolling_med"),
+    ).orderBy("event_id")
+
+
+Q_ROLLING_MEDIAN_EVENTS_SQL = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS rolling_med
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all four aggregation
     levels in one pass. grouping() flags are lifted into explicit

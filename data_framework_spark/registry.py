@@ -569,6 +569,24 @@ QUERIES: dict[str, Query] = {
         corpus_mod.Q_LABEL_CENTROIDS_SQL,
         "per-label embedding centroid norm via positional aggregation",
     ),
+    # --- round-3 late additions (driver-checked on next rotation) ---
+    "orc_roundtrip": Query(
+        formats_mod.q_orc_roundtrip,
+        formats_mod.Q_ORC_ROUNDTRIP_SQL,
+        "ORC sink/source round-trip vs parquet original",
+    ),
+    "rolling_median_events": Query(
+        profile.q_rolling_median_events,
+        profile.Q_ROLLING_MEDIAN_EVENTS_SQL,
+        "per-user rolling median over trailing 10 events (exact "
+        "interpolated percentile per bounded frame)",
+    ),
+    "hll_union_contract_events": Query(
+        bucketed.q_hll_union_contract_events,
+        bucketed.Q_HLL_UNION_CONTRACT_EVENTS_SQL,
+        "DataSketches HLL accuracy + union-merge contract "
+        "(per-type and merged-global estimates vs exact)",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry

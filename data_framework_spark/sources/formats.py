@@ -105,3 +105,39 @@ WHERE source IN ('src0', 'src7', 'src15')
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: the orders table written to ORC
+    (Spark's second columnar native format; predicate pushdown and
+    column pruning work the same as parquet) and read back for a
+    per-status aggregate. The oracle aggregates the parquet original,
+    so any codec/type mangling (decimal widths, timestamp encoding)
+    breaks the hash. Avro was probed and is NOT available in this
+    build (external spark-avro module, not installable here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    orders.write.mode("overwrite").orc(f"{tmp}/orders_orc")
+    back = spark.read.orc(f"{tmp}/orders_orc")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_ORC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       min(o_orderdate) AS first_date,
+       max(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
