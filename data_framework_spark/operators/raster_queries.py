@@ -378,3 +378,23 @@ SELECT DISTINCT round(r, 6) AS r, round(c, 6) AS c
 FROM (SELECT * FROM h UNION ALL SELECT * FROM v)
 ORDER BY r, c
 """
+
+
+def q_tiled_gaussian_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME σ=1 Gaussian as q_gaussian_smooth_grid, but through
+    the halo-exchange tiled runner (8×8 patches, radius-4 halos over
+    the 16×16 grid → 4 patches): proves the scale path for a single
+    oversized timestep produces bit-identical output — the oracle is
+    the identical 9-tap SQL."""
+    from data_framework_spark.plans.tile_kernel import tile_apply_halo
+
+    g = lineitem_grid(spark, sf_dir)
+    out = tile_apply_halo(
+        g, lambda a: ndimage.gaussian_filter(a, 1.0), radius=4, tile=8
+    )
+    return out.select(
+        "i0", "i1", F.round("value", 4).alias("smooth")
+    ).orderBy("i0", "i1")
+
+
+Q_TILED_GAUSSIAN_GRID_SQL = Q_GAUSSIAN_SMOOTH_GRID_SQL

@@ -587,6 +587,12 @@ QUERIES: dict[str, Query] = {
         "DataSketches HLL accuracy + union-merge contract "
         "(per-type and merged-global estimates vs exact)",
     ),
+    "tiled_gaussian_grid": Query(
+        raster_queries.q_tiled_gaussian_grid,
+        raster_queries.Q_TILED_GAUSSIAN_GRID_SQL,
+        "halo-exchange tiled Gaussian: scale path for oversized "
+        "single-timestep grids, bit-identical to the whole-grid kernel",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry

@@ -211,3 +211,35 @@ def test_bilinear_at():
     np.testing.assert_allclose(
         bilinear_at(f, np.array([[0.5, 0.5]])), [(0 + 1 + 4 + 5) / 4]
     )
+
+
+def test_halo_tiled_equals_whole_grid(spark):
+    """tile_apply_halo must be bit-identical to tile_apply for a
+    bounded-radius stencil, across tile sizes that do and don't divide
+    the grid, including tile > grid (single patch)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_framework_spark.kernels import ndimage
+    from data_framework_spark.plans.tile_kernel import tile_apply, tile_apply_halo
+
+    rng = np.random.default_rng(3)
+    n0, n1 = 20, 17
+    rows = [
+        (0.0, i, j, float(i), float(j), float(v))
+        for (i, j), v in np.ndenumerate(rng.integers(0, 50, (n0, n1)))
+    ]
+    df = spark.createDataFrame(
+        rows, "t double, i0 long, i1 long, c0 double, c1 double, value double"
+    )
+    kern = lambda a: ndimage.gaussian_filter(a, 1.0)
+    want = {
+        (r["i0"], r["i1"]): round(r["value"], 6)
+        for r in tile_apply(df, kern).collect()
+    }
+    for tile in (7, 8, 64):
+        got = {
+            (r["i0"], r["i1"]): round(r["value"], 6)
+            for r in tile_apply_halo(df, kern, radius=4, tile=tile).collect()
+        }
+        assert got == want, f"tile={tile}"
