@@ -384,3 +384,198 @@ SELECT counts.label, counts.n_vecs, norms.centroid_norm
 FROM counts JOIN norms ON counts.label = norms.label
 ORDER BY counts.label
 """
+
+# --- benchmark decontamination --------------------------------------------
+
+# sliding-shingle width for train-vs-benchmark overlap (13 is the
+# GPT-3/PaLM convention; 8 fits this corpus's ~50-token documents)
+DECONTAM_SHINGLE = 8
+# deterministic held-out "benchmark" slice of the corpus
+DECONTAM_BENCH_FRAC = 0.05
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-benchmark decontamination: flag training documents
+    sharing any `DECONTAM_SHINGLE`-token sliding shingle with a
+    held-out benchmark slice (hash_fraction(doc_id) <
+    DECONTAM_BENCH_FRAC — deterministic, engine-independent), and
+    report per-source contamination accounting (docs flagged, mean
+    overlap fraction among flagged, max overlap).
+
+    This is the eval-leakage filter of GPT-3 appendix C / PaLM §C:
+    n-gram collision against the benchmark, not whole-document
+    equality, so near-verbatim leakage is caught.
+
+    Scale shape: the benchmark shingle set is benchmark-sized (tiny
+    vs corpus) → broadcast; the train side explodes per-doc DISTINCT
+    shingles (flatMap, no shuffle), the broadcast join filters to
+    matches immediately, and the only shuffle is the groupBy over the
+    (small) matched rows plus the final per-source aggregate. No
+    corpus-sized pair enumeration anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = F.when(
+        F.size(toks) >= DECONTAM_SHINGLE,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECONTAM_SHINGLE - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i, DECONTAM_SHINGLE))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_bench = hash_fraction(F.col("doc_id")) < DECONTAM_BENCH_FRAC
+    base = docs.select(
+        "doc_id", "source", sh.alias("g"), is_bench.alias("b")
+    )
+    bench_h = base.filter("b").select(F.explode("g").alias("h")).distinct()
+    train = base.filter(~F.col("b"))
+    # g is distinct per doc, so a plain count == matched-shingle count
+    matched = (
+        train.select("doc_id", F.explode("g").alias("h"))
+        .join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    per_doc = (
+        train.select("doc_id", "source", F.size("g").alias("n_sh"))
+        .join(matched, "doc_id", "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        .withColumn(
+            "frac",
+            F.when(
+                F.col("n_sh") > 0, F.col("n_matched") / F.col("n_sh")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_matched") > 0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.avg(F.when(F.col("n_matched") > 0, F.col("frac"))), 6
+            ).alias("avg_overlap_contam"),
+            F.round(F.max("frac"), 6).alias("max_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_BENCHMARK_DECONTAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+          / 4294967296.0) < {DECONTAM_BENCH_FRAC} AS b,
+         CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE} THEN
+           list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE - 2}),
+             i -> md5(array_to_string(
+                    string_split(text, ' ')[i:i+{DECONTAM_SHINGLE - 1}], ' '))))
+         ELSE []::VARCHAR[] END AS g
+  FROM documents
+),
+bench AS (SELECT DISTINCT unnest(g) AS h FROM base WHERE b),
+train AS (SELECT doc_id, source, g FROM base WHERE NOT b),
+matched AS (
+  SELECT t.doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(g) AS h FROM train) t
+  JOIN bench USING (h)
+  GROUP BY t.doc_id
+),
+per_doc AS (
+  SELECT tr.doc_id, tr.source, len(tr.g) AS n_sh,
+         coalesce(m.n_matched, 0) AS n_matched,
+         CASE WHEN len(tr.g) > 0
+              THEN coalesce(m.n_matched, 0)::DOUBLE / len(tr.g)
+              ELSE 0.0 END AS frac
+  FROM train tr LEFT JOIN matched m USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_matched > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(avg(CASE WHEN n_matched > 0 THEN frac END), 6)
+         AS avg_overlap_contam,
+       round(max(frac), 6) AS max_overlap
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- duplicate-n-gram fraction --------------------------------------------
+
+DUPNG_N = 3
+DUPNG_FLAG = 0.05
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-n-gram fraction (Gopher rule family,
+    Rae et al. 2021 §A1.1: "duplicate n-grams" repetition signals):
+    per doc, 1 − distinct_trigrams/total_trigrams; per source, the
+    mean/max fraction and the count of docs above DUPNG_FLAG.
+
+    Complements `q_repetition_filter` (single most-frequent token):
+    that catches token spam, this catches phrase-level loops. Entirely
+    in the array domain — trigram construction, dedup, and the
+    fraction are per-row JVM expressions, so the per-doc pass is
+    shuffle-free and the only shuffle is the per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tg = F.when(
+        F.size(toks) >= DUPNG_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DUPNG_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, DUPNG_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    frac = F.when(
+        F.size(tg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("source", frac.alias("dup_frac"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.sum((F.col("dup_frac") > DUPNG_FLAG).cast("long")).alias(
+                "n_flagged"
+            ),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_DUP_NGRAM_FRACTION_SQL = f"""
+WITH tg AS (
+  SELECT source,
+         CASE WHEN len(string_split(text, ' ')) >= {DUPNG_N} THEN
+           list_transform(range(1, len(string_split(text, ' ')) - {DUPNG_N - 2}),
+             i -> array_to_string(string_split(text, ' ')[i:i+{DUPNG_N - 1}], ' '))
+         ELSE []::VARCHAR[] END AS g
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CASE WHEN len(g) > 0
+              THEN 1.0 - len(list_distinct(g))::DOUBLE / len(g)
+              ELSE 0.0 END AS dup_frac
+  FROM tg
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(dup_frac), 6) AS avg_dup_frac,
+       sum(CASE WHEN dup_frac > {DUPNG_FLAG} THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged,
+       round(max(dup_frac), 6) AS max_dup_frac
+FROM per
+GROUP BY source
+ORDER BY source
+"""

@@ -593,6 +593,18 @@ QUERIES: dict[str, Query] = {
         "halo-exchange tiled Gaussian: scale path for oversized "
         "single-timestep grids, bit-identical to the whole-grid kernel",
     ),
+    "benchmark_decontam": Query(
+        corpus_mod.q_benchmark_decontam,
+        corpus_mod.Q_BENCHMARK_DECONTAM_SQL,
+        "train-vs-benchmark decontamination: sliding-shingle overlap "
+        "against a deterministic held-out slice, broadcast-join shaped",
+    ),
+    "dup_ngram_fraction": Query(
+        corpus_mod.q_dup_ngram_fraction,
+        corpus_mod.Q_DUP_NGRAM_FRACTION_SQL,
+        "within-doc duplicate-trigram fraction (Gopher repetition rule), "
+        "array-domain, shuffle-free per-doc pass",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
