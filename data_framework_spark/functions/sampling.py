@@ -172,8 +172,8 @@ WITH toks AS (
 ),
 packed AS (
   SELECT source,
-         (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
-           // 2048 AS bin,
+         ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+           // 2048)::BIGINT AS bin,
          n_tok
   FROM toks
 )

@@ -616,59 +616,64 @@ QUERIES: dict[str, Query] = {
 # green block.  Queries not listed here keep their definition order after
 # the hoisted block.
 _VERIFY_FIRST: list[str] = [
-    # -- new this round (never driver-checked) --
-    "partitioned_prune_roundtrip",
-    "ann_hamming_rerank",
-    "quality_filter",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "shard_assign",
-    "contamination_check",
-    "bigram_topk",
-    "label_centroids",
-    # -- never driver-checked (no CORRECTNESS row in r1 or r2) --
-    "tpch_q9_profit",
-    "tpch_q21_waiting",
-    "tpch_q11_important_parts",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_count",
-    "tpch_q20_excess_suppliers",
-    "bucketed_join_lineitem",
-    "sketch_accuracy_events",
-    "profile_percentiles",
-    "moving_average_events",
-    "cube_orders",
-    "pivot_events",
-    "asof_attribution",
-    "range_join_clicks",
-    "skew_salted_agg",
-    "scalar_fns_events",
-    "lang_id",
-    "corpus_mix",
+    # -- round-4 additions (never driver-checked) --
+    # (new queries registered this round are appended here as they land)
+    # -- late round-3 additions, frozen out of the r3 window --
+    "orc_roundtrip",
+    "rolling_median_events",
+    "hll_union_contract_events",
+    "tiled_gaussian_grid",
+    "benchmark_decontam",
+    "dup_ngram_fraction",
+    # -- round-3 red row: oracle type fix (bin ::BIGINT) needs a green row --
     "pack_sequences",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "embedding_dedup_lsh",
-    # -- last verified in round 1 only --
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "distinct_suppliers_by_brand",
-    "set_ops_customers",
-    "sessionize_events",
-    "text_stats",
-    "lang_profile",
-    "winnow_fingerprint",
-    "token_regex_profile",
-    "dedup_exact",
-    "dedup_minhash",
-    "minhash_near_dup_pairs",
-    "dedup_simhash",
-    "simhash_near_dups",
-    "ngram_jaccard_pairs",
-    "ann_lsh_topk",
-    "cosine_topk",
-    "embedding_near_dups",
+    # -- backfill: least-recently-verified (r2) in definition order;
+    #    find_structures_island (rows-only by contract) excluded so every
+    #    backfill slot buys a hash-green signal --
+    "timeslice_events",
+    "zoom_lineitem",
+    "select_vars_substring",
+    "array_ingest_roundtrip",
+    "dataset_api_events",
+    "bounds_events",
+    "sigma_threshold_lineitem",
+    "label_extrema_events",
+    "bounds_lineitem",
+    "label_extrema_lineitem",
+    "gaussian_smooth_grid",
+    "extrema_filter_grid",
+    "gap_fill_grid",
+    "dilate_grid",
+    "flood_label_grid",
+    "flood_region_grid",
+    "contours_grid",
+    "running_sum_events",
+    "gradient_events",
+    "fluxfn_grid",
+    "interp_events",
+    "line_slice_linear",
+    "line_slice_nearest",
+    "multimodal_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "stateful_user_totals_live",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "format_roundtrip",
+    "json_props_events",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_orders",
+    "group_rollup",
+    "tpch_q4_semijoin",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
 ]
 
 QUERIES = {
