@@ -92,11 +92,29 @@ def connected_components(
 
 
 def _cc_driver_side(sym: DataFrame) -> DataFrame:
-    """Union-find with min-root merging over a bounded edge collect —
+    """Union-find with min-root merging over a bounded Arrow fetch —
     the representative of each component is its minimum vertex id,
-    identical to the distributed algorithm's fixpoint."""
-    rows = sym.collect()
-    parent: dict = {}
+    identical to the distributed algorithm's fixpoint.
+
+    The edge list arrives as two numpy columns (toPandas → Arrow), not
+    PySpark Rows, so memory at the threshold really is ~16 B/edge
+    rather than hundreds of bytes per Row object; vertex ids are
+    code-compressed through np.unique (sorted, so min code == min
+    vertex) and the parent table is a flat int list, not a dict of
+    Python objects. The output schema mirrors the input vertex type,
+    so non-long (e.g. string) vertex ids behave exactly like the
+    distributed path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = sym.toPandas()
+    vals, codes = np.unique(
+        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    n = len(pdf)
+    parent = list(range(len(vals)))
 
     def find(x):
         root = x
@@ -106,19 +124,21 @@ def _cc_driver_side(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        s, d = r["src"], r["dst"]
-        if s not in parent:
-            parent[s] = s
-        if d not in parent:
-            parent[d] = d
+    for s, d in zip(codes[:n].tolist(), codes[n:].tolist()):
         rs, rd = find(s), find(d)
         if rs != rd:
-            lo, hi = (rs, rd) if rs < rd else (rd, rs)
-            parent[hi] = lo
-    out = [(v, find(v)) for v in parent]
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs  # attach larger root under smaller: min-label
+    roots = np.fromiter(
+        (find(i) for i in range(len(vals))), dtype=np.int64, count=len(vals)
+    )
+    vtype = sym.schema["src"].dataType
     return sym.sparkSession.createDataFrame(
-        out, "vertex long, component long"
+        pd.DataFrame({"vertex": vals, "component": vals[roots]}),
+        StructType(
+            [StructField("vertex", vtype), StructField("component", vtype)]
+        ),
     )
 
 

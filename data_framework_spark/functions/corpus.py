@@ -165,7 +165,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_sources = tf.select("source").distinct().count()
+    # #sources from a column-pruned documents scan — counting it off `tf`
+    # re-executes the whole token explosion + aggregation; identical value
+    # (every doc yields >=1 token, F.split("", " ") == [""]).
+    n_sources = docs.select("source").distinct().count()
     df = tf.groupBy("term").agg(
         F.countDistinct("source").alias("df")
     )
@@ -431,18 +434,26 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", sh.alias("g"), is_bench.alias("b")
     )
     bench_h = base.filter("b").select(F.explode("g").alias("h")).distinct()
-    train = base.filter(~F.col("b"))
-    # g is distinct per doc, so a plain count == matched-shingle count
-    matched = (
-        train.select("doc_id", F.explode("g").alias("h"))
-        .join(F.broadcast(bench_h), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    # Single evaluation of the train-side shingle transform: explode_outer
+    # keeps zero-shingle docs (h=null, never joins), the broadcast LEFT
+    # join marks matches in place, and ONE per-doc aggregation derives
+    # both n_sh (count skips the null h) and n_matched — so the expensive
+    # shingle+md5 subtree has exactly one consumer and needs no cache
+    # (round 3 evaluated it ~3x across three plan branches).
+    # g is distinct per doc, so counting marks == matched-shingle count.
+    exploded = (
+        base.filter(~F.col("b"))
+        .select("doc_id", "source", F.explode_outer("g").alias("h"))
     )
     per_doc = (
-        train.select("doc_id", "source", F.size("g").alias("n_sh"))
-        .join(matched, "doc_id", "left")
-        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        exploded.join(
+            F.broadcast(bench_h.withColumn("m", F.lit(1))), "h", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("h").alias("n_sh"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("n_matched"),
+        )
         .withColumn(
             "frac",
             F.when(

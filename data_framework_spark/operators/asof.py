@@ -58,9 +58,16 @@ def asof_join(
             F.struct(F.col(ts).alias("__ts"), *[F.col(c) for c in payload]),
         ),
     )
+    # Final tie-break on the carry struct itself: right rows sharing
+    # (by, ts) but differing in payload would otherwise resolve by
+    # partition-internal sort order (non-deterministic across runs and
+    # partitionings). Ascending struct order puts the greatest payload
+    # tuple last — exactly what last() carries — with NULL fields
+    # sorting smallest, and costs no extra shuffle (left rows have a
+    # NULL carry, which only reorders them among themselves).
     w = (
         W.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__carry").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(

@@ -37,22 +37,30 @@ def bucketed_tables(
     the two table names. One-time cost per session, amortized over
     every subsequent orderkey join (exactly the production trade).
 
-    The memo is validated against the ACTIVE session's catalog: a
-    cached name from a stopped-and-recreated SparkSession (or a cleaned
-    tempdir) is re-materialized instead of returned stale. The tag is
-    md5-derived from (sf_dir, n_buckets) — stable across processes —
-    and the data directory is reused-or-replaced rather than a fresh
-    mkdtemp per process, so repeated runs don't accumulate tempdirs."""
+    The memo is validated against the ACTIVE session's catalog AND the
+    on-disk data directory: a cached name from a stopped-and-recreated
+    SparkSession, or a path cleaned externally, is re-materialized
+    instead of returned stale. The tag is md5-derived from
+    (sf_dir, n_buckets) plus the PID: deterministic within a process
+    (repeated runs reuse one directory instead of accumulating
+    mkdtemps) but private across processes, so two concurrent
+    benchmarks can't rmtree the parquet files backing each other's
+    live external tables."""
     key = (sf_dir, n_buckets)
+    tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"bucketed_{tag}_{os.getpid()}"
+    )
     if key in _BUCKETED_READY:
         li_cached, ord_cached = _BUCKETED_READY[key]
-        if spark.catalog.tableExists(li_cached) and spark.catalog.tableExists(
-            ord_cached
+        if (
+            spark.catalog.tableExists(li_cached)
+            and spark.catalog.tableExists(ord_cached)
+            and os.path.isdir(os.path.join(base, "lineitem"))
+            and os.path.isdir(os.path.join(base, "orders"))
         ):
             return _BUCKETED_READY[key]
-        del _BUCKETED_READY[key]  # stale session/catalog — rebuild
-    tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+        del _BUCKETED_READY[key]  # stale session/catalog/files — rebuild
     if os.path.exists(base):
         shutil.rmtree(base)  # replace: the catalog entry is gone/stale
     os.makedirs(base)

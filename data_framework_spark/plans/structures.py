@@ -37,8 +37,28 @@ from data_framework_spark.kernels.structures import (
     find_nulls,
     separatrices_and_o_structures,
 )
-from data_framework_spark.plans.tile_kernel import tile_apply
+from data_framework_spark.plans.tile_kernel import tile_apply, tile_apply_halo
 from data_framework_spark.variable import SparkVariable
+
+# Above this many cells per timestep, smoothing runs through the
+# halo-exchange tiled path (plans/tile_kernel.py:tile_apply_halo):
+# parallelism = patches instead of timesteps, peak task memory =
+# (tile+2r)^2 — the route for a single timestep too large for one
+# task. Below it, whole-grid tiles avoid the halo replication cost.
+_HALO_CELLS = 1 << 20
+_HALO_TILE = 256
+
+
+def _smooth_gaussian(v: SparkVariable, s0: float, s1: float):
+    """Per-timestep Gaussian smoothing, routed by grid size: whole-grid
+    tile for small timesteps, halo-tiled (bit-identical — pinned by the
+    tiled_gaussian_grid differential query) above _HALO_CELLS."""
+    kern = lambda a: gaussian_filter(a, (s0, s1))
+    n_cells = len(v.mesh[0]) * len(v.mesh[1])
+    if n_cells > _HALO_CELLS and max(s0, s1) > 0:
+        radius = int(4.0 * max(s0, s1) + 0.5)  # _gauss_kernel1d truncate
+        return tile_apply_halo(v.df, kern, radius=radius, tile=_HALO_TILE)
+    return tile_apply(v.df, kern)
 
 
 def _uniform(mesh: np.ndarray, atol: float = 1e-3) -> bool:
@@ -149,7 +169,7 @@ def find_structures(
     # (2) Gaussian smoothing, registered as *_smooth (:352-369)
     smooth = {}
     for name, v in ((b1_name, b1), (b2_name, b2)):
-        sdf = tile_apply(v.df, lambda a: gaussian_filter(a, (sig[1], sig[2])))
+        sdf = _smooth_gaussian(v, sig[1], sig[2])
         sv = SparkVariable(f"{name}_smooth", sdf, 2, v._timeseries, v._mesh)
         ds.add_var(sv)
         smooth[name] = sv
@@ -275,7 +295,7 @@ def find_structures(
     if "jy" not in ds.variables:
         raise KeyError("find_structures requires a 'jy' variable (vpicdataset.py:482)")
     jy = ds.variables["jy"]
-    jys_df = tile_apply(jy.df, lambda a: gaussian_filter(a, (sig[1], sig[2])))
+    jys_df = _smooth_gaussian(jy, sig[1], sig[2])
     mask_in = flux.df.withColumnRenamed("value", "psi").join(
         jys_df.select("t", "i0", "i1", F.col("value").alias("jys")),
         on=["t", "i0", "i1"],

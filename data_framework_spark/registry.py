@@ -533,6 +533,12 @@ QUERIES: dict[str, Query] = {
         "two-stage ANN: 24-bit signature Hamming scan + exact top-100 "
         "cosine re-rank (compress-then-rerank)",
     ),
+    "ann_recall_contract": Query(
+        ann_mod.q_ann_recall_contract,
+        ann_mod.Q_ANN_RECALL_CONTRACT_SQL,
+        "recall@5 of each approximate ANN route vs the exact baseline, "
+        "with floor booleans the oracle states as literal TRUE",
+    ),
     # --- corpus curation (extension: training-data pipeline, round 3) ---
     "quality_filter": Query(
         corpus_mod.q_quality_filter,
@@ -617,7 +623,7 @@ QUERIES: dict[str, Query] = {
 # the hoisted block.
 _VERIFY_FIRST: list[str] = [
     # -- round-4 additions (never driver-checked) --
-    # (new queries registered this round are appended here as they land)
+    "ann_recall_contract",
     # -- late round-3 additions, frozen out of the r3 window --
     "orc_roundtrip",
     "rolling_median_events",
@@ -672,8 +678,6 @@ _VERIFY_FIRST: list[str] = [
     "group_rollup",
     "tpch_q4_semijoin",
     "tpch_q7_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returns",
 ]
 
 QUERIES = {

@@ -754,3 +754,100 @@ WHERE a.vec_id < b.vec_id
                                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         / (a.nrm * b.nrm), 6) >= 0.9999
 """
+
+
+# --- recall contract --------------------------------------------------------
+
+# Regression floors for the approximate routes' recall@5 against the
+# exact brute-force baseline. Observed: LSH multi-probe 0.51, Hamming
+# re-rank 0.62 at sf0.01 (set comfortably below the min across the
+# driver's scale factors so only a real route regression trips them).
+LSH_RECALL_FLOOR = 0.35
+RERANK_RECALL_FLOOR = 0.50
+
+
+def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall CONTRACT for the approximate ANN routes: recall@5 of
+    sign-LSH multi-probe and Hamming re-rank against the exact
+    brute-force baseline, plus a boolean asserting each route clears
+    its stated floor. The oracle composes the three routes' own
+    (hash-verified) SQL replicas and states literal TRUE for the floor
+    booleans — so a Spark-side route regression shows up as a recall
+    mismatch, and a quality drop below the floor flips the boolean and
+    fails the hash even if both implementations are changed
+    "consistently". Same contract pattern as q_sketch_accuracy_events.
+
+    Denominator is the EXACT top-k pair set (recall@k proper), so a
+    route returning short bucket results is penalized, not excused."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        q_ann_lsh_topk(spark, sf_dir)
+        .select(
+            F.lit("lsh_multiprobe").alias("route"), "query_id", "neighbor_id"
+        )
+        .unionByName(
+            q_ann_hamming_rerank(spark, sf_dir).select(
+                F.lit("hamming_rerank").alias("route"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        .withColumn("m", F.lit(1))
+    )
+    routes = spark.createDataFrame(
+        [("hamming_rerank",), ("lsh_multiprobe",)], "route string"
+    )
+    per_route = (
+        exact.crossJoin(F.broadcast(routes))
+        .join(approx, ["route", "query_id", "neighbor_id"], "left")
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
+        )
+    )
+    floor = F.when(
+        F.col("route") == "lsh_multiprobe", F.lit(LSH_RECALL_FLOOR)
+    ).otherwise(F.lit(RERANK_RECALL_FLOOR))
+    return (
+        per_route.withColumn(
+            "recall", F.round(F.col("hits") / F.col("total"), 4)
+        )
+        .withColumn("meets_floor", F.col("recall") >= floor)
+        .orderBy("route")
+    )
+
+
+Q_ANN_RECALL_CONTRACT_SQL = f"""
+WITH exact_pairs AS (
+  SELECT query_id, neighbor_id FROM ({Q_COSINE_TOPK_SQL})
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM ({Q_ANN_LSH_TOPK_SQL})
+),
+rr AS (
+  SELECT query_id, neighbor_id FROM ({Q_ANN_HAMMING_RERANK_SQL})
+),
+approx AS (
+  SELECT 'lsh_multiprobe' AS route, query_id, neighbor_id, 1 AS m FROM lsh
+  UNION ALL
+  SELECT 'hamming_rerank' AS route, query_id, neighbor_id, 1 AS m FROM rr
+),
+expanded AS (
+  SELECT r.route, e.query_id, e.neighbor_id
+  FROM exact_pairs e
+  CROSS JOIN (SELECT unnest(['hamming_rerank', 'lsh_multiprobe']) AS route) r
+)
+SELECT x.route,
+       count(*)::BIGINT AS total,
+       coalesce(sum(a.m), 0)::BIGINT AS hits,
+       round(coalesce(sum(a.m), 0)::DOUBLE / count(*), 4) AS recall,
+       TRUE AS meets_floor
+FROM expanded x
+LEFT JOIN approx a
+  ON x.route = a.route
+ AND x.query_id = a.query_id
+ AND x.neighbor_id = a.neighbor_id
+GROUP BY x.route
+ORDER BY x.route
+"""

@@ -106,12 +106,17 @@ def test_asof_matches_pandas_merge_asof(spark, data):
     ).toPandas()
 
     # reference: merge_asof needs sorted inputs; ties within right on
-    # the same (user_id, ts) resolve to the LAST occurrence in sort
-    # order, matching last() over the (ts, side) window. The value col
-    # may be a legit NULL, so inner-drop detection uses a sentinel
-    # has_match column rather than value's null-ness.
+    # the same (user_id, ts) resolve to the GREATEST payload (NULL
+    # smallest) — asof_join's deterministic tie-break (the carry-struct
+    # term in its window order). The value col may be a legit NULL, so
+    # inner-drop detection uses a sentinel has_match column rather than
+    # value's null-ness.
     rs = (
-        right.sort_values(["ts"], kind="stable")
+        right.sort_values(
+            ["user_id", "ts", "value"], kind="stable", na_position="first"
+        )
+        .drop_duplicates(["user_id", "ts"], keep="last")
+        .sort_values("ts", kind="stable")
         .reset_index(drop=True)
         .assign(ts_r_ref=lambda d: d["ts"], has_match=True)
     )

@@ -247,3 +247,27 @@ def test_multi_t_matches_single_t(spark):
             .count()
         )
         assert n_single == n_multi_t0, name
+
+
+def test_smooth_gaussian_halo_route_bit_identical(spark, monkeypatch):
+    """find_structures' smoothing router: forcing the halo-tiled path
+    (threshold 0, small tiles) must reproduce the whole-grid tile
+    result bit-for-bit — the invariant that lets the pipeline switch
+    routes purely on grid size."""
+    from data_framework_spark.plans import structures as S
+
+    ds, _, _ = _island_chain(spark)
+    v = ds.variables["b1"]
+    key = ["t", "i0", "i1"]
+    whole = {
+        tuple(r[c] for c in key): r["value"]
+        for r in S._smooth_gaussian(v, 2.0, 2.0).collect()
+    }
+    monkeypatch.setattr(S, "_HALO_CELLS", 0)
+    monkeypatch.setattr(S, "_HALO_TILE", 32)
+    tiled = {
+        tuple(r[c] for c in key): r["value"]
+        for r in S._smooth_gaussian(v, 2.0, 2.0).collect()
+    }
+    assert whole.keys() == tiled.keys()
+    assert all(whole[k] == tiled[k] for k in whole)  # bit-identical
