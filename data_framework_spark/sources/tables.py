@@ -60,27 +60,72 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet uses TIMESTAMP(NANOS), which Spark can only read
-        # as long nanoseconds; a vanilla session (no builder configs, e.g.
-        # the correctness driver's) would otherwise fail with
-        # PARQUET_TYPE_ILLEGAL. Runtime-settable SQLConf, so set it here
-        # rather than relying on the caller's session builder.
+        # some driver generations write events.ts as TIMESTAMP(NANOS),
+        # which Spark can only read as long nanoseconds; a vanilla
+        # session (no builder configs, e.g. the correctness driver's)
+        # would otherwise fail with PARQUET_TYPE_ILLEGAL. Runtime-
+        # settable SQLConf, so set it here rather than relying on the
+        # caller's session builder.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long
-    # nanoseconds. Convert with INTEGER division (ns ≈ 1.7e18 exceeds
-    # double's 53-bit mantissa) — truncation toward zero matches
-    # DuckDB's ns→µs behavior for post-epoch data.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_ts(spark, df, ts_between=ts_between)
+    return df
 
+
+def normalize_ts(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str = "ts",
+    ts_between: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Normalize an event-time column to session-TZ TIMESTAMP (UTC).
+
+    The driver has generated events.ts under two parquet encodings
+    across rounds; both must land on the identical TIMESTAMP the rest
+    of the engine (unix_micros, watermarks, epoch casts) assumes:
+
+    - TIMESTAMP(NANOS) → (nanosAsLong) long nanoseconds. Convert with
+      INTEGER division (ns ≈ 1.7e18 exceeds double's 53-bit mantissa);
+      truncation toward zero matches DuckDB's ns→µs for post-epoch data.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. Cast
+      under an explicitly-pinned UTC session timezone, so the naive
+      wall-clock is read as UTC — exactly how DuckDB's epoch_us()
+      treats the same naive value. The pin makes the conversion
+      correct even under a vanilla driver session.
+
+    `ts_between` (UTC, inclusive) is applied to the RAW column BEFORE
+    conversion so the range predicate pushes down to the parquet scan
+    and prunes row groups by min/max stats — a predicate against the
+    converted expression never reaches the scan. For the ns encoding
+    the bounds widen to the enclosing-µs edges (+999 ns): a superset
+    of the exact µs predicate, callers keep their exact filter.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
         if ts_between is not None:
             lo_ns, hi_ns = (_utc_ns(b) for b in ts_between)
             df = df.filter(
-                (F.col("ts") >= F.lit(lo_ns)) & (F.col("ts") <= F.lit(hi_ns + 999))
+                (F.col(col) >= F.lit(lo_ns)) & (F.col(col) <= F.lit(hi_ns + 999))
             )
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        if ts_between is not None:
+            lo, hi = ts_between
+            df = df.filter(
+                (F.col(col) >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col(col) <= F.lit(hi).cast("timestamp_ntz"))
+            )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    elif ts_between is not None:
+        lo, hi = ts_between
+        df = df.filter(
+            (F.col(col) >= F.lit(lo).cast("timestamp"))
+            & (F.col(col) <= F.lit(hi).cast("timestamp"))
+        )
     return df
 
 

@@ -98,19 +98,19 @@ def stream_tumbling_counts(
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
-    # use the ON-DISK schema (ts = bigint nanos under nanosAsLong),
-    # not load_table's converted one — a readStream schema that
-    # disagrees with the files mis-reads silently
+    # use the ON-DISK schema (bigint-nanos or TIMESTAMP_NTZ depending
+    # on driver generation), not load_table's converted one — a
+    # readStream schema that disagrees with the files mis-reads
+    # silently
     raw_schema = spark.read.parquet(path).schema
     # the file stream source requires a directory/glob, not a bare
     # file path — a trailing glob makes the single test file listable
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    # events.ts arrives as bigint nanos from the raw parquet (see
-    # sources/tables.py); normalize identically here.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # normalize ts to TIMESTAMP identically to the batch path
+    # (watermarks require TIMESTAMP, not NTZ)
+    from data_framework_spark.sources.tables import normalize_ts
+
+    stream = normalize_ts(spark, stream)
     return tumbling_counts(stream.withWatermark("ts", "10 minutes"), width)
 
 
