@@ -611,6 +611,14 @@ QUERIES: dict[str, Query] = {
         "within-doc duplicate-trigram fraction (Gopher repetition rule), "
         "array-domain, shuffle-free per-doc pass",
     ),
+    # --- round-5 additions ---
+    "curation_funnel": Query(
+        corpus_mod.q_curation_funnel,
+        corpus_mod.Q_CURATION_FUNNEL_SQL,
+        "end-to-end curation pipeline: quality → repetition/dup-ngram → "
+        "minhash dedup (cluster reps) → benchmark decontam → shard, with "
+        "per-stage survivor counts per source",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -686,8 +694,27 @@ QUERIES = {
 }
 
 
+def _with_conventions(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the runtime session conventions (UTC TZ, nanosAsLong) before
+    the query body runs — the driver calls these on a vanilla session,
+    and the pin must not depend on which table a query happens to load
+    first (round-4 advisory)."""
+    from data_framework_spark.session import ensure_session_conventions
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_conventions(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: _with_conventions(q.fn) for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -18,6 +18,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Runtime-settable SQLConf every entry point pins before touching data.
+#: These are the session conventions the whole engine assumes; they are
+#: safe to set on ANY session (idempotent, documented):
+#:   - UTC session timezone: timestamp literals, NTZ casts, and collected
+#:     timestamps must agree with the UTC-assuming DuckDB oracle
+#:     regardless of the machine's local TZ or the events.ts encoding.
+#:   - nanosAsLong: some driver generations write events.ts as parquet
+#:     TIMESTAMP(NANOS), which Spark otherwise refuses to read
+#:     (PARQUET_TYPE_ILLEGAL) on a vanilla session.
+RUNTIME_CONVENTIONS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_conventions(spark: SparkSession) -> SparkSession:
+    """Pin the engine's runtime session conventions on `spark`.
+
+    Called unconditionally at every driver-facing entry point (registry
+    query wrappers, `load_table`, streaming sources) so behavior is
+    deterministic rather than encoding- or call-order-dependent.
+    Sessions built by `get_spark()` already satisfy these; for vanilla
+    sessions (the correctness driver's) this is the single sanctioned
+    place that mutates session-global conf.
+    """
+    for k, v in RUNTIME_CONVENTIONS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(app_name: str = "data_framework_spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

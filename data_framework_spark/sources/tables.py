@@ -16,6 +16,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_framework_spark.session import ensure_session_conventions
+
 TABLES = (
     "region",
     "nation",
@@ -59,14 +61,13 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # some driver generations write events.ts as TIMESTAMP(NANOS),
-        # which Spark can only read as long nanoseconds; a vanilla
-        # session (no builder configs, e.g. the correctness driver's)
-        # would otherwise fail with PARQUET_TYPE_ILLEGAL. Runtime-
-        # settable SQLConf, so set it here rather than relying on the
-        # caller's session builder.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Unconditional, table- and encoding-independent: UTC session TZ +
+    # nanosAsLong are pinned for EVERY load, so downstream timestamp
+    # literals and NTZ casts behave identically no matter which table
+    # loads first or how events.ts is encoded (round-4 advisory: the
+    # NTZ-branch-only pin made results encoding-dependent on non-UTC
+    # vanilla sessions).
+    ensure_session_conventions(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_ts(spark, df, ts_between=ts_between)
@@ -89,10 +90,14 @@ def normalize_ts(
       INTEGER division (ns ≈ 1.7e18 exceeds double's 53-bit mantissa);
       truncation toward zero matches DuckDB's ns→µs for post-epoch data.
     - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. Cast
-      under an explicitly-pinned UTC session timezone, so the naive
-      wall-clock is read as UTC — exactly how DuckDB's epoch_us()
-      treats the same naive value. The pin makes the conversion
-      correct even under a vanilla driver session.
+      under the UTC session timezone, so the naive wall-clock is read
+      as UTC — exactly how DuckDB's epoch_us() treats the same naive
+      value.
+
+    This function ASSERTS the UTC pin rather than setting it: the
+    session-global is mutated only by `ensure_session_conventions`
+    (called by `load_table` and every registry entry point), never as
+    a branch-dependent side effect of a conversion.
 
     `ts_between` (UTC, inclusive) is applied to the RAW column BEFORE
     conversion so the range predicate pushes down to the parquet scan
@@ -103,6 +108,13 @@ def normalize_ts(
     """
     from pyspark.sql import functions as F
 
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(
+            "normalize_ts requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); call ensure_session_conventions(spark) at "
+            "the entry point before loading tables"
+        )
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
         if ts_between is not None:
@@ -118,7 +130,6 @@ def normalize_ts(
                 (F.col(col) >= F.lit(lo).cast("timestamp_ntz"))
                 & (F.col(col) <= F.lit(hi).cast("timestamp_ntz"))
             )
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     elif ts_between is not None:
         lo, hi = ts_between

@@ -97,6 +97,12 @@ def stream_tumbling_counts(
     """
     import os
 
+    from data_framework_spark.session import ensure_session_conventions
+
+    # pin nanosAsLong + UTC before the raw-schema probe: on a
+    # TIMESTAMP(NANOS)-generation file under a fresh vanilla session
+    # the probe itself would otherwise throw PARQUET_TYPE_ILLEGAL
+    ensure_session_conventions(spark)
     path = os.path.join(sf_dir, "events.parquet")
     # use the ON-DISK schema (bigint-nanos or TIMESTAMP_NTZ depending
     # on driver generation), not load_table's converted one — a
