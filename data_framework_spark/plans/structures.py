@@ -393,3 +393,98 @@ def q_find_structures_island(spark, sf_dir: str):
                 (f"{name}_cells_t{float(t):g}", float(counts.get(float(t), 0)), 0.0)
             )
     return spark.createDataFrame(rows, schema="kind string, a double, b double")
+
+
+def _island_field_t0(spark) -> SparkDataset:
+    """Single-timestep island-chain field — the t=0 slice of
+    q_find_structures_island's construction (ψ = ln cosh z + ε·cos kx;
+    analytically known X points at sin(kx)=0, tanh(z)=0)."""
+    k, eps = 1.0, 0.3
+    z = np.linspace(-8.0, 8.0, 120)
+    x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
+    zz, xx = np.meshgrid(z, x, indexing="ij")
+    b1 = (eps * k * np.sin(k * xx))[np.newaxis]
+    b2 = np.tanh(zz)[np.newaxis]
+    jy = (
+        8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx))
+        + 0.5 * np.cos(4.7 * zz) * np.cos(4.5 * xx)
+    )[np.newaxis]
+    ts = np.array([0.0])
+    ds = SparkDataset()
+    ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1))
+    ds.add_var(SparkVariable.from_numpy(spark, "b2", ts, [z, x], b2))
+    ds.add_var(SparkVariable.from_numpy(spark, "jy", ts, [z, x], jy))
+    return ds
+
+
+def q_find_structures_contract(spark, sf_dir: str):
+    """HASH-CHECKED contract for the flagship find_structures pipeline
+    (the registry's only rows-only entry otherwise): runs the full
+    10-step pipeline on the deterministic single-timestep island-chain
+    field and emits its SQL-expressible invariants — X/O point counts,
+    every null's physical coordinates (4 dp), per-output-variable
+    nonzero-cell counts, and the flux-function range (4 dp) — as
+    (metric, value) rows the DuckDB oracle states as literal VALUES
+    (same pattern as ann_recall_contract). A regression anywhere in
+    smoothing → flux → Hessian → null classification → masks moves at
+    least one metric and goes driver-red. Ignores sf_dir (synthetic
+    input by design).
+    """
+    ds = _island_field_t0(spark)
+    find_structures(ds, "b1", "b2", smoothing=1)
+
+    rows: list[tuple[str, float]] = []
+    xpts = sorted(ds.params["x_coords"], key=lambda p: (p[1], p[0]))
+    opts = sorted(ds.params["o_coords"], key=lambda p: (p[1], p[0]))
+    rows.append(("n_x_points", float(len(xpts))))
+    rows.append(("n_o_points", float(len(opts))))
+    # + 0.0 collapses IEEE negative zero so the literal oracle can
+    # state 0.0 without relying on the digest's -0.0 handling
+    for i, (pz, px) in enumerate(xpts):
+        rows.append((f"x{i}_z", round(float(pz), 4) + 0.0))
+        rows.append((f"x{i}_x", round(float(px), 4) + 0.0))
+    for i, (pz, px) in enumerate(opts):
+        rows.append((f"o{i}_z", round(float(pz), 4) + 0.0))
+        rows.append((f"o{i}_x", round(float(px), 4) + 0.0))
+    for name in ("separatrices", "o_structures", "current_sheets"):
+        n = (
+            ds.variables[name]
+            .df.filter(F.col("value") != 0.0)
+            .count()
+        )
+        rows.append((f"{name}_cells", float(n)))
+    flux_mm = (
+        ds.variables["flux_fn"]
+        .df.agg(
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .collect()[0]
+    )
+    rows.append(("fluxfn_min", float(flux_mm["lo"])))
+    rows.append(("fluxfn_max", float(flux_mm["hi"])))
+    return spark.createDataFrame(rows, schema="metric string, value double")
+
+
+# Literal expected values, pinned from the golden island-chain run
+# (regenerate by printing q_find_structures_contract's rows after an
+# INTENDED semantics change; any unintended drift goes driver-red).
+# Analytic cross-check: X points at sin(kx)=0 ∧ tanh(z)=0 → (z=0, x=0)
+# and (z=0, x=2π=6.2832); O point at (z=0, x=π=3.1416).
+Q_FIND_STRUCTURES_CONTRACT_SQL = """
+SELECT * FROM (VALUES
+  ('n_x_points', 2.0::DOUBLE),
+  ('n_o_points', 1.0::DOUBLE),
+  ('x0_z', 0.0::DOUBLE),
+  ('x0_x', 0.0::DOUBLE),
+  ('x1_z', 0.0::DOUBLE),
+  ('x1_x', 6.2832::DOUBLE),
+  ('o0_z', 0.0::DOUBLE),
+  ('o0_x', 3.1416::DOUBLE),
+  ('separatrices_cells', 140.0::DOUBLE),
+  ('o_structures_cells', 425.0::DOUBLE),
+  ('current_sheets_cells', 692.0::DOUBLE),
+  ('fluxfn_min', -7.6527::DOUBLE),
+  ('fluxfn_max', 0.3227::DOUBLE)
+) AS t(metric, value)
+"""

@@ -612,6 +612,14 @@ QUERIES: dict[str, Query] = {
         "array-domain, shuffle-free per-doc pass",
     ),
     # --- round-5 additions ---
+    "find_structures_contract": Query(
+        structures_plan.q_find_structures_contract,
+        structures_plan.Q_FIND_STRUCTURES_CONTRACT_SQL,
+        "hash-checked invariants of the flagship find_structures "
+        "pipeline on the golden island-chain field: X/O counts + "
+        "coordinates (4dp), per-output nonzero-cell counts, flux range "
+        "— oracle states the pinned literals",
+    ),
     "curation_funnel": Query(
         corpus_mod.q_curation_funnel,
         corpus_mod.Q_CURATION_FUNNEL_SQL,
@@ -622,70 +630,72 @@ QUERIES: dict[str, Query] = {
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
-# entries (CORRECTNESS_r0{1,2}.json each cover exactly registry positions
-# 1-50 in insertion order).  To get hard-signal coverage for every query,
-# the least-recently-driver-verified entries are hoisted to the front:
-# first the queries that have never had a driver row (incl. anything new
-# this round), then the ones last verified in round 1, then the round-2
-# green block.  Queries not listed here keep their definition order after
-# the hoisted block.
+# entries in insertion order. To keep cumulative hard-signal coverage
+# fresh, the least-recently-driver-verified entries are hoisted to the
+# front each round. Round-5 rotation: the round-5 additions + the
+# materially-changed ann_hamming_rerank (scaled re-rank shortlist)
+# first, then the 57-query block whose last driver row is round 3, in
+# definition order. `find_structures_island` (rows-only by contract)
+# is excluded so every slot buys a hash-green signal — its pipeline is
+# now hash-covered by `find_structures_contract`, which IS in the
+# window. Eight round-3-green entries spill past slot 50 and are the
+# round-6 rotation's first priority: partitioned_prune_roundtrip,
+# quality_filter, repetition_filter, tfidf_top_terms, shard_assign,
+# contamination_check, bigram_topk, label_centroids.
 _VERIFY_FIRST: list[str] = [
-    # -- round-4 additions (never driver-checked) --
-    "ann_recall_contract",
-    # -- late round-3 additions, frozen out of the r3 window --
-    "orc_roundtrip",
-    "rolling_median_events",
-    "hll_union_contract_events",
-    "tiled_gaussian_grid",
-    "benchmark_decontam",
-    "dup_ngram_fraction",
-    # -- round-3 red row: oracle type fix (bin ::BIGINT) needs a green row --
-    "pack_sequences",
-    # -- backfill: least-recently-verified (r2) in definition order;
-    #    find_structures_island (rows-only by contract) excluded so every
-    #    backfill slot buys a hash-green signal --
-    "timeslice_events",
-    "zoom_lineitem",
-    "select_vars_substring",
-    "array_ingest_roundtrip",
-    "dataset_api_events",
-    "bounds_events",
-    "sigma_threshold_lineitem",
-    "label_extrema_events",
-    "bounds_lineitem",
-    "label_extrema_lineitem",
-    "gaussian_smooth_grid",
-    "extrema_filter_grid",
-    "gap_fill_grid",
-    "dilate_grid",
-    "flood_label_grid",
-    "flood_region_grid",
-    "contours_grid",
-    "running_sum_events",
-    "gradient_events",
-    "fluxfn_grid",
-    "interp_events",
-    "line_slice_linear",
-    "line_slice_nearest",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
-    "stateful_user_totals_live",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    "format_roundtrip",
-    "json_props_events",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_k_orders",
-    "group_rollup",
-    "tpch_q4_semijoin",
-    "tpch_q7_volume",
+    # -- round-5 additions (never driver-checked) --
+    "find_structures_contract",
+    "curation_funnel",
+    # -- changed this round (scaled shortlist; sf0.01 results identical) --
+    "ann_hamming_rerank",
+    # -- last driver row round 3, definition order --
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "tpch_q11_important_parts",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_suppliers",
+    "distinct_suppliers_by_brand",
+    "set_ops_customers",
+    "bucketed_join_lineitem",
+    "sketch_accuracy_events",
+    "profile_percentiles",
+    "moving_average_events",
+    "cube_orders",
+    "pivot_events",
+    "asof_attribution",
+    "range_join_clicks",
+    "skew_salted_agg",
+    "scalar_fns_events",
+    "sessionize_events",
+    "text_stats",
+    "lang_profile",
+    "lang_id",
+    "winnow_fingerprint",
+    "token_regex_profile",
+    "corpus_mix",
+    "dedup_exact",
+    "dedup_minhash",
+    "minhash_near_dup_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cosine_topk",
+    "embedding_near_dups",
+    "embedding_dedup_lsh",
 ]
 
 QUERIES = {
