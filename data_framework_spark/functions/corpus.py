@@ -669,7 +669,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_frac"),
         decontam_g.alias("g"),
         is_bench.alias("b"),
-    )
+    # the heavy per-doc projection (trigram build, DECONTAM_SHINGLE
+    # md5 shingles) has five downstream consumers (rep explode, flags
+    # join, sig shingles, decontam probe, bench set). A repartition
+    # barrier does NOT help here — predicate pushdown moves each
+    # branch's filter below the exchange, so nothing is reused.
+    # cache() materializes the projection once (one slim row per doc;
+    # at 100 TB this is the per-doc feature table, a standard
+    # materialization point); the ContextCleaner unpersists it when
+    # the result's references drop.
+    ).cache()
     train = base.filter(~F.col("b")).drop("b")
 
     # stage 2a: per-doc top-token ratio (explode → two-stage agg, one

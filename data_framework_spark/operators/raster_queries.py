@@ -398,3 +398,84 @@ def q_tiled_gaussian_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_TILED_GAUSSIAN_GRID_SQL = Q_GAUSSIAN_SMOOTH_GRID_SQL
+
+
+# --- multi-timestep halo smoothing (bench-scale concurrency) ---------------
+
+# 8 timesteps × (1056 × 1000) cells: every timestep individually
+# exceeds plans/structures._HALO_CELLS (1 << 20), so ALL of them take
+# the halo-exchange tiled path CONCURRENTLY — 8 t × 20 patches = 160
+# simultaneous stencil tasks, the two-axis parallelism (timesteps ×
+# patches) the reference's own TODO asked for (vpicdataset.py:323-325).
+HALO_MT_NT = 8
+HALO_MT_N0 = 1056
+HALO_MT_N1 = 1000
+
+
+def _halo_mt_field(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic multi-timestep field, generated
+    DISTRIBUTEDLY (spark.range + JVM trig exprs — no driver-side
+    materialization; at 100 TB the input would be a parquet scan)."""
+    n_t, n0, n1 = HALO_MT_NT, HALO_MT_N0, HALO_MT_N1
+    return (
+        spark.range(n_t * n0 * n1)
+        .select(
+            (F.col("id") / (n0 * n1)).cast("long").cast("double").alias("t"),
+            ((F.col("id") % (n0 * n1)) / n1).cast("long").alias("i0"),
+            (F.col("id") % n1).alias("i1"),
+        )
+        .withColumn("c0", F.lit(-8.0) + F.col("i0") * F.lit(16.0 / (n0 - 1)))
+        .withColumn("c1", F.col("i1") * F.lit(0.01))
+        .withColumn(
+            "value",
+            F.sin(F.col("c0")) * F.cos(F.col("c1"))
+            + F.sin(F.lit(0.35) * F.col("t")),
+        )
+    )
+
+
+def q_halo_smooth_multi_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """σ=1 Gaussian smoothing of 8 oversized timesteps through the
+    halo-exchange tiled runner, summarized per timestep (cell count +
+    4dp value checksum). Ignores sf_dir — the field is synthetic by
+    design. The oracle states the pinned literal summaries
+    (find_structures_contract pattern): a regression in the halo
+    exchange, tile stitching, or the kernel moves a checksum."""
+    from data_framework_spark.plans.tile_kernel import tile_apply_halo
+
+    out = tile_apply_halo(
+        _halo_mt_field(spark),
+        lambda a: ndimage.gaussian_filter(a, (1.0, 1.0)),
+        radius=4,
+        tile=256,
+    )
+    return (
+        out.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            # |value| then 2dp: a signed sum over ~1M cells cancels to
+            # ~0 at t=0, where partition-order float error could flip
+            # the rounded digit; the absolute sum has no cancellation
+            # and ~1e-4 accumulation error — 2dp is stable
+            F.round(F.sum(F.abs(F.col("value"))), 2).alias("checksum"),
+        )
+        .orderBy("t")
+    )
+
+
+# Pinned from the deterministic synthetic field (regenerate by
+# printing q_halo_smooth_multi_t's rows after an INTENDED kernel
+# change; verified stable across runs — the |value| checksum has no
+# cancellation, so partition-order float drift stays below 2dp).
+Q_HALO_SMOOTH_MULTI_T_SQL = """
+SELECT * FROM (VALUES
+  (0.0::DOUBLE, 1056000::BIGINT, 444686.41::DOUBLE),
+  (1.0::DOUBLE, 1056000::BIGINT, 540071.48::DOUBLE),
+  (2.0::DOUBLE, 1056000::BIGINT, 731277.58::DOUBLE),
+  (3.0::DOUBLE, 1056000::BIGINT, 923140.65::DOUBLE),
+  (4.0::DOUBLE, 1056000::BIGINT, 1040725.89::DOUBLE),
+  (5.0::DOUBLE, 1056000::BIGINT, 1039199.45::DOUBLE),
+  (6.0::DOUBLE, 1056000::BIGINT, 919148.28::DOUBLE),
+  (7.0::DOUBLE, 1056000::BIGINT, 726333.18::DOUBLE)
+) AS t(t, n_cells, checksum)
+"""

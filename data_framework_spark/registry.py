@@ -627,6 +627,20 @@ QUERIES: dict[str, Query] = {
         "minhash dedup (cluster reps) → benchmark decontam → shard, with "
         "per-stage survivor counts per source",
     ),
+    "find_structures_multi8": Query(
+        structures_plan.q_find_structures_multi8,
+        structures_plan.Q_FIND_STRUCTURES_MULTI8_SQL,
+        "find_structures over 8 phase-shifted timesteps (multi-t mode, "
+        "per-t parallel kernels); per-t X/O census + X coords vs "
+        "pinned literals",
+    ),
+    "halo_smooth_multi_t": Query(
+        raster_queries.q_halo_smooth_multi_t,
+        raster_queries.Q_HALO_SMOOTH_MULTI_T_SQL,
+        "halo-exchange tiled Gaussian over 8 oversized timesteps "
+        "(160 concurrent stencil patches); per-t checksums vs pinned "
+        "literals",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
