@@ -95,8 +95,18 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value"
+    # Dedupe the right side on (by, ts) BEFORE the join, mirrored in
+    # the oracle: DuckDB's native ASOF JOIN picks an unspecified right
+    # row on exact-timestamp ties, so without this the green row rests
+    # on ties being ~impossible at µs resolution rather than on proven
+    # agreement (round-4 verdict nit). max(value) matches asof_join's
+    # own greatest-payload carry tie-break, so semantics are identical
+    # on tie-free data AND pinned on tie data. One extra partial-agg
+    # shuffle of the (smaller) right side.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     j = asof_join(errors, clicks, by="user_id", ts="ts", right_payload=["value"])
     return j.select(
@@ -112,7 +122,9 @@ WITH errors AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
 ),
 clicks AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
 )
 SELECT e.event_id, e.user_id,
        c.value AS click_value,

@@ -634,6 +634,12 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "ivf_recall_contract": Query(
+        ivf_mod.q_ivf_recall_contract,
+        ivf_mod.Q_IVF_RECALL_CONTRACT_SQL,
+        "recall@5 of the IVF route vs the exact baseline, floor "
+        "boolean stated as literal TRUE in the oracle",
+    ),
     "halo_smooth_multi_t": Query(
         raster_queries.q_halo_smooth_multi_t,
         raster_queries.Q_HALO_SMOOTH_MULTI_T_SQL,

@@ -204,3 +204,57 @@ ORDER BY query_id, rank
 
 
 Q_ANN_IVF_TOPK_SQL = _ivf_sql()
+
+
+# --- IVF recall contract ----------------------------------------------------
+
+# Observed recall@5 vs the exact baseline: 0.85 (sf0.01) / 0.89
+# (sf0.1). Floor 0.10 below the observed minimum, same calibration
+# policy as ann.LSH_RECALL_FLOOR / RERANK_RECALL_FLOOR.
+IVF_RECALL_FLOOR = 0.75
+
+
+def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the IVF route (the ann_recall_contract
+    pattern): recall@5 of q_ann_ivf_topk against the exact brute-force
+    baseline plus a floor boolean the oracle states as literal TRUE.
+    Both route results come from the session route cache, so the
+    contract reads persisted results instead of re-executing."""
+    from data_framework_spark.similarity.ann import (
+        _cached_route,
+        q_cosine_topk,
+    )
+
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = _cached_route(
+        spark, sf_dir, "ivf_topk", lambda: q_ann_ivf_topk(spark, sf_dir)
+    ).select("query_id", "neighbor_id").withColumn("m", F.lit(1))
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.lit("ivf").alias("route"),
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
+        )
+        .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
+        .withColumn("meets_floor", F.col("recall") >= F.lit(IVF_RECALL_FLOOR))
+    )
+
+
+from data_framework_spark.similarity.ann import Q_COSINE_TOPK_SQL  # noqa: E402
+
+Q_IVF_RECALL_CONTRACT_SQL = f"""
+WITH exact_pairs AS (
+  SELECT query_id, neighbor_id FROM ({Q_COSINE_TOPK_SQL})
+),
+ivf AS (
+  SELECT query_id, neighbor_id, 1 AS m FROM ({Q_ANN_IVF_TOPK_SQL})
+)
+SELECT 'ivf' AS route,
+       count(*)::BIGINT AS total,
+       coalesce(sum(i.m), 0)::BIGINT AS hits,
+       round(coalesce(sum(i.m), 0)::DOUBLE / count(*), 4) AS recall,
+       TRUE AS meets_floor
+FROM exact_pairs e
+LEFT JOIN ivf i USING (query_id, neighbor_id)
+"""
