@@ -139,6 +139,63 @@ WINNOW_K = 5
 WINNOW_W = 8
 
 
+def _make_winnow_udf(k: int, w: int):
+    """Per-batch winnowing kernel: md5 hex-prefix gram hashes
+    (hashlib == Spark md5 == DuckDB md5, bit-identical), sliding
+    window minima via numpy stride tricks."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.functions import pandas_udf
+
+    def winnow(texts):
+        out = []
+        for t in texts:
+            # gram count mirrors sequence(1, greatest(len, k) - (k-1)):
+            # short docs get exactly one (truncated) gram
+            n = max(len(t), k) - (k - 1)
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            if n >= w:
+                mins = sliding_window_view(hs, w).min(axis=1)
+            else:
+                mins = hs.min(keepdims=True)
+            out.append(
+                (len(np.unique(mins)), int(mins.min()), int(mins.max()))
+            )
+        return pd.DataFrame(
+            out, columns=["n_fingerprints", "min_fp", "max_fp"]
+        )
+
+    # real type objects, not strings: `from __future__ import
+    # annotations` would stringify inline hints and break the
+    # pandas_udf eval-type inference
+    winnow.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(
+        "struct<n_fingerprints:int, min_fp:bigint, max_fp:bigint>"
+    )(winnow)
+
+
+_WINNOW_UDF_CACHE: list = []
+
+
+def _winnow_udf(col):
+    """Lazy singleton: the pandas_udf return-type DDL can only be
+    parsed once a SparkSession exists, so the udf is built on first
+    use, not at import."""
+    if not _WINNOW_UDF_CACHE:
+        _WINNOW_UDF_CACHE.append(_make_winnow_udf(WINNOW_K, WINNOW_W))
+    return _WINNOW_UDF_CACHE[0](col)
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: md5-derived hashes of
     overlapping 5-grams, winnowed to per-window minima — the standard
@@ -150,29 +207,22 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(text), {k}) - {k - 1}),"
-        f" i -> substring(text, i, {k}))"
-    )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-    )
-    minima = F.expr(
-        f"transform(sequence(1, greatest(size(__h__) - {w - 1}, 1)),"
-        f" i -> array_min(slice(__h__, i, {w})))"
-    )
-    out = docs.select(
-        "doc_id", hashes.alias("__h__")
+    # Arrow-batched pandas UDF instead of nested array transforms: the
+    # higher-order-function lambdas (gram substring, md5 hash, window
+    # slice-min) are CodegenFallback — interpreted per element per row
+    # (~3M evals at sf0.1, 4+ s warm). An explode + window-min form is
+    # fully codegen but shuffles ~300× the corpus row count — the
+    # wrong trade at scale for a per-document computation. The UDF
+    # keeps the map-only, shuffle-free shape (hashlib.md5 is
+    # bit-identical to Spark's md5) and vectorizes the winnowing in
+    # numpy. Same values (parity-pinned).
+    return docs.select(
+        "doc_id", _winnow_udf(F.col("text")).alias("__w")
     ).select(
-        "doc_id", F.array_distinct(minima).alias("fps")
-    )
-    return out.select(
         "doc_id",
-        F.size("fps").alias("n_fingerprints"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
+        F.col("__w.n_fingerprints").alias("n_fingerprints"),
+        F.col("__w.min_fp").alias("min_fp"),
+        F.col("__w.max_fp").alias("max_fp"),
     )
 
 

@@ -634,6 +634,13 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "dedup_incremental": Query(
+        dedup_exact_mod.q_dedup_incremental,
+        dedup_exact_mod.Q_DEDUP_INCREMENTAL_SQL,
+        "incremental cross-batch dedup: new batch vs historical "
+        "fingerprint/signature sets (exact md5 + minhash), per-source "
+        "arriving/dup/survivor accounting",
+    ),
     "ivf_recall_contract": Query(
         ivf_mod.q_ivf_recall_contract,
         ivf_mod.Q_IVF_RECALL_CONTRACT_SQL,
