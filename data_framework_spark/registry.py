@@ -634,6 +634,13 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "compaction_roundtrip": Query(
+        formats_mod.q_compaction_roundtrip,
+        formats_mod.Q_COMPACTION_ROUNDTRIP_SQL,
+        "small-files compaction: 64 fragments → 4 range-sorted files "
+        "on ts; exact file counts + content checksums vs the source "
+        "table",
+    ),
     "dedup_incremental": Query(
         dedup_exact_mod.q_dedup_incremental,
         dedup_exact_mod.Q_DEDUP_INCREMENTAL_SQL,

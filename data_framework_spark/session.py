@@ -27,9 +27,14 @@ from pyspark.sql import SparkSession
 #:   - nanosAsLong: some driver generations write events.ts as parquet
 #:     TIMESTAMP(NANOS), which Spark otherwise refuses to read
 #:     (PARQUET_TYPE_ILLEGAL) on a vanilla session.
+#:   - TIMESTAMP_MICROS parquet writes: the INT96 legacy default
+#:     carries NO min/max column statistics, which silently disables
+#:     row-group/file skipping on every timestamp-sorted layout the
+#:     engine writes (compaction, export).
 RUNTIME_CONVENTIONS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

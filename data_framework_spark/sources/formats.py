@@ -16,12 +16,31 @@ hash.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp tracked for removal at process exit — the roundtrip
+    queries each materialize a temp sink, and long-lived machines
+    otherwise accumulate one orphan per query per run."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def write_csv(df: DataFrame, path: str) -> None:
@@ -47,7 +66,7 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computed from the original parquet."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    tmp = _scratch_dir("fmt_roundtrip_")
     write_csv(nation, f"{tmp}/nation_csv")
     write_json(region, f"{tmp}/region_json")
     n2 = read_csv(spark, f"{tmp}/nation_csv", nation.schema)
@@ -80,7 +99,7 @@ def q_partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle aggregates the same slice of the original table, so a row
     lost or duplicated by the partitioned write breaks the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="part_roundtrip_")
+    tmp = _scratch_dir("part_roundtrip_")
     (
         docs.write.mode("overwrite")
         .partitionBy("source")
@@ -116,7 +135,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash. Avro was probed and is NOT available in this
     build (external spark-avro module, not installable here)."""
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    tmp = _scratch_dir("orc_roundtrip_")
     orders.write.mode("overwrite").orc(f"{tmp}/orders_orc")
     back = spark.read.orc(f"{tmp}/orders_orc")
     return (
@@ -140,4 +159,75 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+"""
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_files: int,
+    sort_col: str | None = None,
+) -> None:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into `target_files` files, optionally sorted within files on
+    `sort_col` so min/max row-group statistics become selective
+    (data skipping for later range scans).
+
+    At 100 TB this is the maintenance operator every table needs —
+    streaming sinks and per-task writers fragment a table into
+    millions of KB-scale files, and scan cost becomes dominated by
+    file-open overhead and un-prunable row groups. `repartition(n)`
+    gives exact output file count; with `sort_col` the shuffle becomes
+    repartitionByRange so each output file owns a disjoint key range.
+    """
+    df = spark.read.parquet(in_path)
+    if sort_col is not None:
+        df = df.repartitionByRange(target_files, F.col(sort_col))
+        df = df.sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(out_path)
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into 64 tiny files, compact to 4 range-sorted
+    files on `ts`, and verify the compacted copy: exact file counts
+    (deterministic — repartition pins them), row count, and value
+    checksums must equal the source table. File counts are stated as
+    literals in the oracle; content aggregates come from the events
+    table itself, so a compaction that drops/duplicates/corrupts rows
+    hash-mismatches."""
+    import os
+
+    tmp = _scratch_dir("compact_roundtrip_")
+    frag_dir, out_dir = os.path.join(tmp, "frag"), os.path.join(tmp, "compact")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    compact_files(spark, frag_dir, out_dir, target_files=4, sort_col="ts")
+
+    def n_files(d: str) -> int:
+        return sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    back = spark.read.parquet(out_dir)
+    return back.agg(
+        F.lit(n_files(frag_dir)).alias("files_before"),
+        F.lit(n_files(out_dir)).alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.round(F.sum(F.abs(F.col("value"))), 2).alias("sum_abs_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q_COMPACTION_ROUNDTRIP_SQL = """
+SELECT 64 AS files_before,
+       4 AS files_after,
+       count(*) AS n_rows,
+       sum(event_id)::BIGINT AS sum_event_id,
+       round(sum(abs(value)), 2) AS sum_abs_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
 """

@@ -140,3 +140,43 @@ def test_asof_right_side_tie_proof(spark):
         left, right_dup, by="user_id", ts="ts", right_payload=["value"]
     ).collect()
     assert len(out2) == 1 and out2[0]["value_r"] == 30.0
+
+
+def test_compaction_produces_disjoint_ts_ranges(spark, sf_dir, tmp_path):
+    """Range-sorted compaction must give output files with disjoint ts
+    min/max ranges — the property that makes row-group/file skipping
+    effective on later time-range scans."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_framework_spark.sources.formats import compact_files
+    from data_framework_spark.sources.tables import load_table
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(frag)
+    compact_files(spark, frag, out, target_files=4, sort_col="ts")
+
+    spans = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        spans.append((min(los), max(his)))
+    assert len(spans) == 4
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {spans}"
+    # and content survived intact
+    assert spark.read.parquet(out).count() == ev.count()
