@@ -666,20 +666,28 @@ QUERIES: dict[str, Query] = {
 # The driver's correctness harness verifies only the FIRST 50 registry
 # entries in insertion order. To keep cumulative hard-signal coverage
 # fresh, the least-recently-driver-verified entries are hoisted to the
-# front each round. Round-5 rotation: the round-5 additions + the
-# materially-changed ann_hamming_rerank (scaled re-rank shortlist)
-# first, then the 57-query block whose last driver row is round 3, in
+# front each round. Round-5 rotation: the seven never-driver-checked
+# round-5 additions + the materially-changed ann_hamming_rerank
+# (scaled re-rank shortlist) first, then the round-3-green block in
 # definition order. `find_structures_island` (rows-only by contract)
 # is excluded so every slot buys a hash-green signal — its pipeline is
 # now hash-covered by `find_structures_contract`, which IS in the
-# window. Eight round-3-green entries spill past slot 50 and are the
-# round-6 rotation's first priority: partitioned_prune_roundtrip,
-# quality_filter, repetition_filter, tfidf_top_terms, shard_assign,
-# contamination_check, bigram_topk, label_centroids.
+# window. Thirteen round-3-green entries spill past slot 50 and are
+# the round-6 rotation's first priority: ann_lsh_topk, ann_ivf_topk,
+# cosine_topk (all transitively covered this round by the in-window
+# recall contracts), embedding_near_dups, embedding_dedup_lsh,
+# partitioned_prune_roundtrip, quality_filter, repetition_filter,
+# tfidf_top_terms, shard_assign, contamination_check, bigram_topk,
+# label_centroids.
 _VERIFY_FIRST: list[str] = [
     # -- round-5 additions (never driver-checked) --
     "find_structures_contract",
     "curation_funnel",
+    "find_structures_multi8",
+    "halo_smooth_multi_t",
+    "ivf_recall_contract",
+    "dedup_incremental",
+    "compaction_roundtrip",
     # -- changed this round (scaled shortlist; sf0.01 results identical) --
     "ann_hamming_rerank",
     # -- last driver row round 3, definition order --
@@ -725,11 +733,11 @@ _VERIFY_FIRST: list[str] = [
     "dedup_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "cosine_topk",
-    "embedding_near_dups",
-    "embedding_dedup_lsh",
+    # ann_lsh_topk / ann_ivf_topk / cosine_topk spill to round 6 but
+    # are transitively hash-covered THIS round: the in-window recall
+    # contracts recompute each route's oracle SQL and any route drift
+    # moves a recall value. embedding_near_dups / embedding_dedup_lsh
+    # also spill (r6 first priority with the round-4 spill list).
 ]
 
 QUERIES = {
