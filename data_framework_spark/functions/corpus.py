@@ -868,3 +868,107 @@ ORDER BY source
 
 
 Q_CURATION_FUNNEL_SQL = _funnel_sql()
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# conservative, engine-portable patterns (identical semantics in Java
+# regex and DuckDB's RE2 for this character-class-only subset)
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting — the scrub step every training-data
+    pipeline runs before packing: find emails / phone numbers, replace
+    them with typed placeholder tokens, and report per-source match
+    counts plus a post-scrub integrity checksum.
+
+    The synthetic corpus contains no PII, so the query first augments
+    it DETERMINISTICALLY (docs with doc_id % 7 == 0 get an email
+    appended, % 11 == 0 a phone number — both derived from doc_id, so
+    the oracle reproduces the augmentation exactly). That exercises
+    the real machinery — pattern match, replacement, count — with
+    nonzero counts under the hash check.
+
+    Scale shape: pure per-row JVM regex (regexp_extract_all /
+    regexp_replace in whole-stage codegen), shuffle-free until the
+    per-source rollup. No UDFs, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.concat(
+        F.lit(" user"), F.col("doc_id"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, phone).otherwise(F.lit("")),
+    )
+    n_email = F.size(F.regexp_extract_all(t2, F.lit(PII_EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t2, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    residual = F.size(
+        F.regexp_extract_all(scrubbed, F.lit(PII_EMAIL_RE), 0)
+    ) + F.size(F.regexp_extract_all(scrubbed, F.lit(PII_PHONE_RE), 0))
+    return (
+        docs.select(
+            "source",
+            n_email.alias("ne"),
+            n_phone.alias("np"),
+            residual.alias("res"),
+            F.length(scrubbed).alias("len_scrubbed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("res").alias("n_residual_pii"),
+            F.sum("len_scrubbed").alias("total_scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS t2
+  FROM documents
+),
+scrub AS (
+  SELECT source,
+         len(regexp_extract_all(t2, '{PII_EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS np,
+         regexp_replace(
+           regexp_replace(t2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS s
+  FROM aug
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(ne)::BIGINT AS n_emails,
+       sum(np)::BIGINT AS n_phones,
+       sum(len(regexp_extract_all(s, '{PII_EMAIL_RE}'))
+           + len(regexp_extract_all(s, '{PII_PHONE_RE}')))::BIGINT
+         AS n_residual_pii,
+       sum(length(s))::BIGINT AS total_scrubbed_chars
+FROM scrub
+GROUP BY source
+ORDER BY source
+"""

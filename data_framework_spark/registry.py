@@ -634,6 +634,13 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "pii_scrub": Query(
+        corpus_mod.q_pii_scrub,
+        corpus_mod.Q_PII_SCRUB_SQL,
+        "PII redaction accounting: email/phone match counts + "
+        "post-scrub integrity checksum over a deterministically "
+        "augmented corpus (per-row JVM regex, shuffle-free)",
+    ),
     "compaction_roundtrip": Query(
         formats_mod.q_compaction_roundtrip,
         formats_mod.Q_COMPACTION_ROUNDTRIP_SQL,
@@ -687,6 +694,7 @@ _VERIFY_FIRST: list[str] = [
     "halo_smooth_multi_t",
     "ivf_recall_contract",
     "dedup_incremental",
+    "pii_scrub",
     "compaction_roundtrip",
     # -- changed this round (scaled shortlist; sf0.01 results identical) --
     "ann_hamming_rerank",
@@ -732,12 +740,12 @@ _VERIFY_FIRST: list[str] = [
     "dedup_clusters",
     "dedup_simhash",
     "simhash_near_dups",
-    "ngram_jaccard_pairs",
-    # ann_lsh_topk / ann_ivf_topk / cosine_topk spill to round 6 but
-    # are transitively hash-covered THIS round: the in-window recall
-    # contracts recompute each route's oracle SQL and any route drift
-    # moves a recall value. embedding_near_dups / embedding_dedup_lsh
-    # also spill (r6 first priority with the round-4 spill list).
+    # ngram_jaccard_pairs and ann_lsh_topk / ann_ivf_topk /
+    # cosine_topk spill to round 6; the three routes are transitively
+    # hash-covered THIS round (the in-window recall contracts
+    # recompute each route's oracle SQL, so any route drift moves a
+    # recall value). embedding_near_dups / embedding_dedup_lsh also
+    # spill (r6 first priority with the round-4 spill list).
 ]
 
 QUERIES = {
