@@ -297,7 +297,13 @@ _ROUTE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _cached_route(
     spark: SparkSession, sf_dir: str, route: str, build
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, route)
+    app = spark.sparkContext.applicationId
+    # prune entries from previous sessions: their DataFrames are
+    # unusable against the live session and would pin memory forever
+    # in a long-lived process
+    for k in [k for k in _ROUTE_CACHE if k[0] != app]:
+        del _ROUTE_CACHE[k]
+    key = (app, sf_dir, route)
     df = _ROUTE_CACHE.get(key)
     if df is None:
         df = build().persist()
