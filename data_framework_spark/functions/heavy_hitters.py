@@ -1,0 +1,107 @@
+"""Heavy hitters via per-partition Misra-Gries summaries + exact
+re-count — approximate-accelerated EXACT top frequency detection.
+
+The problem at 100 TB: "which tokens exceed 1/k of the corpus?" The
+naive answer shuffles every token for a full groupBy — the shuffle is
+corpus-sized. The sketch route:
+
+1. each partition builds a Misra-Gries summary with K counters
+   (`mapInPandas`, state carried across Arrow batches within the
+   partition — one sequential pass, O(K) memory);
+2. the union of partition summaries is a guaranteed SUPERSET of the
+   true heavy hitters: if count(x) > n/K globally, then some
+   partition has count_p(x) > n_p/K > n_p/(K+1), and Misra-Gries
+   with K counters never evicts such an item [Misra & Gries 1982];
+3. only the candidates (≤ K × #partitions rows) are re-counted
+   exactly — the second pass broadcasts the tiny candidate set and
+   filters BEFORE aggregating, so the shuffle carries candidate
+   tokens only;
+4. the exact threshold test (integer arithmetic: cnt·K > n) then
+   yields EXACTLY the true heavy-hitter set — the DuckDB oracle
+   computes it with a plain GROUP BY/HAVING, and the hash must match.
+
+Same design stance as minhash-LSH + exact-Jaccard verification:
+the approximation prunes candidates, the verification restores
+exactness, and correctness is oracle-checked rather than asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.functions.text import tokens
+from data_framework_spark.sources.tables import load_table
+
+HH_K = 50  # heavy hitter threshold: count > n / HH_K
+
+
+def _mg_partial(k: int):
+    """mapInPandas kernel: one Misra-Gries summary per partition."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "c": list(counters.values())}
+            )
+
+    return summarize
+
+
+def heavy_hitters(
+    toks: DataFrame, k: int = HH_K
+) -> DataFrame:
+    """Exact tokens with count > n/k, found via the two-pass
+    sketch-then-verify plan. `toks` must have a string column `tok`."""
+    spark = toks.sparkSession
+    summaries = toks.mapInPandas(_mg_partial(k), schema="tok string, c long")
+    cands = summaries.select("tok").distinct()
+    n = toks.count()
+    exact = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # integer-exact threshold: cnt * k > n (no float division)
+        .filter(F.col("cnt") * F.lit(k) > F.lit(n))
+    )
+    return exact.withColumn("n_total", F.lit(n)).orderBy("tok")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokens exceeding 1/HH_K of all token occurrences —
+    sketch-pruned, exactly re-counted, hash-equal to the oracle's
+    plain GROUP BY / HAVING over the full token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, HH_K)
+
+
+Q_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM toks)
+SELECT tok, count(*) AS cnt, (SELECT n_total FROM n) AS n_total
+FROM toks
+GROUP BY tok
+HAVING count(*) * {HH_K} > (SELECT n_total FROM n)
+ORDER BY tok
+"""

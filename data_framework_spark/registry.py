@@ -25,6 +25,7 @@ from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
 from data_framework_spark.functions import corpus as corpus_mod
+from data_framework_spark.functions import heavy_hitters as hh_mod
 from data_framework_spark.functions import semistructured as semi_mod
 from data_framework_spark.functions import sampling as sampling_mod
 from data_framework_spark.functions import text as text_mod
@@ -634,6 +635,13 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "heavy_hitters": Query(
+        hh_mod.q_heavy_hitters,
+        hh_mod.Q_HEAVY_HITTERS_SQL,
+        "exact heavy hitters (count > n/50) via per-partition "
+        "Misra-Gries summaries + candidate-only exact re-count; "
+        "hash-equal to the oracle's full GROUP BY/HAVING",
+    ),
     "pii_scrub": Query(
         corpus_mod.q_pii_scrub,
         corpus_mod.Q_PII_SCRUB_SQL,
@@ -695,6 +703,7 @@ _VERIFY_FIRST: list[str] = [
     "ivf_recall_contract",
     "dedup_incremental",
     "pii_scrub",
+    "heavy_hitters",
     "compaction_roundtrip",
     # -- changed this round (scaled shortlist; sf0.01 results identical) --
     "ann_hamming_rerank",
@@ -739,8 +748,7 @@ _VERIFY_FIRST: list[str] = [
     "minhash_near_dup_pairs",
     "dedup_clusters",
     "dedup_simhash",
-    "simhash_near_dups",
-    # ngram_jaccard_pairs and ann_lsh_topk / ann_ivf_topk /
+    # simhash_near_dups, ngram_jaccard_pairs and ann_lsh_topk / ann_ivf_topk /
     # cosine_topk spill to round 6; the three routes are transitively
     # hash-covered THIS round (the in-window recall contracts
     # recompute each route's oracle SQL, so any route drift moves a

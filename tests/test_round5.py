@@ -180,3 +180,36 @@ def test_compaction_produces_disjoint_ts_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {spans}"
     # and content survived intact
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_heavy_hitters_superset_guarantee(spark):
+    """Misra-Gries candidate union must contain every true heavy
+    hitter on adversarial-ish skewed data, so the re-counted result
+    equals the exact answer (checked across several skew shapes)."""
+    import random
+
+    from data_framework_spark.functions.heavy_hitters import heavy_hitters
+
+    rng = random.Random(7)
+    for trial, (n_heavy, n_noise, reps) in enumerate(
+        [(3, 500, 80), (1, 2000, 300), (10, 100, 40)]
+    ):
+        stream = []
+        for h in range(n_heavy):
+            stream += [f"hot{h}"] * reps
+        stream += [f"cold{i}" for i in range(n_noise)]
+        rng.shuffle(stream)
+        toks = spark.createDataFrame(
+            [(t,) for t in stream], "tok string"
+        ).repartition(8)
+        got = {
+            (r["tok"], r["cnt"])
+            for r in heavy_hitters(toks, k=50).collect()
+        }
+        from collections import Counter
+
+        c = Counter(stream)
+        want = {
+            (t, n) for t, n in c.items() if n * 50 > len(stream)
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
