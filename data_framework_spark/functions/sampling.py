@@ -182,3 +182,50 @@ FROM packed
 GROUP BY source, bin
 ORDER BY source, bin
 """
+
+
+# --- deterministic weighted sampling (A-ES) --------------------------------
+
+WS_K = 200  # sample size
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (A-ES): each doc gets key = ln(u)/w for a deterministic uniform
+    u ∈ (0,1) derived from md5(doc_id) — so inclusion probability is
+    proportional to weight (here n_chars: longer docs more likely) —
+    and the sample is the global top-K by key. The hash-derived u
+    replaces the RNG for the same reason as `stratified_sample`:
+    reproducible across engines, partitionings, and reruns.
+
+    u = (md5_prefix + 0.5) / 2^32 keeps u strictly inside (0,1) (no
+    ln(0) / ln(1) degeneracies); the key is rounded to 9 dp before
+    ranking so a last-ulp ln() difference between engines cannot
+    reorder the cut (same guard as the sign-LSH projections).
+
+    Scale shape: per-row key computation is shuffle-free; the global
+    top-K is a TakeOrdered (per-partition top-K + driver merge of
+    K×partitions rows) — no full sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(WS_K)
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       round(ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+                 + 0.5) / 4294967296.0) / n_chars, 9) AS key
+FROM documents
+ORDER BY key DESC, doc_id ASC
+LIMIT {WS_K}
+"""

@@ -635,6 +635,13 @@ QUERIES: dict[str, Query] = {
         "per-t parallel kernels); per-t X/O census + X coords vs "
         "pinned literals",
     ),
+    "weighted_sample": Query(
+        sampling_mod.q_weighted_sample,
+        sampling_mod.Q_WEIGHTED_SAMPLE_SQL,
+        "deterministic weighted sampling (Efraimidis-Spirakis keys "
+        "from md5-derived uniforms), global top-200 without a full "
+        "sort",
+    ),
     "heavy_hitters": Query(
         hh_mod.q_heavy_hitters,
         hh_mod.Q_HEAVY_HITTERS_SQL,
@@ -704,6 +711,7 @@ _VERIFY_FIRST: list[str] = [
     "dedup_incremental",
     "pii_scrub",
     "heavy_hitters",
+    "weighted_sample",
     "compaction_roundtrip",
     # -- changed this round (scaled shortlist; sf0.01 results identical) --
     "ann_hamming_rerank",
@@ -747,8 +755,7 @@ _VERIFY_FIRST: list[str] = [
     "dedup_minhash",
     "minhash_near_dup_pairs",
     "dedup_clusters",
-    "dedup_simhash",
-    # simhash_near_dups, ngram_jaccard_pairs and ann_lsh_topk / ann_ivf_topk /
+    # dedup_simhash, simhash_near_dups, ngram_jaccard_pairs and ann_lsh_topk / ann_ivf_topk /
     # cosine_topk spill to round 6; the three routes are transitively
     # hash-covered THIS round (the in-window recall contracts
     # recompute each route's oracle SQL, so any route drift moves a
