@@ -213,3 +213,37 @@ def test_heavy_hitters_superset_guarantee(spark):
             (t, n) for t, n in c.items() if n * 50 > len(stream)
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_weighted_sample_avoids_global_sort(spark, sf_dir):
+    """The top-K cut must plan as TakeOrderedAndProject (per-partition
+    top-K + driver merge), not a full Sort over an Exchange of the
+    whole corpus."""
+    from data_framework_spark.functions.sampling import q_weighted_sample
+
+    plan = (
+        q_weighted_sample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    """The exact re-count pass must broadcast the (tiny) candidate set
+    and filter the token stream BEFORE aggregating — the plan carries a
+    BroadcastHashJoin, never a shuffle join of the raw tokens against
+    candidates."""
+    from data_framework_spark.functions.heavy_hitters import q_heavy_hitters
+
+    plan = (
+        q_heavy_hitters(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:1500]
+    )
+    assert "SortMergeJoin" not in plan, plan[:1500]
