@@ -12,10 +12,13 @@ corpus-sized. The sketch route:
    true heavy hitters: if count(x) > n/K globally, then some
    partition has count_p(x) > n_p/K > n_p/(K+1), and Misra-Gries
    with K counters never evicts such an item [Misra & Gries 1982];
-3. only the candidates (≤ K × #partitions rows) are re-counted
-   exactly — the second pass broadcasts the tiny candidate set and
-   filters BEFORE aggregating, so the shuffle carries candidate
-   tokens only;
+3. only the candidates (≤ K × #partitions rows — the one bounded
+   driver-side collect, ~1.6k rows at 32 partitions and still only
+   K·P at cluster scale) are re-counted exactly — the second pass
+   broadcasts the tiny candidate set and filters BEFORE aggregating,
+   so the shuffle carries candidate tokens only; the summaries also
+   carry per-partition row counts (tok=NULL marker rows), so the
+   global n costs no separate scan;
 4. the exact threshold test (integer arithmetic: cnt·K > n) then
    yields EXACTLY the true heavy-hitter set — the DuckDB oracle
    computes it with a plain GROUP BY/HAVING, and the hash must match.
@@ -43,7 +46,9 @@ def _mg_partial(k: int):
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tok in pdf["tok"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -58,10 +63,14 @@ def _mg_partial(k: int):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        if counters:
-            yield pd.DataFrame(
-                {"tok": list(counters), "c": list(counters.values())}
-            )
+        # the summary also carries this partition's row count as a
+        # tok=NULL row, so the global n needs no separate full pass
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "c": list(counters.values()) + [n_part],
+            }
+        )
 
     return summarize
 
@@ -70,11 +79,17 @@ def heavy_hitters(
     toks: DataFrame, k: int = HH_K
 ) -> DataFrame:
     """Exact tokens with count > n/k, found via the two-pass
-    sketch-then-verify plan. `toks` must have a string column `tok`."""
+    sketch-then-verify plan (pass 1: sketch, which also carries the
+    per-partition row counts so n needs no extra scan; pass 2:
+    candidate-only exact re-count). `toks` must have a string column
+    `tok` with no nulls (the null slot is the count marker)."""
+    summaries = toks.mapInPandas(
+        _mg_partial(k), schema="tok string, c long"
+    ).collect()
+    n = sum(r["c"] for r in summaries if r["tok"] is None)
+    cand_list = sorted({r["tok"] for r in summaries if r["tok"] is not None})
     spark = toks.sparkSession
-    summaries = toks.mapInPandas(_mg_partial(k), schema="tok string, c long")
-    cands = summaries.select("tok").distinct()
-    n = toks.count()
+    cands = spark.createDataFrame([(t,) for t in cand_list], "tok string")
     exact = (
         toks.join(F.broadcast(cands), "tok")
         .groupBy("tok")
