@@ -17,6 +17,7 @@ same md5-derived hashing, same rounding).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -417,18 +418,7 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized pair enumeration anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sh = F.when(
-        F.size(toks) >= DECONTAM_SHINGLE,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (DECONTAM_SHINGLE - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(toks, i, DECONTAM_SHINGLE))
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = decontam_shingles(tokens(F.col("text")))
     is_bench = hash_fraction(F.col("doc_id")) < DECONTAM_BENCH_FRAC
     base = docs.select(
         "doc_id", "source", sh.alias("g"), is_bench.alias("b")
@@ -525,6 +515,48 @@ DUPNG_N = 3
 DUPNG_FLAG = 0.05
 
 
+def trigram_array(toks: F.Column) -> F.Column:
+    """Sliding word-trigram array (empty for docs under DUPNG_N
+    tokens). SHARED by q_dup_ngram_fraction and the curation funnel so
+    the funnel's stage-2 predicate is structurally the per-stage
+    query's predicate, not a copy that can drift."""
+    return F.when(
+        F.size(toks) >= DUPNG_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DUPNG_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, DUPNG_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_trigram_frac(toks: F.Column) -> F.Column:
+    """1 − distinct/total over the sliding trigrams (0.0 when none)."""
+    tg = trigram_array(toks)
+    return F.when(
+        F.size(tg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg),
+    ).otherwise(F.lit(0.0))
+
+
+def decontam_shingles(toks: F.Column) -> F.Column:
+    """Distinct md5 hashes of the DECONTAM_SHINGLE-token sliding
+    shingles (empty for short docs). SHARED by q_benchmark_decontam
+    and the curation funnel (same structural-identity argument as
+    trigram_array)."""
+    return F.when(
+        F.size(toks) >= DECONTAM_SHINGLE,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECONTAM_SHINGLE - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i, DECONTAM_SHINGLE))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+
 def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document duplicate-n-gram fraction (Gopher rule family,
     Rae et al. 2021 §A1.1: "duplicate n-grams" repetition signals):
@@ -537,18 +569,7 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction are per-row JVM expressions, so the per-doc pass is
     shuffle-free and the only shuffle is the per-source aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    tg = F.when(
-        F.size(toks) >= DUPNG_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (DUPNG_N - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, DUPNG_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    frac = F.when(
-        F.size(tg) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg),
-    ).otherwise(F.lit(0.0))
+    frac = dup_trigram_frac(tokens(F.col("text")))
     return (
         docs.select("source", frac.alias("dup_frac"))
         .groupBy("source")
@@ -635,28 +656,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = tokens(t)
-    tg = F.when(
-        F.size(toks) >= DUPNG_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (DUPNG_N - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, DUPNG_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dup_frac = F.when(
-        F.size(tg) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg),
-    ).otherwise(F.lit(0.0))
-    decontam_g = F.when(
-        F.size(toks) >= DECONTAM_SHINGLE,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (DECONTAM_SHINGLE - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(toks, i, DECONTAM_SHINGLE))
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = dup_trigram_frac(toks)
+    decontam_g = decontam_shingles(toks)
     is_bench = hash_fraction(F.col("doc_id")) < DECONTAM_BENCH_FRAC
 
     base = docs.select(
@@ -674,11 +675,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, sig shingles, decontam probe, bench set). A repartition
     # barrier does NOT help here — predicate pushdown moves each
     # branch's filter below the exchange, so nothing is reused.
-    # cache() materializes the projection once (one slim row per doc;
-    # at 100 TB this is the per-doc feature table, a standard
-    # materialization point); the ContextCleaner unpersists it when
-    # the result's references drop.
-    ).cache()
+    # persist() materializes the projection once. NOTE the cached row
+    # is NOT slim: it carries the token array plus the md5 shingle
+    # array (several × the text size) — hence MEMORY_AND_DISK, so an
+    # oversized corpus spills instead of evicting other cached data;
+    # at 100 TB this step is a materialized per-doc feature TABLE
+    # (write-to-parquet), not an in-memory cache. Spark's CacheManager
+    # matches by logical plan, so the bench's cold+warm passes share
+    # ONE entry; the ContextCleaner unpersists it when the result's
+    # references drop.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     train = base.filter(~F.col("b")).drop("b")
 
     # stage 2a: per-doc top-token ratio (explode → two-stage agg, one

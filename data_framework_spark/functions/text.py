@@ -153,6 +153,11 @@ def _make_winnow_udf(k: int, w: int):
     def winnow(texts):
         out = []
         for t in texts:
+            if t is None:
+                # null-safe like the column-expression form it
+                # replaced: a NULL text yields NULL fingerprint fields
+                out.append((None, None, None))
+                continue
             # gram count mirrors sequence(1, greatest(len, k) - (k-1)):
             # short docs get exactly one (truncated) gram
             n = max(len(t), k) - (k - 1)

@@ -38,29 +38,20 @@ def _cleanup_scratch_dirs() -> None:
     without this hook every bench/pytest run would orphan one
     /tmp/bucketed_<tag>_<pid> per (sf_dir, buckets) on long-lived
     machines (round-4 advisory)."""
+    # OWN dirs only. A dead-PID sweep was considered and rejected:
+    # with /tmp shared across PID namespaces (containers), a PID that
+    # is invisible here can still be a live process elsewhere, and
+    # deleting its dir would rip the parquet files out from under its
+    # live external tables — the exact race the PID suffix prevents.
+    suffix = f"_{os.getpid()}"
     tmp = tempfile.gettempdir()
     try:
         entries = os.listdir(tmp)
     except OSError:
         return
     for d in entries:
-        if not d.startswith("bucketed_"):
-            continue
-        pid_part = d.rsplit("_", 1)[-1]
-        if not pid_part.isdigit():
-            continue
-        pid = int(pid_part)
-        # own dirs always; other PIDs' dirs only once that process is
-        # gone (a dead PID cannot back a live external table)
-        if pid != os.getpid():
-            try:
-                os.kill(pid, 0)
-                continue  # still alive — not ours to touch
-            except ProcessLookupError:
-                pass
-            except OSError:
-                continue
-        shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+        if d.startswith("bucketed_") and d.endswith(suffix):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
 
 
 def bucketed_tables(

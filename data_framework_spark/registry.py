@@ -688,7 +688,7 @@ QUERIES: dict[str, Query] = {
 # The driver's correctness harness verifies only the FIRST 50 registry
 # entries in insertion order. To keep cumulative hard-signal coverage
 # fresh, the least-recently-driver-verified entries are hoisted to the
-# front each round. Round-5 rotation: the seven never-driver-checked
+# front each round. Round-5 rotation: the ten never-driver-checked
 # round-5 additions + the materially-changed ann_hamming_rerank
 # (scaled re-rank shortlist) first, then the round-3-green block in
 # definition order. `find_structures_island` (rows-only by contract)

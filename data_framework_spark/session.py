@@ -75,6 +75,11 @@ def get_spark(app_name: str = "data_framework_spark") -> SparkSession:
         # same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # apply the full runtime convention set at build time too, so a
+    # get_spark() session satisfies every convention even on code
+    # paths that never hit an entry-point wrapper or load_table
+    for k, v in RUNTIME_CONVENTIONS.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

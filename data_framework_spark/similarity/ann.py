@@ -294,7 +294,7 @@ def blocked_cosine_pairs(
 _ROUTE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _cached_route(
+def cached_route(
     spark: SparkSession, sf_dir: str, route: str, build
 ) -> DataFrame:
     app = spark.sparkContext.applicationId
@@ -319,7 +319,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = emb.filter(F.col("vec_id") < 20)
         return brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
 
-    return _cached_route(spark, sf_dir, "cosine_topk", build)
+    return cached_route(spark, sf_dir, "cosine_topk", build)
 
 
 def signature_bits_arrow(n_planes: int, dim: int):
@@ -435,7 +435,7 @@ def q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, "vec_id", "embedding", k=5, m=m, n_planes=24, dim=64
         )
 
-    return _cached_route(spark, sf_dir, "hamming_rerank", build)
+    return cached_route(spark, sf_dir, "hamming_rerank", build)
 
 
 def _hamming_rerank_sql(
@@ -443,7 +443,7 @@ def _hamming_rerank_sql(
 ) -> str:
     """Oracle mirroring `hamming_rerank_topk` — identical md5-derived
     hyperplanes, identical two-stage tie-breaking. `m=None` mirrors the
-    scaled shortlist (max(100, N//100)) via a scalar subquery so the
+    scaled shortlist (max(100, N//5)) via a scalar subquery so the
     oracle agrees at every scale factor."""
     plane_lists = []
     for p in range(n_planes):
@@ -557,7 +557,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe_hamming=1,
         )
 
-    return _cached_route(spark, sf_dir, "lsh_topk", build)
+    return cached_route(spark, sf_dir, "lsh_topk", build)
 
 
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
@@ -821,6 +821,30 @@ LSH_RECALL_FLOOR = 0.45
 RERANK_RECALL_FLOOR = 0.55
 
 
+def recall_vs_exact(
+    exact: DataFrame, approx: DataFrame, route: str, floor: float
+) -> DataFrame:
+    """Shared recall-contract arithmetic: one (route, total, hits,
+    recall, meets_floor) row for an approximate route's (query_id,
+    neighbor_id) pairs vs the exact baseline's. The denominator is the
+    EXACT top-k pair set (recall@k proper), so a route returning short
+    bucket results is penalized, not excused. Used by every route
+    contract (ann_recall_contract, ivf_recall_contract) so the recall
+    definition cannot drift between them."""
+    a = approx.select("query_id", "neighbor_id").withColumn("m", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(a, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.lit(route).alias("route"),
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
+        )
+        .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
+        .withColumn("meets_floor", F.col("recall") >= F.lit(floor))
+    )
+
+
 def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall CONTRACT for the approximate ANN routes: recall@5 of
     sign-LSH multi-probe and Hamming re-rank against the exact
@@ -830,45 +854,23 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans — so a Spark-side route regression shows up as a recall
     mismatch, and a quality drop below the floor flips the boolean and
     fails the hash even if both implementations are changed
-    "consistently". Same contract pattern as q_sketch_accuracy_events.
-
-    Denominator is the EXACT top-k pair set (recall@k proper), so a
-    route returning short bucket results is penalized, not excused."""
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = (
-        q_ann_lsh_topk(spark, sf_dir)
-        .select(
-            F.lit("lsh_multiprobe").alias("route"), "query_id", "neighbor_id"
+    "consistently". Same contract pattern as q_sketch_accuracy_events."""
+    exact = q_cosine_topk(spark, sf_dir)
+    return (
+        recall_vs_exact(
+            exact,
+            q_ann_hamming_rerank(spark, sf_dir),
+            "hamming_rerank",
+            RERANK_RECALL_FLOOR,
         )
         .unionByName(
-            q_ann_hamming_rerank(spark, sf_dir).select(
-                F.lit("hamming_rerank").alias("route"),
-                "query_id",
-                "neighbor_id",
+            recall_vs_exact(
+                exact,
+                q_ann_lsh_topk(spark, sf_dir),
+                "lsh_multiprobe",
+                LSH_RECALL_FLOOR,
             )
         )
-        .withColumn("m", F.lit(1))
-    )
-    routes = spark.createDataFrame(
-        [("hamming_rerank",), ("lsh_multiprobe",)], "route string"
-    )
-    per_route = (
-        exact.crossJoin(F.broadcast(routes))
-        .join(approx, ["route", "query_id", "neighbor_id"], "left")
-        .groupBy("route")
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
-        )
-    )
-    floor = F.when(
-        F.col("route") == "lsh_multiprobe", F.lit(LSH_RECALL_FLOOR)
-    ).otherwise(F.lit(RERANK_RECALL_FLOOR))
-    return (
-        per_route.withColumn(
-            "recall", F.round(F.col("hits") / F.col("total"), 4)
-        )
-        .withColumn("meets_floor", F.col("recall") >= floor)
         .orderBy("route")
     )
 

@@ -218,26 +218,20 @@ def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the IVF route (the ann_recall_contract
     pattern): recall@5 of q_ann_ivf_topk against the exact brute-force
     baseline plus a floor boolean the oracle states as literal TRUE.
-    Both route results come from the session route cache, so the
-    contract reads persisted results instead of re-executing."""
+    The recall arithmetic is the SHARED ann.recall_vs_exact helper,
+    so the definition cannot drift between route contracts; both
+    route results come from the session route cache."""
     from data_framework_spark.similarity.ann import (
-        _cached_route,
+        cached_route,
         q_cosine_topk,
+        recall_vs_exact,
     )
 
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = _cached_route(
+    ivf = cached_route(
         spark, sf_dir, "ivf_topk", lambda: q_ann_ivf_topk(spark, sf_dir)
-    ).select("query_id", "neighbor_id").withColumn("m", F.lit(1))
-    return (
-        exact.join(ivf, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.lit("ivf").alias("route"),
-            F.count(F.lit(1)).alias("total"),
-            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
-        )
-        .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
-        .withColumn("meets_floor", F.col("recall") >= F.lit(IVF_RECALL_FLOOR))
+    )
+    return recall_vs_exact(
+        q_cosine_topk(spark, sf_dir), ivf, "ivf", IVF_RECALL_FLOOR
     )
 
 
