@@ -13,10 +13,13 @@ file so per-query timings stay recoverable from the repo.
 
 Each query is materialized with the noop sink (full computation, no
 driver-side collect) after a warm-up of the session itself. The loop
-runs TWICE: the first (cold) pass is the headline — the regime the
-driver measures — and the second (warm) pass is recorded alongside it,
-because most cold-query cost is codegen/JIT charged to whichever
-queries happen to run first. Both passes iterate a FIXED sorted query
+runs THREE times: the first (cold) pass is the headline — the regime
+the driver measures — and two warm passes follow; the recorded warm
+figure is the per-query MIN of the two with the |a-b| spread kept
+alongside (this VM's wall times swing up to 10× on identical code, so
+a single warm sample can't separate noise from regression). Most
+cold-query cost is codegen/JIT charged to whichever queries happen to
+run first. Both passes iterate a FIXED sorted query
 order, decoupled from the registry's rotating verify window, so
 per-query cold deltas are comparable across rounds. The one-time bucketed
 table layout is materialized BEFORE timing (reported separately as
@@ -52,6 +55,21 @@ def main() -> None:
     bucketed_tables(spark, sf_dir)
     layout_build_s = round(time.perf_counter() - t0, 4)
 
+    # The ANN route queries memoize their (tiny) results in a session
+    # cache so the recall contracts can compose them cheaply. Timing a
+    # memoized route would measure a dict lookup (round-5 verdict
+    # finding 2), so the bench evicts each route's OWN entry right
+    # before timing that route — entries built by other queries stay,
+    # preserving the contracts' internal reuse.
+    from data_framework_spark.similarity.ann import evict_route
+
+    _ROUTE_OF = {
+        "cosine_topk": "cosine_topk",
+        "ann_lsh_topk": "lsh_topk",
+        "ann_hamming_rerank": "hamming_rerank",
+        "ann_ivf_topk": "ivf_topk",
+    }
+
     def run_all() -> dict[str, float]:
         # canonical sorted order, NOT registry insertion order: the
         # registry front-loads the driver's rotating verify window, so
@@ -61,6 +79,8 @@ def main() -> None:
         # rotation-independent.
         t: dict[str, float] = {}
         for name in sorted(QUERIES):
+            if name in _ROUTE_OF:
+                evict_route(spark, sf_dir, _ROUTE_OF[name])
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -69,7 +89,17 @@ def main() -> None:
         return t
 
     timings = run_all()  # cold: the driver-comparable headline
-    timings_warm = run_all()  # warm: codegen/JIT paid — plan-quality signal
+    # Warm protocol (round-5 verdict finding 6: this VM's wall times
+    # swing up to 10× on identical code): TWO warm passes; the
+    # per-query warm figure is the MIN of the two (closest to true
+    # plan cost on a noisy box) and the per-query spread is recorded
+    # so a reader can tell noise from regression.
+    warm_a = run_all()
+    warm_b = run_all()
+    timings_warm = {k: min(warm_a[k], warm_b[k]) for k in warm_a}
+    warm_spread = {
+        k: round(abs(warm_a[k] - warm_b[k]), 4) for k in warm_a
+    }
 
     out = {
         "metric": "total_query_wall_seconds",
@@ -77,7 +107,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": timings_warm,
+        "queries_warm_spread": warm_spread,
         "warm_value": round(sum(timings_warm.values()), 4),
+        "warm_protocol": "min of 2 warm passes; spread = |a-b| per query",
+        "warm_spread_total": round(sum(warm_spread.values()), 4),
         "layout_build_s": layout_build_s,
         "sf": sf,
     }
@@ -104,7 +137,9 @@ def main() -> None:
         json.dump(out, f, indent=1)
 
     compact = {
-        k: v for k, v in out.items() if k not in ("queries", "queries_warm")
+        k: v
+        for k, v in out.items()
+        if k not in ("queries", "queries_warm", "queries_warm_spread")
     }
     compact["n_queries"] = len(timings)
     compact["slowest5"] = dict(

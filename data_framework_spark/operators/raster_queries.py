@@ -467,6 +467,13 @@ def q_halo_smooth_multi_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 # printing q_halo_smooth_multi_t's rows after an INTENDED kernel
 # change; verified stable across runs — the |value| checksum has no
 # cancellation, so partition-order float drift stays below 2dp).
+# ENVIRONMENT PIN (round-5 advisory): these 2dp literals were computed
+# under numpy 1.26.4 / pandas 2.2.2 / pyarrow 16.1.0 with the repo's
+# own kernels/ndimage.py Gaussian (separable correlate1d, float64
+# accumulation). A dependency bump that changes FMA/SIMD reduction
+# order could move a ~1e6 sum across a 0.005 rounding boundary — if
+# this query goes red with NO kernel change, check the numpy version
+# FIRST and re-pin from a fresh print rather than hunting a code bug.
 Q_HALO_SMOOTH_MULTI_T_SQL = """
 SELECT * FROM (VALUES
   (0.0::DOUBLE, 1056000::BIGINT, 444686.41::DOUBLE),

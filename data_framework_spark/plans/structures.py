@@ -183,6 +183,12 @@ def find_structures(
             "using previously computed flux_fn; recompute if inputs changed"
         )
     flux = ds.variables["flux_fn"]
+    # ψ feeds BOTH cached frames below (`wide` for the Hessian/nulls
+    # path, `mask_in` for the separatrix path) — without its own cache
+    # the two chained cumsum windows execute twice per invocation
+    # (round-6 profile). Registered for the same end-of-query release.
+    flux_cached = flux.df.cache()
+    ds.scratch_cached = getattr(ds, "scratch_cached", []) + [flux_cached]
 
     # (4) Hessian determinant of ψ from gradients of the smoothed
     # fields (:378-380): det = db1_d2·(−db2_d1) − (−db2_d2)·db1_d1
@@ -194,7 +200,7 @@ def find_structures(
             on=["t", "i0", "i1"],
         )
         .join(
-            flux.df.select("t", "i0", "i1", F.col("value").alias("psi")),
+            flux_cached.select("t", "i0", "i1", F.col("value").alias("psi")),
             on=["t", "i0", "i1"],
         )
         # consumed twice (Hessian kernel + nulls kernel) — cache so the
@@ -302,7 +308,7 @@ def find_structures(
         raise KeyError("find_structures requires a 'jy' variable (vpicdataset.py:482)")
     jy = ds.variables["jy"]
     jys_df = _smooth_gaussian(jy, sig[1], sig[2])
-    mask_in = flux.df.withColumnRenamed("value", "psi").join(
+    mask_in = flux_cached.withColumnRenamed("value", "psi").join(
         jys_df.select("t", "i0", "i1", F.col("value").alias("jys")),
         on=["t", "i0", "i1"],
     )
@@ -331,6 +337,9 @@ def find_structures(
         ),
     ).cache()  # three output variables slice this one kernel result
     ds.scratch_cached = getattr(ds, "scratch_cached", []) + [masks]
+    # the combined kernel frame, for callers that aggregate across all
+    # three outputs — one job over the cache instead of three
+    ds.masks_df = masks
     base = ["t", "i0", "i1", "c0", "c1"]
     for out_name in ("separatrices", "o_structures", "current_sheets"):
         vdf = masks.select(*base, F.col(out_name).alias("value"))
@@ -386,18 +395,29 @@ def q_find_structures_island(spark, sf_dir: str):
             (f"o_point_t{t:g}", round(float(r), 4), round(float(c), 4))
             for r, c in ds.params["o_coords"].get(t, [])
         ]
-    for name in ("separatrices", "o_structures", "current_sheets"):
-        counts = {
-            r["t"]: r["n"]
-            for r in ds.variables[name]
-            .df.filter(F.col("value") != 0.0)
-            .groupBy("t")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+    # one pass over the cached kernel frame for all three outputs'
+    # nonzero-cell counts (was three separate jobs — round-6 profile)
+    names = ("separatrices", "o_structures", "current_sheets")
+    counts = {
+        (r["t"], name): r[name]
+        for r in ds.masks_df.groupBy("t")
+        .agg(
+            *[
+                F.count(F.when(F.col(n) != 0.0, F.lit(1))).alias(n)
+                for n in names
+            ]
+        )
+        .collect()
+        for name in names
+    }
+    for name in names:
         for t in ts:
             rows.append(
-                (f"{name}_cells_t{float(t):g}", float(counts.get(float(t), 0)), 0.0)
+                (
+                    f"{name}_cells_t{float(t):g}",
+                    float(counts.get((float(t), name), 0)),
+                    0.0,
+                )
             )
     # all outputs are collected into `rows` — release the pipeline's
     # cached intermediates so repeated invocations don't accumulate
@@ -457,13 +477,13 @@ def q_find_structures_contract(spark, sf_dir: str):
     for i, (pz, px) in enumerate(opts):
         rows.append((f"o{i}_z", round(float(pz), 4) + 0.0))
         rows.append((f"o{i}_x", round(float(px), 4) + 0.0))
-    for name in ("separatrices", "o_structures", "current_sheets"):
-        n = (
-            ds.variables[name]
-            .df.filter(F.col("value") != 0.0)
-            .count()
-        )
-        rows.append((f"{name}_cells", float(n)))
+    # one job over the cached kernel frame for all three counts
+    names = ("separatrices", "o_structures", "current_sheets")
+    crow = ds.masks_df.agg(
+        *[F.count(F.when(F.col(n) != 0.0, F.lit(1))).alias(n) for n in names]
+    ).collect()[0]
+    for name in names:
+        rows.append((f"{name}_cells", float(crow[name])))
     flux_mm = (
         ds.variables["flux_fn"]
         .df.agg(

@@ -208,9 +208,11 @@ Q_ANN_IVF_TOPK_SQL = _ivf_sql()
 
 # --- IVF recall contract ----------------------------------------------------
 
-# Observed recall@5 vs the exact baseline: 0.85 (sf0.01) / 0.89
-# (sf0.1). Floor 0.10 below the observed minimum, same calibration
-# policy as ann.LSH_RECALL_FLOOR / RERANK_RECALL_FLOOR.
+# Observed recall@5 vs the exact baseline: 0.85 (sf0.001) / 0.85
+# (sf0.01) / 0.89 (sf0.1). Floor 0.10 below the observed minimum,
+# same calibration policy — and the same SF CERTIFICATION caveat — as
+# ann.LSH_RECALL_FLOOR / RERANK_RECALL_FLOOR (certified for the three
+# shipped SFs only; measure before trusting at a new one).
 IVF_RECALL_FLOOR = 0.75
 
 
