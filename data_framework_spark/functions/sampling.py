@@ -229,3 +229,77 @@ FROM documents
 ORDER BY key DESC, doc_id ASC
 LIMIT {WS_K}
 """
+
+
+# --- temperature-weighted domain mixing ------------------------------------
+
+
+# multilingual-sampling temperature (Conneau et al. 2020, XLM-R §3.1:
+# q_i ∝ p_i^α flattens the domain distribution toward small domains)
+MIX_ALPHA = 0.7
+# token budget the weights are projected onto
+MIX_BUDGET = 1_000_000
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing report: per source, its raw
+    token share p_i, the temperature-flattened sampling weight
+    w_i = p_i^α / Σ p_j^α, and the implied epochs-over-source at a
+    fixed token budget (w_i·B / tokens_i > 1 means the sampler
+    repeats that domain). This is the planning artifact a mixture-
+    weighted data loader consumes.
+
+    Scale shape: one corpus aggregate down to #sources rows; the
+    normalizing window then runs over that tiny frame only (the
+    single-partition window is bounded by the domain count, never the
+    corpus)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w_all = W.partitionBy()
+    # two stages: windows can't nest inside another window's argument
+    shares = per_src.withColumn(
+        "p", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    )
+    q = F.pow(F.col("p"), F.lit(MIX_ALPHA))
+    w = q / F.sum(q).over(w_all)
+    return (
+        shares.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("p_raw"),
+            F.round(w, 6).alias("w_temp"),
+            F.round(w * MIX_BUDGET / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_DOMAIN_MIX_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / sum(n_tokens) OVER () AS p
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS p_raw,
+       round(pow(p, {MIX_ALPHA}) / sum(pow(p, {MIX_ALPHA})) OVER (), 6)
+         AS w_temp,
+       round(pow(p, {MIX_ALPHA}) / sum(pow(p, {MIX_ALPHA})) OVER ()
+             * {MIX_BUDGET} / n_tokens, 4) AS epochs
+FROM shares
+ORDER BY source
+"""

@@ -24,7 +24,9 @@ from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
+from data_framework_spark.functions import chunking as chunking_mod
 from data_framework_spark.functions import corpus as corpus_mod
+from data_framework_spark.functions import lm as lm_mod
 from data_framework_spark.functions import heavy_hitters as hh_mod
 from data_framework_spark.functions import semistructured as semi_mod
 from data_framework_spark.functions import sampling as sampling_mod
@@ -52,6 +54,7 @@ from data_framework_spark.sources import array_ingest
 from data_framework_spark.sources import formats as formats_mod
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.similarity import ivf as ivf_mod
+from data_framework_spark.similarity import semantic as semantic_mod
 from data_framework_spark.streaming import stateful as stream_stateful
 from data_framework_spark.streaming import windows as stream_windows
 
@@ -690,6 +693,48 @@ QUERIES: dict[str, Query] = {
         "(160 concurrent stencil patches); per-t checksums vs pinned "
         "literals",
     ),
+    "chunk_documents": Query(
+        chunking_mod.q_chunk_documents,
+        chunking_mod.Q_CHUNK_DOCUMENTS_SQL,
+        "overlapping fixed-window token chunking (32-token windows, "
+        "stride 24) with per-chunk md5 hash — shuffle-free flatMap",
+    ),
+    "chunk_dedup": Query(
+        chunking_mod.q_chunk_dedup,
+        chunking_mod.Q_CHUNK_DEDUP_SQL,
+        "chunk-level exact-dedup accounting per source (boilerplate "
+        "detection below document granularity)",
+    ),
+    "stratified_split": Query(
+        chunking_mod.q_stratified_split,
+        chunking_mod.Q_STRATIFIED_SPLIT_SQL,
+        "deterministic md5 train/val/test split + cross-split "
+        "exact-dup leakage audit",
+    ),
+    "unigram_logprob": Query(
+        lm_mod.q_unigram_logprob,
+        lm_mod.Q_UNIGRAM_LOGPROB_SQL,
+        "per-doc unigram-LM mean log-probability (CCNet-style "
+        "perplexity quality signal; broadcast vocabulary)",
+    ),
+    "zipf_fit": Query(
+        lm_mod.q_zipf_fit,
+        lm_mod.Q_ZIPF_FIT_SQL,
+        "Zipf-law OLS fit over top terms (regr_slope/regr_r2) — "
+        "corpus-health diagnostic",
+    ),
+    "semantic_dedup": Query(
+        semantic_mod.q_semantic_dedup,
+        semantic_mod.Q_SEMANTIC_DEDUP_SQL,
+        "SemDeDup-style semantic dedup: deterministic centroid "
+        "clustering + within-cluster cosine dup accounting",
+    ),
+    "domain_mix": Query(
+        sampling_mod.q_domain_mix,
+        sampling_mod.Q_DOMAIN_MIX_SQL,
+        "temperature-weighted domain sampling weights "
+        "(p^0.7 renormalized) + epochs-at-budget report",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -697,17 +742,23 @@ QUERIES: dict[str, Query] = {
 # fresh, the least-recently-driver-verified entries are hoisted to the
 # front each round. Round-6 rotation (the round-5 verdict's top ask):
 # the full 16-query round-3-green backlog first — every registry query
-# is then at most two rounds stale — followed by the queries whose
-# implementation changed this round (results identical, re-pinned for
-# hygiene) plus the one new query, then the round-4-green block in
-# definition order. `find_structures_island` (rows-only by contract)
-# stays excluded so every slot buys a hash-green signal — its pipeline
-# is hash-covered by the in-window find_structures_contract/multi8.
-# Twenty-two round-4-green entries spill past slot 50 and head the
-# round-7 rotation: session_window_events, stateful_user_totals_live,
-# streaming_dedup_events, streaming_interval_join, format_roundtrip,
-# json_props_events, tpch_q1, tpch_q3, tpch_q5, tpch_q6, top_k_orders,
-# group_rollup, tpch_q4_semijoin, tpch_q7_volume, pack_sequences,
+# is then at most two rounds stale — followed by the NEVER-verified
+# round-6 additions (curation_funnel_mat + the 7 new LLM-pipeline
+# queries: chunking/split, unigram LM, Zipf fit, semantic dedup,
+# domain mix), then the queries whose implementation changed this
+# round (results identical, re-pinned for hygiene), then round-4-green
+# backfill in definition order. `find_structures_island` (rows-only by
+# contract) stays excluded so every slot buys a hash-green signal —
+# its pipeline is hash-covered by the in-window
+# find_structures_contract/multi8. Twenty-nine round-4-green entries
+# spill past slot 50 and head the round-7 rotation: line_slice_linear,
+# line_slice_nearest, multimodal_features, multimodal_resize_plan,
+# multimodal_frame_sample, tumbling_window_events,
+# sliding_window_events, session_window_events,
+# stateful_user_totals_live, streaming_dedup_events,
+# streaming_interval_join, format_roundtrip, json_props_events,
+# tpch_q1, tpch_q3, tpch_q5, tpch_q6, top_k_orders, group_rollup,
+# tpch_q4_semijoin, tpch_q7_volume, pack_sequences,
 # ann_recall_contract, orc_roundtrip, rolling_median_events,
 # hll_union_contract_events, tiled_gaussian_grid, benchmark_decontam,
 # dup_ngram_fraction — all re-verified green by the pytest oracle
@@ -730,11 +781,19 @@ _VERIFY_FIRST: list[str] = [
     "dedup_simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
-    # -- changed round 6 (identical results, re-verified) + new --
+    # -- NEW round 6 (never driver-verified — first claim on slots) --
+    "curation_funnel_mat",  # materialized feature-table funnel variant
+    "chunk_documents",
+    "chunk_dedup",
+    "stratified_split",
+    "unigram_logprob",
+    "zipf_fit",
+    "semantic_dedup",
+    "domain_mix",
+    # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
     "curation_funnel",  # base projection extracted + tracked persist
-    "curation_funnel_mat",  # NEW: materialized feature-table variant
     "find_structures_contract",  # flux cache + one-job mask counts
     "find_structures_multi8",  # flux cache
     # -- last driver row round 4, definition order --
@@ -759,13 +818,6 @@ _VERIFY_FIRST: list[str] = [
     "gradient_events",
     "fluxfn_grid",
     "interp_events",
-    "line_slice_linear",
-    "line_slice_nearest",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "tumbling_window_events",
-    "sliding_window_events",
 ]
 
 QUERIES = {

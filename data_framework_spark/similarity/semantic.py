@@ -1,0 +1,157 @@
+"""SemDeDup-style semantic deduplication: cluster the embedding
+space, then deduplicate WITHIN clusters by cosine similarity.
+
+Extension layer (SURVEY.md §7 phase 5) — the third dedup family next
+to exact (dedup/exact.py) and lexical near-dup (dedup/minhash.py,
+dedup/simhash.py): semantic duplicates (paraphrases, re-encodings,
+translations) share no n-grams but sit close in embedding space.
+The published recipe (Abbas et al. 2023, "SemDeDup", arXiv:2303.09540
+§2) is k-means over embeddings, then pairwise cosine only within each
+cluster, keeping one representative per duplicate group — the cluster
+step is what bounds the otherwise-quadratic pair enumeration.
+
+This implementation keeps the published structure but makes every
+step engine-portable so the DuckDB oracle computes the identical
+arithmetic:
+
+- centroids are the embeddings of the K_CLUSTERS smallest vec_ids — a
+  deterministic stand-in for k-means centers (the cluster step only
+  needs to PARTITION the space; dedup quality depends on the
+  within-cluster threshold, not centroid optimality; a k-means||
+  refinement drops in without touching the dedup contract);
+- assignment = argmax centroid cosine, rounded to 6dp with ties to
+  the smaller centroid id (total order, both engines);
+- within a cluster, a vector is a removable duplicate iff some
+  SMALLER vec_id in the same cluster has cosine ≥ DUP_COS with it
+  (greedy keep-lowest-id, the same convention as the exact-dedup
+  representative choice in dedup/exact.py).
+
+Scale posture: the centroid frame is K rows — broadcast; assignment
+is a broadcast nested-loop over K per vector (linear, no shuffle);
+the pair join shuffles once on the cluster id and enumerates pairs
+only within clusters, so with K ≈ √N-scaled cluster counts the pair
+work is ~N²/K instead of N² (at 100 TB, K grows with N and each
+cluster's members fit one task; skewed clusters would take the same
+salting treatment as any skewed join key). Nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.similarity.ann import cosine, dot, l2_norm
+from data_framework_spark.sources.tables import load_table
+
+K_CLUSTERS = 32
+# the synthetic embeddings are isotropic-random (pairwise-cosine tail
+# ~0.5, see q_embedding_near_dups) — 0.40 is the same "near" bar used
+# there; real sentence embeddings would use ~0.95+
+DUP_COS = 0.40
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic-dedup accounting: members per cluster and
+    how many are removable duplicates (a smaller-id member within
+    cosine ≥ DUP_COS exists in the same cluster). The K-row output is
+    the audit a semantic-dedup stage ships with."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine(F.col("embedding"), F.col("cent")), 6).alias("ccos"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg"))
+            ).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id", "embedding", (-F.col("best.neg")).alias("cluster")
+        )
+    )
+    # per-member norm computed once, not once per pair
+    with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
+    a = with_norm.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = with_norm.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pair_cos = dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(pair_cos, 6) >= DUP_COS)
+        .select("cluster", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("is_dup", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_COS_SQL = (
+    "round("
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+)
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent
+  FROM embeddings WHERE vec_id < {K_CLUSTERS}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {_COS_SQL.format(a="e.embedding", b="c.cent")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cluster
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+),
+dup_ids AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {DUP_COS}
+)
+SELECT s.cluster,
+       count(*) AS n_members,
+       sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed
+FROM assigned s
+LEFT JOIN dup_ids d ON s.cluster = d.cluster AND s.vec_id = d.vec_id
+GROUP BY s.cluster
+ORDER BY s.cluster
+"""

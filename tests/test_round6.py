@@ -143,3 +143,129 @@ def test_evict_route_forces_reexecution(spark, sf_dir):
     # evicting a key that is absent is a no-op, not an error
     evict_route(spark, sf_dir, "cosine_topk")
     evict_route(spark, sf_dir, "cosine_topk")
+
+
+# --- round-6 new LLM-pipeline operators ------------------------------------
+
+
+def test_chunk_count_formula(spark):
+    """Chunk counts follow ceil((n - C)/S) + 1 with a single chunk for
+    short docs, and the last chunk always ends exactly at the doc's
+    final token (no token dropped, none fabricated)."""
+    from data_framework_spark.functions.chunking import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # < C -> 1 chunk
+            (2, " ".join(f"t{i}" for i in range(32))),   # == C -> 1 chunk
+            (3, " ".join(f"t{i}" for i in range(33))),   # C+1 -> 2 chunks
+            (4, " ".join(f"t{i}" for i in range(80))),   # 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = _chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 1, 2: 1, 3: 2, 4: 3}
+    n_tokens = {1: 10, 2: 32, 3: 33, 4: 80}
+    for d, chunks in by_doc.items():
+        last = max(chunks, key=lambda r: r.chunk_idx)
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_tok == n_tokens[d]
+        for c in chunks:
+            assert c.n_tok <= CHUNK_TOKENS
+
+
+def test_chunk_documents_single_shuffle(spark, sf_dir):
+    """Chunking is a pure flatMap — the only exchange in the plan is
+    the final presentation sort's range partitioning."""
+    from data_framework_spark.functions.chunking import q_chunk_documents
+
+    plan = q_chunk_documents(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_split_partitions_corpus(spark, sf_dir):
+    """The three splits partition the corpus exactly (no doc dropped
+    or double-assigned), and every split is non-empty."""
+    from data_framework_spark.functions.chunking import q_stratified_split
+    from data_framework_spark.sources.tables import load_table
+
+    out = q_stratified_split(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in out)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    assert {r.split for r in out} == {"train", "val", "test"}
+    for r in out:
+        assert 0 <= r.n_leaked <= r.n_docs
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Every doc's mean log-prob sits inside [ln p_min, ln p_max] of
+    the corpus unigram distribution (an average of per-token values
+    cannot escape the per-token range)."""
+    import math
+
+    from data_framework_spark.functions.lm import _vocab_counts
+    from data_framework_spark.functions.lm import q_unigram_logprob
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _vocab_counts(docs).collect()
+    total = sum(r.c for r in vocab)
+    lo = math.log(min(r.c for r in vocab) / total)
+    hi = math.log(max(r.c for r in vocab) / total)
+    for r in q_unigram_logprob(spark, sf_dir).collect():
+        assert lo - 1e-4 <= r.avg_logprob <= hi + 1e-4
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary join must be a broadcast hash join — the LM
+    table is vocabulary-sized, never corpus-sized."""
+    from data_framework_spark.functions.lm import q_unigram_logprob
+
+    plan = q_unigram_logprob(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    """One row; slope is negative (frequency falls with rank) and R²
+    is a valid fraction."""
+    from data_framework_spark.functions.lm import q_zipf_fit
+
+    [r] = q_zipf_fit(spark, sf_dir).collect()
+    assert r.slope < 0
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_terms <= 100 and r.vocab_size >= r.n_terms
+
+
+def test_semantic_dedup_accounting(spark, sf_dir):
+    """Cluster memberships partition the embedding corpus; removals
+    never exceed members-1 (each cluster keeps >= 1 representative)."""
+    from data_framework_spark.similarity.semantic import q_semantic_dedup
+    from data_framework_spark.sources.tables import load_table
+
+    out = q_semantic_dedup(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_emb
+    for r in out:
+        assert 0 <= r.n_removed <= r.n_members - 1
+
+
+def test_domain_mix_temperature_flattens(spark, sf_dir):
+    """Weights sum to 1 and the α<1 temperature moves every domain's
+    weight TOWARD uniform: large domains shrink (w < p), small domains
+    grow (w > p)."""
+    from data_framework_spark.functions.sampling import q_domain_mix
+
+    out = q_domain_mix(spark, sf_dir).collect()
+    assert abs(sum(r.w_temp for r in out) - 1.0) < 1e-3
+    mean_p = 1.0 / len(out)
+    for r in out:
+        if r.p_raw > mean_p + 1e-6:
+            assert r.w_temp < r.p_raw
+        elif r.p_raw < mean_p - 1e-6:
+            assert r.w_temp > r.p_raw
