@@ -26,6 +26,7 @@ from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
 from data_framework_spark.functions import chunking as chunking_mod
 from data_framework_spark.functions import corpus as corpus_mod
+from data_framework_spark.functions import drift as drift_mod
 from data_framework_spark.functions import lm as lm_mod
 from data_framework_spark.functions import heavy_hitters as hh_mod
 from data_framework_spark.functions import semistructured as semi_mod
@@ -735,6 +736,18 @@ QUERIES: dict[str, Query] = {
         "temperature-weighted domain sampling weights "
         "(p^0.7 renormalized) + epochs-at-budget report",
     ),
+    "ks_drift": Query(
+        drift_mod.q_ks_drift,
+        drift_mod.Q_KS_DRIFT_SQL,
+        "per-source two-sample KS drift vs rest-of-corpus over the "
+        "bucketized length distribution — ingest-quality monitor",
+    ),
+    "cluster_purity": Query(
+        semantic_mod.q_cluster_purity,
+        semantic_mod.Q_CLUSTER_PURITY_SQL,
+        "external cluster-validity check: majority-label purity of "
+        "the semantic clusters vs embedding labels",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -750,8 +763,9 @@ QUERIES: dict[str, Query] = {
 # backfill in definition order. `find_structures_island` (rows-only by
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
-# find_structures_contract/multi8. Twenty-nine round-4-green entries
-# spill past slot 50 and head the round-7 rotation: line_slice_linear,
+# find_structures_contract/multi8. Thirty-one round-4-green entries
+# spill past slot 50 and head the round-7 rotation: fluxfn_grid,
+# interp_events, line_slice_linear,
 # line_slice_nearest, multimodal_features, multimodal_resize_plan,
 # multimodal_frame_sample, tumbling_window_events,
 # sliding_window_events, session_window_events,
@@ -790,6 +804,8 @@ _VERIFY_FIRST: list[str] = [
     "zipf_fit",
     "semantic_dedup",
     "domain_mix",
+    "ks_drift",
+    "cluster_purity",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -816,8 +832,6 @@ _VERIFY_FIRST: list[str] = [
     "contours_grid",
     "running_sum_events",
     "gradient_events",
-    "fluxfn_grid",
-    "interp_events",
 ]
 
 QUERIES = {

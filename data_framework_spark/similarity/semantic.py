@@ -38,7 +38,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.similarity.ann import cosine, dot, l2_norm
@@ -51,12 +51,11 @@ K_CLUSTERS = 32
 DUP_COS = 0.40
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster semantic-dedup accounting: members per cluster and
-    how many are removable duplicates (a smaller-id member within
-    cosine ≥ DUP_COS exists in the same cluster). The K-row output is
-    the audit a semantic-dedup stage ships with."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _assign_clusters(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster): argmax centroid cosine (6dp,
+    ties to the smaller centroid id). The centroid frame is K rows —
+    broadcast; assignment is linear in N with no shuffle before the
+    per-vector argmax aggregate."""
     cents = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
@@ -66,7 +65,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         F.round(cosine(F.col("embedding"), F.col("cent")), 6).alias("ccos"),
     )
-    assigned = (
+    return (
         scored.groupBy("vec_id")
         .agg(
             F.max(
@@ -78,6 +77,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", (-F.col("best.neg")).alias("cluster")
         )
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic-dedup accounting: members per cluster and
+    how many are removable duplicates (a smaller-id member within
+    cosine ≥ DUP_COS exists in the same cluster). The K-row output is
+    the audit a semantic-dedup stage ships with."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _assign_clusters(emb)
     # per-member norm computed once, not once per pair
     with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
     a = with_norm.select(
@@ -121,8 +129,7 @@ _COS_SQL = (
     "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"
 )
 
-Q_SEMANTIC_DEDUP_SQL = f"""
-WITH cents AS (
+_ASSIGNED_CTES = f"""cents AS (
   SELECT vec_id AS cent_id, embedding AS cent
   FROM embeddings WHERE vec_id < {K_CLUSTERS}
 ),
@@ -139,7 +146,10 @@ assigned AS (
     FROM scored
   )
   WHERE rn = 1
-),
+)"""
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH {_ASSIGNED_CTES},
 dup_ids AS (
   SELECT DISTINCT a.cluster, b.vec_id
   FROM assigned a JOIN assigned b
@@ -154,4 +164,62 @@ FROM assigned s
 LEFT JOIN dup_ids d ON s.cluster = d.cluster AND s.vec_id = d.vec_id
 GROUP BY s.cluster
 ORDER BY s.cluster
+"""
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: for each semantic cluster, the
+    majority ground-truth label (ties to the smaller label) and its
+    purity = majority count / members — the standard external
+    cluster-validity check, run here between the deterministic
+    centroid clustering and the embeddings' labels. Assignment is the
+    same broadcast argmax as q_semantic_dedup; everything after is one
+    (cluster, label) count aggregate and a K-row window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    assigned = _assign_clusters(emb.select("vec_id", "embedding")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cl = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("cluster").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.sum("c").over(W.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("label").cast("int").alias("majority_label"),
+            F.round(F.col("c") / F.col("n_members"), 6).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+Q_CLUSTER_PURITY_SQL = f"""
+WITH {_ASSIGNED_CTES},
+cl AS (
+  SELECT a.cluster, e.label, count(*) AS c
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY a.cluster, e.label
+),
+ranked AS (
+  SELECT cluster, label, c,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY c DESC, label ASC) AS rn,
+         sum(c) OVER (PARTITION BY cluster) AS n_members
+  FROM cl
+)
+SELECT cluster,
+       n_members::BIGINT AS n_members,
+       label::INTEGER AS majority_label,
+       round(c::DOUBLE / n_members, 6) AS purity
+FROM ranked
+WHERE rn = 1
+ORDER BY cluster
 """

@@ -269,3 +269,58 @@ def test_domain_mix_temperature_flattens(spark, sf_dir):
             assert r.w_temp < r.p_raw
         elif r.p_raw < mean_p - 1e-6:
             assert r.w_temp > r.p_raw
+
+
+def test_ks_drift_bounds(spark, sf_dir):
+    """KS is a sup of |ECDF differences| — always within [0, 1]; the
+    per-source doc counts partition the corpus."""
+    from data_framework_spark.functions.drift import q_ks_drift
+    from data_framework_spark.sources.tables import load_table
+
+    out = q_ks_drift(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in out:
+        assert 0.0 <= r.ks <= 1.0
+
+
+def test_ks_drift_detects_shift(spark, tmp_path):
+    """A source whose lengths are shifted far from the others must
+    show near-total drift (ks -> 1), and identically-distributed
+    sources must show small drift — the monitor actually monitors."""
+    import pandas as pd
+
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        n_chars = 100 + (i % 50)          # same distribution for s0-s2
+        rows.append((i, "x", src, n_chars))
+    for i in range(300, 400):
+        rows.append((i, "x", "shifted", 5000 + (i % 50)))  # far away
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"])
+    d = tmp_path / "kscase"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet", index=False)
+
+    from data_framework_spark.functions.drift import q_ks_drift
+
+    out = {r.source: r.ks for r in q_ks_drift(spark, str(d)).collect()}
+    assert out["shifted"] == 1.0
+    for s in ("s0", "s1", "s2"):
+        assert out[s] < 0.4
+
+
+def test_cluster_purity_accounting(spark, sf_dir):
+    """Purity is a valid fraction, members partition the corpus, and
+    the majority label is drawn from the label domain."""
+    from data_framework_spark.similarity.semantic import q_cluster_purity
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    out = q_cluster_purity(spark, sf_dir).collect()
+    assert sum(r.n_members for r in out) == emb.count()
+    for r in out:
+        assert 0.0 < r.purity <= 1.0
+        assert r.majority_label in labels
