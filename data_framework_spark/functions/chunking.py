@@ -27,7 +27,7 @@ on the document fingerprint. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.functions.sampling import hash_fraction
@@ -237,4 +237,150 @@ SELECT split, source,
 FROM base JOIN fp_spread USING (fp)
 GROUP BY split, source
 ORDER BY split, source
+"""
+
+
+# --- content-defined chunking ----------------------------------------------
+
+
+# boundary divisor: a position ends a chunk when the rolling-window
+# hash of the trigram ending there is ≡ 0 (mod CDC_DIVISOR), giving
+# expected chunk length ≈ CDC_DIVISOR tokens
+CDC_DIVISOR = 16
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking accounting: chunk boundaries are set
+    where the hash of the local token trigram hits 0 mod CDC_DIVISOR
+    (the gear/Rabin construction with an engine-portable md5 window
+    hash), so boundaries depend only on LOCAL content — an insertion
+    reshuffles the chunks around the edit point and nowhere else,
+    which is what makes chunk-level dedup survive document edits
+    (fixed windows shift everything after the edit; see
+    q_chunk_documents for that variant). Emits per source: chunk
+    count, distinct chunk hashes, mean chunk length, and the
+    duplicate-chunk fraction.
+
+    Scale shape: posexplode (flatMap) → per-position hash (row-local)
+    → one per-doc prefix-sum window (partitioned by doc_id — bounded
+    partitions, corpus-parallel) → per-chunk rollup → per-source
+    rollup. Two shuffles total on (doc_id) and (source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("i", "tok"),
+    )
+    # rolling trigram ending at i (shorter at the doc head)
+    w3 = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-2, 0)
+    )
+    gram = F.concat_ws(" ", F.collect_list("tok").over(w3))
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    flagged = tok.select(
+        "doc_id",
+        "source",
+        "i",
+        "tok",
+        F.when((h % CDC_DIVISOR == 0) | (F.col("i") == 0), 1)
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w_cum = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "source",
+        "i",
+        "tok",
+        F.sum("boundary").over(w_cum).alias("chunk_id"),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tok"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "avg_tok",
+            F.round(
+                (F.col("n_chunks") - F.col("n_distinct"))
+                / F.col("n_chunks").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CDC_CHUNKS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, i, tok,
+         string_agg(tok, ' ') OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS gram
+  FROM tok
+),
+flagged AS (
+  SELECT doc_id, source, i, tok,
+         CASE WHEN (('0x' || substring(md5(gram), 1, 8))::UBIGINT
+                    % {CDC_DIVISOR} = 0) OR i = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM grams
+),
+chunked AS (
+  SELECT doc_id, source, i, tok,
+         sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         count(*) AS n_tok,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+  FROM chunked
+  GROUP BY doc_id, source, chunk_id
+)
+SELECT source,
+       count(*) AS n_chunks,
+       count(DISTINCT chunk_hash) AS n_distinct,
+       round(avg(n_tok), 4) AS avg_tok,
+       round((count(*) - count(DISTINCT chunk_hash)) / count(*)::DOUBLE, 4)
+         AS dup_frac
+FROM chunks
+GROUP BY source
+ORDER BY source
 """

@@ -748,6 +748,19 @@ QUERIES: dict[str, Query] = {
         "external cluster-validity check: majority-label purity of "
         "the semantic clusters vs embedding labels",
     ),
+    "cdc_chunks": Query(
+        chunking_mod.q_cdc_chunks,
+        chunking_mod.Q_CDC_CHUNKS_SQL,
+        "content-defined chunking (gear-style local-hash boundaries, "
+        "edit-resistant) + per-source chunk dedup accounting",
+    ),
+    "snapshot_diff": Query(
+        formats_mod.q_snapshot_diff,
+        formats_mod.Q_SNAPSHOT_DIFF_SQL,
+        "corpus snapshot diff (CDC accounting): added/removed/changed/"
+        "unchanged per source via full-outer fingerprint join, snapshot "
+        "B written to and read back from parquet",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -763,8 +776,10 @@ QUERIES: dict[str, Query] = {
 # backfill in definition order. `find_structures_island` (rows-only by
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
-# find_structures_contract/multi8. Thirty-one round-4-green entries
-# spill past slot 50 and head the round-7 rotation: fluxfn_grid,
+# find_structures_contract/multi8. Thirty-three round-4-green entries
+# spill past slot 50 and head the round-7 rotation: running_sum_events,
+# gradient_events,
+# fluxfn_grid,
 # interp_events, line_slice_linear,
 # line_slice_nearest, multimodal_features, multimodal_resize_plan,
 # multimodal_frame_sample, tumbling_window_events,
@@ -806,6 +821,8 @@ _VERIFY_FIRST: list[str] = [
     "domain_mix",
     "ks_drift",
     "cluster_purity",
+    "cdc_chunks",
+    "snapshot_diff",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -830,8 +847,6 @@ _VERIFY_FIRST: list[str] = [
     "flood_label_grid",
     "flood_region_grid",
     "contours_grid",
-    "running_sum_events",
-    "gradient_events",
 ]
 
 QUERIES = {

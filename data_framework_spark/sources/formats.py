@@ -231,3 +231,146 @@ SELECT 64 AS files_before,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events
 """
+
+
+# --- snapshot diff ---------------------------------------------------------
+
+
+# deterministic synthetic "snapshot B" derived from the documents
+# table: md5-fraction bands select which docs are removed / edited /
+# used as templates for additions, so BOTH engines construct the
+# identical second snapshot with no extra input data
+SNAP_REMOVE_LT = 0.05
+SNAP_CHANGE_LT = 0.15
+SNAP_ADD_GE = 0.95
+SNAP_ADD_ID_OFFSET = 1_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture accounting between two
+    corpus versions: per source, how many docs were added, removed,
+    changed (same doc_id, different text fingerprint), and unchanged.
+    Snapshot B is derived deterministically from snapshot A (md5
+    bands: lowest 5% removed, next 10% edited, top 5% cloned as
+    additions under offset ids), WRITTEN TO PARQUET, and read back —
+    so the Spark side exercises the real two-snapshots-on-storage
+    path while the oracle reproduces the same diff arithmetic
+    relationally.
+
+    Scale shape: one full-outer join on doc_id (both sides shuffle on
+    the key — at 100 TB both snapshots are doc_id-bucketed tables and
+    this is a co-located merge join), then a fingerprint comparison
+    per matched row and one per-source rollup. The diff never
+    collects; the output is #sources × 4 counters."""
+    import os
+
+    from data_framework_spark.functions.sampling import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    frac = hash_fraction(F.col("doc_id"))
+    survivors = docs.filter(frac >= SNAP_REMOVE_LT)
+    edited = survivors.select(
+        "doc_id",
+        "source",
+        F.when(
+            hash_fraction(F.col("doc_id")) < SNAP_CHANGE_LT,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(frac >= SNAP_ADD_GE).select(
+        (F.col("doc_id") + SNAP_ADD_ID_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    snap_b = edited.unionByName(added)
+
+    tmp = _scratch_dir("snapshot_b_")
+    b_path = os.path.join(tmp, "documents_v2")
+    snap_b.write.mode("overwrite").parquet(b_path)
+    b = (
+        spark.read.parquet(b_path)
+        .select(
+            F.col("doc_id").alias("b_id"),
+            F.col("source").alias("b_source"),
+            F.md5("text").alias("b_fp"),
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.md5("text").alias("a_fp"),
+    )
+    joined = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_fp") != F.col("b_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a_source"), F.col("b_source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias(
+                "n_added"
+            ),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias(
+                "n_changed"
+            ),
+            F.sum(
+                F.when(F.col("status") == "unchanged", 1).otherwise(0)
+            ).alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+_SNAP_FRAC_SQL = (
+    "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE"
+    " / 4294967296.0)"
+)
+
+Q_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN {_SNAP_FRAC_SQL} < {SNAP_CHANGE_LT}
+                  THEN text || ' v2' ELSE text END) AS fp
+  FROM documents
+  WHERE {_SNAP_FRAC_SQL} >= {SNAP_REMOVE_LT}
+  UNION ALL
+  SELECT doc_id + {SNAP_ADD_ID_OFFSET} AS doc_id, source,
+         md5('new ' || text) AS fp
+  FROM documents
+  WHERE {_SNAP_FRAC_SQL} >= {SNAP_ADD_GE}
+),
+j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source,
+       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+         AS n_unchanged
+FROM j
+GROUP BY source
+ORDER BY source
+"""
