@@ -1030,3 +1030,70 @@ FROM scrub
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- k-anonymity audit -----------------------------------------------------
+
+
+# minimum group size for a quasi-identifier combination to be
+# considered non-identifying
+K_ANON = 5
+KA_BUCKET_W = 50  # n_chars quantization for the quasi-identifier
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the corpus by
+    (source, lang, bucketized length) — attributes an adversary can
+    observe without reading the text — and report, per source, how
+    many quasi-identifier groups exist, how many fall below K_ANON
+    members, and how many documents sit in those re-identifiable
+    groups. The release-gating companion to q_pii_scrub: scrubbing
+    removes identifiers IN the text, this measures identification
+    risk AROUND it.
+
+    One corpus aggregate to the quasi-identifier group frame (far
+    smaller than the corpus), then a per-source rollup — two shuffles,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(
+            "source",
+            "lang",
+            F.floor(F.col("n_chars") / KA_BUCKET_W).alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("k") < K_ANON, 1).otherwise(0)).alias(
+                "n_small_groups"
+            ),
+            F.sum(F.when(F.col("k") < K_ANON, F.col("k")).otherwise(0)).alias(
+                "n_docs_at_risk"
+            ),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT source, lang, floor(n_chars / {KA_BUCKET_W})::BIGINT AS len_bucket,
+         count(*) AS k
+  FROM documents
+  GROUP BY source, lang, len_bucket
+)
+SELECT source,
+       count(*) AS n_groups,
+       sum(CASE WHEN k < {K_ANON} THEN 1 ELSE 0 END)::BIGINT
+         AS n_small_groups,
+       sum(CASE WHEN k < {K_ANON} THEN k ELSE 0 END)::BIGINT
+         AS n_docs_at_risk,
+       min(k)::BIGINT AS min_k
+FROM groups
+GROUP BY source
+ORDER BY source
+"""

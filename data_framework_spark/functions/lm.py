@@ -149,3 +149,102 @@ totals AS (
 SELECT n_terms, slope, r2, vocab_size, total_tokens
 FROM fit CROSS JOIN totals
 """
+
+
+HEAPS_PREFIXES = 10
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β, estimated as
+    the OLS slope of ln(distinct tokens) on ln(total tokens) over
+    HEAPS_PREFIXES doc_id-ordered corpus prefixes. Natural corpora
+    show β ≈ 0.4-0.6; a template-exploded corpus flattens early
+    (β → 0) and a random-id-stuffed one stays near 1 — the companion
+    diagnostic to q_zipf_fit.
+
+    Scale shape: NO per-prefix distinct scans and NO threshold theta
+    join — every doc (and every token's FIRST-occurrence doc, from
+    one vocabulary-sized min aggregate) is assigned its prefix BAND
+    i = ceil(doc_id·P/max_id) row-locally, then V and N per prefix
+    are cumulative sums over the P-row band frame. Two corpus-sized
+    aggregates total; everything after runs on ≤P rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id").alias("m"))
+    p = HEAPS_PREFIXES
+
+    def band(col):  # ceil(col * p / m), clamped to [1, p]
+        return F.greatest(
+            F.lit(1),
+            F.floor((col * p + F.col("m") - 1) / F.col("m")).cast("long"),
+        )
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    first_occ = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    v_band = (
+        first_occ.crossJoin(F.broadcast(max_id))
+        .groupBy(band(F.col("first_doc")).alias("i"))
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    n_band = (
+        docs.crossJoin(F.broadcast(max_id))
+        .groupBy(band(F.col("doc_id")).alias("i"))
+        .agg(F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("dn"))
+    )
+    w_cum = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    per_thr = (
+        v_band.join(n_band, "i", "full_outer")
+        .select(
+            "i",
+            F.sum(F.coalesce(F.col("dv"), F.lit(0))).over(w_cum).alias("v"),
+            F.sum(F.coalesce(F.col("dn"), F.lit(0))).over(w_cum).alias("n"),
+        )
+    )
+    # NO r2 here: on a saturated (template-like) corpus ln(v) is
+    # constant, making regr_r2 a 0/0 whose value is nondeterministic
+    # catastrophic-cancellation noise (observed flapping in DuckDB).
+    # beta is safe — cov/var(x) with constant y rounds to ±0.0, which
+    # the digest collapses. v_first==vocab_full is the saturation flag.
+    return per_thr.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(F.log("v"), F.log("n")), 4).alias("beta"),
+        F.min("v").cast("long").alias("v_first"),
+        F.max("v").cast("long").alias("vocab_full"),
+        F.max("n").cast("long").alias("tokens_full"),
+    )
+
+
+Q_HEAPS_FIT_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS m FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+first_occ AS (
+  SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok
+),
+v_band AS (
+  SELECT greatest(1, floor((first_doc * {HEAPS_PREFIXES} + m - 1)
+                           / m)::BIGINT) AS i,
+         count(*) AS dv
+  FROM first_occ, mx GROUP BY i
+),
+n_band AS (
+  SELECT greatest(1, floor((doc_id * {HEAPS_PREFIXES} + m - 1)
+                           / m)::BIGINT) AS i,
+         sum(len(string_split(text, ' ')))::BIGINT AS dn
+  FROM documents, mx GROUP BY i
+),
+per_thr AS (
+  SELECT i,
+         sum(coalesce(dv, 0)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS v,
+         sum(coalesce(dn, 0)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS n
+  FROM v_band FULL OUTER JOIN n_band USING (i)
+)
+SELECT count(*) AS n_points,
+       round(regr_slope(ln(v), ln(n)), 4) AS beta,
+       min(v)::BIGINT AS v_first,
+       max(v)::BIGINT AS vocab_full,
+       max(n)::BIGINT AS tokens_full
+FROM per_thr
+"""

@@ -761,6 +761,18 @@ QUERIES: dict[str, Query] = {
         "unchanged per source via full-outer fingerprint join, snapshot "
         "B written to and read back from parquet",
     ),
+    "heaps_fit": Query(
+        lm_mod.q_heaps_fit,
+        lm_mod.Q_HEAPS_FIT_SQL,
+        "Heaps-law vocabulary-growth fit over doc_id prefixes "
+        "(first-occurrence banding, no per-prefix distinct scans)",
+    ),
+    "k_anonymity": Query(
+        corpus_mod.q_k_anonymity,
+        corpus_mod.Q_K_ANONYMITY_SQL,
+        "k-anonymity audit over (source, lang, length-bucket) "
+        "quasi-identifiers — re-identification risk accounting",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -776,8 +788,10 @@ QUERIES: dict[str, Query] = {
 # backfill in definition order. `find_structures_island` (rows-only by
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
-# find_structures_contract/multi8. Thirty-three round-4-green entries
-# spill past slot 50 and head the round-7 rotation: running_sum_events,
+# find_structures_contract/multi8. Thirty-five round-4-green entries
+# spill past slot 50 and head the round-7 rotation: flood_region_grid,
+# contours_grid,
+# running_sum_events,
 # gradient_events,
 # fluxfn_grid,
 # interp_events, line_slice_linear,
@@ -823,6 +837,8 @@ _VERIFY_FIRST: list[str] = [
     "cluster_purity",
     "cdc_chunks",
     "snapshot_diff",
+    "heaps_fit",
+    "k_anonymity",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -845,8 +861,6 @@ _VERIFY_FIRST: list[str] = [
     "gap_fill_grid",
     "dilate_grid",
     "flood_label_grid",
-    "flood_region_grid",
-    "contours_grid",
 ]
 
 QUERIES = {

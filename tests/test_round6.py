@@ -414,3 +414,41 @@ def test_snapshot_diff_conservation(spark, sf_dir):
     assert sum(r.n_added for r in out) == n_templates
     assert sum(r.n_removed for r in out) > 0
     assert sum(r.n_changed for r in out) > 0
+
+
+def test_heaps_fit_shape(spark, sf_dir):
+    """One row; vocabulary growth exponent in (0, 1] (sub-linear) and
+    the full-corpus totals agree with direct counts."""
+    from data_framework_spark.functions.lm import q_heaps_fit
+    from data_framework_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    [r] = q_heaps_fit(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0].n
+    assert r.vocab_full == vocab
+    assert r.tokens_full == total
+    # the synthetic corpus has a tiny fixed vocabulary that saturates
+    # in the first prefix band, so beta ~ 0 — exactly the
+    # template-corpus signal the diagnostic exists to flag; natural
+    # text would land around 0.4-0.6
+    assert 0.0 <= r.beta <= 1.0
+    assert r.v_first <= r.vocab_full
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    """Docs-at-risk never exceeds small_groups * (K_ANON - 1), and
+    min_k is positive."""
+    from data_framework_spark.functions.corpus import K_ANON, q_k_anonymity
+
+    for r in q_k_anonymity(spark, sf_dir).collect():
+        assert r.n_small_groups <= r.n_groups
+        assert r.n_docs_at_risk <= r.n_small_groups * (K_ANON - 1)
+        assert r.min_k >= 1
