@@ -201,3 +201,138 @@ def test_cc_matches_networkx_free_reference(spark):
             for r in connected_components(df, **kw).collect()
         }
         assert got == want, f"kwargs={kw}"
+
+
+# --- round-6 chunking / mixing kernels -------------------------------------
+
+
+def _fixed_chunks_reference(toks: list[str], c: int, s: int):
+    """Obviously-correct Python chunker: windows of c at stride s,
+    one chunk minimum, last window may be short."""
+    import hashlib
+    import math
+
+    n = len(toks)
+    n_starts = 1 + max(0, math.ceil((n - c) / s))
+    out = []
+    for i in range(n_starts):
+        w = toks[i * s : i * s + c]
+        out.append((i, len(w), hashlib.md5(" ".join(w).encode()).hexdigest()))
+    return out
+
+
+@given(st.data())
+@_SLOW
+def test_fixed_chunking_matches_reference(spark, data):
+    from data_framework_spark.functions.chunking import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _chunks,
+    )
+
+    n_docs = data.draw(st.integers(1, 6), label="n_docs")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    docs = []
+    for d in range(n_docs):
+        n_tok = int(rng.integers(1, 120))
+        docs.append((d, " ".join(f"t{rng.integers(0, 30)}" for _ in range(n_tok))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tok, r.chunk_hash)
+        for r in _chunks(sdf).collect()
+    }
+    want = {}
+    for d, text in docs:
+        for i, n, h in _fixed_chunks_reference(
+            text.split(" "), CHUNK_TOKENS, CHUNK_STRIDE
+        ):
+            want[(d, i)] = (n, h)
+    assert got == want
+
+
+def _cdc_reference(toks: list[str], divisor: int):
+    """Python CDC: boundary where md5(trigram ending here) first-8-hex
+    int % divisor == 0, or at position 0; returns chunk hash list."""
+    import hashlib
+
+    chunks, cur = [], []
+    for i, t in enumerate(toks):
+        gram = " ".join(toks[max(0, i - 2) : i + 1])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+        if (h % divisor == 0 or i == 0) and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        chunks.append(cur)
+    return [
+        hashlib.md5(" ".join(ch).encode()).hexdigest() for ch in chunks
+    ]
+
+
+@given(st.data())
+@_SLOW
+def test_cdc_chunking_matches_reference(spark, tmp_path_factory, data):
+    import hashlib
+
+    import data_framework_spark.functions.chunking as chmod
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    n_docs = data.draw(st.integers(1, 4), label="n_docs")
+    docs = []
+    for d in range(n_docs):
+        n_tok = int(rng.integers(1, 150))
+        docs.append(
+            (d, "s", " ".join(f"t{rng.integers(0, 40)}" for _ in range(n_tok)))
+        )
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    pd.DataFrame(docs, columns=["doc_id", "source", "text"]).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    out = {
+        r.source: r for r in chmod.q_cdc_chunks(spark, str(tmp)).collect()
+    }["s"]
+    want_hashes = []
+    for _, _, text in docs:
+        want_hashes.extend(_cdc_reference(text.split(" "), chmod.CDC_DIVISOR))
+    assert out.n_chunks == len(want_hashes)
+    assert out.n_distinct == len(set(want_hashes))
+
+
+@given(st.data())
+@_SLOW
+def test_domain_mix_matches_numpy(spark, tmp_path_factory, data):
+    from data_framework_spark.functions.sampling import (
+        MIX_ALPHA,
+        MIX_BUDGET,
+        q_domain_mix,
+    )
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    n_src = data.draw(st.integers(2, 6), label="n_src")
+    rows, doc_id = [], 0
+    for s in range(n_src):
+        for _ in range(int(rng.integers(1, 20))):
+            n_tok = int(rng.integers(1, 50))
+            rows.append(
+                (doc_id, f"src{s}", " ".join("x" for _ in range(n_tok)))
+            )
+            doc_id += 1
+    tmp = tmp_path_factory.mktemp("mixprop")
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    got = {r.source: r for r in q_domain_mix(spark, str(tmp)).collect()}
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    pdf["n_tok"] = pdf["text"].str.split(" ").str.len()
+    per = pdf.groupby("source")["n_tok"].sum()
+    p = per / per.sum()
+    q = np.power(p, MIX_ALPHA)
+    w = q / q.sum()
+    for src in per.index:
+        assert got[src].n_tokens == per[src]
+        assert abs(got[src].p_raw - round(float(p[src]), 6)) <= 1e-9
+        assert abs(got[src].w_temp - round(float(w[src]), 6)) <= 1e-9
+        want_epochs = round(float(w[src] * MIX_BUDGET / per[src]), 4)
+        assert abs(got[src].epochs - want_epochs) <= 1e-7
