@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from data_framework_spark.functions.sampling import hash_fraction
+from data_framework_spark.functions.sampling import (
+    HASH_FRACTION_SQL_TMPL,
+    hash_fraction,
+)
 from data_framework_spark.functions.text import token_count, tokens
 from data_framework_spark.sources.tables import load_table
 
@@ -212,10 +215,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HASH_FRAC_SQL = (
-    "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE"
-    " / 4294967296.0)"
-)
+_HASH_FRAC_SQL = HASH_FRACTION_SQL_TMPL.format(key="doc_id")
 
 Q_STRATIFIED_SPLIT_SQL = f"""
 WITH base AS (
@@ -243,29 +243,20 @@ ORDER BY split, source
 # --- content-defined chunking ----------------------------------------------
 
 
-# boundary divisor: a position ends a chunk when the rolling-window
-# hash of the trigram ending there is ≡ 0 (mod CDC_DIVISOR), giving
-# expected chunk length ≈ CDC_DIVISOR tokens
+# boundary divisor: a position STARTS a new chunk when the
+# rolling-window hash of the trigram ending there is ≡ 0
+# (mod CDC_DIVISOR) — the boundary token is the first token of the
+# new chunk. Expected chunk length ≈ CDC_DIVISOR tokens.
 CDC_DIVISOR = 16
 
 
-def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking accounting: chunk boundaries are set
-    where the hash of the local token trigram hits 0 mod CDC_DIVISOR
-    (the gear/Rabin construction with an engine-portable md5 window
-    hash), so boundaries depend only on LOCAL content — an insertion
-    reshuffles the chunks around the edit point and nowhere else,
-    which is what makes chunk-level dedup survive document edits
-    (fixed windows shift everything after the edit; see
-    q_chunk_documents for that variant). Emits per source: chunk
-    count, distinct chunk hashes, mean chunk length, and the
-    duplicate-chunk fraction.
-
-    Scale shape: posexplode (flatMap) → per-position hash (row-local)
-    → one per-doc prefix-sum window (partitioned by doc_id — bounded
-    partitions, corpus-parallel) → per-chunk rollup → per-source
-    rollup. Two shuffles total on (doc_id) and (source)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk_id, n_tok, chunk_hash) content-defined
+    chunks: a token starts a new chunk when the md5 of the trigram
+    ending at it is ≡ 0 mod CDC_DIVISOR (gear/Rabin construction with
+    an engine-portable window hash). Shared by q_cdc_chunks and the
+    edit-resistance test so the tested boundary rule IS the shipped
+    one."""
     tok = docs.select(
         "doc_id",
         "source",
@@ -300,7 +291,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.sum("boundary").over(w_cum).alias("chunk_id"),
     )
-    chunks = (
+    return (
         chunked.groupBy("doc_id", "source", "chunk_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
@@ -317,6 +308,22 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking accounting: chunk boundaries depend
+    only on LOCAL content (see _cdc_chunk_frame), so an insertion
+    reshuffles the chunks around the edit point and nowhere else —
+    chunk-level dedup survives document edits, where fixed windows
+    (q_chunk_documents) shift everything after the edit. Emits per
+    source: chunk count, distinct chunk hashes, mean chunk length,
+    and the duplicate-chunk fraction.
+
+    Scale shape: posexplode (flatMap) → per-position hash (row-local)
+    → one per-doc prefix-sum window (partitioned by doc_id — bounded
+    partitions, corpus-parallel) → per-chunk rollup → per-source
+    rollup. Two shuffles total on (doc_id) and (source)."""
+    chunks = _cdc_chunk_frame(load_table(spark, sf_dir, "documents"))
     return (
         chunks.groupBy("source")
         .agg(

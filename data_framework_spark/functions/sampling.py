@@ -39,6 +39,15 @@ def hash_fraction(key: F.Column) -> F.Column:
     ) / F.lit(4294967296.0)
 
 
+# the DuckDB spelling of hash_fraction() — oracle SQL strings must use
+# THIS template (format with the key column name) so the Spark and
+# oracle sides stay in lockstep
+HASH_FRACTION_SQL_TMPL = (
+    "(('0x' || substring(md5({key}::VARCHAR), 1, 8))::UBIGINT::DOUBLE"
+    " / 4294967296.0)"
+)
+
+
 def stratified_sample(
     df: DataFrame, key: str, stratum: str, rates: dict[str, float]
 ) -> DataFrame:

@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_framework_spark.functions.sampling import HASH_FRACTION_SQL_TMPL
 from data_framework_spark.sources.tables import load_table
 
 _SCRATCH_DIRS: list[str] = []
@@ -243,7 +244,6 @@ FROM events
 SNAP_REMOVE_LT = 0.05
 SNAP_CHANGE_LT = 0.15
 SNAP_ADD_GE = 0.95
-SNAP_ADD_ID_OFFSET = 1_000_000
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,10 +281,18 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    added = docs.filter(frac >= SNAP_ADD_GE).select(
-        (F.col("doc_id") + SNAP_ADD_ID_OFFSET).alias("doc_id"),
-        "source",
-        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    # added docs get ids strictly above the current id space
+    # (max_id + 1 + template_id) — an absolute literal offset would
+    # collide with real ids once the corpus outgrows it
+    max_id = docs.agg((F.max("doc_id") + 1).alias("base"))
+    added = (
+        docs.filter(frac >= SNAP_ADD_GE)
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            (F.col("doc_id") + F.col("base")).alias("doc_id"),
+            "source",
+            F.concat(F.lit("new "), F.col("text")).alias("text"),
+        )
     )
     snap_b = edited.unionByName(added)
 
@@ -335,10 +343,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SNAP_FRAC_SQL = (
-    "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE"
-    " / 4294967296.0)"
-)
+_SNAP_FRAC_SQL = HASH_FRACTION_SQL_TMPL.format(key="doc_id")
 
 Q_SNAPSHOT_DIFF_SQL = f"""
 WITH a AS (
@@ -351,7 +356,7 @@ b AS (
   FROM documents
   WHERE {_SNAP_FRAC_SQL} >= {SNAP_REMOVE_LT}
   UNION ALL
-  SELECT doc_id + {SNAP_ADD_ID_OFFSET} AS doc_id, source,
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, source,
          md5('new ' || text) AS fp
   FROM documents
   WHERE {_SNAP_FRAC_SQL} >= {SNAP_ADD_GE}

@@ -332,7 +332,9 @@ def test_domain_mix_matches_numpy(spark, tmp_path_factory, data):
     w = q / q.sum()
     for src in per.index:
         assert got[src].n_tokens == per[src]
-        assert abs(got[src].p_raw - round(float(p[src]), 6)) <= 1e-9
-        assert abs(got[src].w_temp - round(float(w[src]), 6)) <= 1e-9
-        want_epochs = round(float(w[src] * MIX_BUDGET / per[src]), 4)
-        assert abs(got[src].epochs - want_epochs) <= 1e-7
+        # one-rounding-step slack: the engines round HALF_UP, Python
+        # rounds half-even, so an exact 6dp tie differs by 1e-6
+        assert abs(got[src].p_raw - float(p[src])) <= 1.01e-6
+        assert abs(got[src].w_temp - float(w[src])) <= 1.01e-6
+        want_epochs = float(w[src] * MIX_BUDGET / per[src])
+        assert abs(got[src].epochs - want_epochs) <= 1.01e-4

@@ -326,64 +326,26 @@ def test_cluster_purity_accounting(spark, sf_dir):
         assert r.majority_label in labels
 
 
-def test_cdc_chunks_edit_resistance(spark, tmp_path):
+def test_cdc_chunks_edit_resistance(spark):
     """The CDC property: inserting one token near the head of a
     document must leave the chunks after the edit region intact
     (boundaries depend only on local trigrams), unlike fixed windows
     where everything downstream shifts. We chunk the original and the
     edited corpus and require most chunk hashes to survive."""
-    import pandas as pd
-
     import data_framework_spark.functions.chunking as ch
-    from pyspark.sql import functions as F
 
     base_tokens = [f"w{(i * 7919) % 97}" for i in range(400)]
     orig = " ".join(base_tokens)
     edited = " ".join(base_tokens[:5] + ["INS"] + base_tokens[5:])
 
     def chunk_hashes(text):
-        d = tmp_path / f"cdc_{abs(hash(text)) % 10**8}"
-        d.mkdir(exist_ok=True)
-        pd.DataFrame(
-            {"doc_id": [1], "text": [text], "source": ["s"]}
-        ).to_parquet(d / "documents.parquet", index=False)
-        rows = ch.q_cdc_chunks(spark, str(d)).collect()
-        # per-source accounting isn't enough here — grab the raw
-        # chunk hashes via the same internal pipeline
-        docs = spark.read.parquet(str(d / "documents.parquet"))
-        tok = docs.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+        # drive the SHIPPED chunker (shared frame helper), not a copy
+        docs = spark.createDataFrame(
+            [(1, "s", text)], "doc_id long, source string, text string"
         )
-        from pyspark.sql import Window as W
-
-        w3 = W.partitionBy("doc_id").orderBy("i").rowsBetween(-2, 0)
-        gram = F.concat_ws(" ", F.collect_list("tok").over(w3))
-        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
-        flagged = tok.select(
-            "doc_id", "i", "tok",
-            F.when((h % ch.CDC_DIVISOR == 0) | (F.col("i") == 0), 1)
-            .otherwise(0).alias("b"),
-        )
-        w_cum = (
-            W.partitionBy("doc_id").orderBy("i")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        chunks = (
-            flagged.withColumn("cid", F.sum("b").over(w_cum))
-            .groupBy("cid")
-            .agg(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                            lambda s: s["tok"],
-                        ),
-                    )
-                ).alias("h")
-            )
-        )
-        return {r.h for r in chunks.collect()}
+        return {
+            r.chunk_hash for r in ch._cdc_chunk_frame(docs).collect()
+        }
 
     h_orig = chunk_hashes(orig)
     h_edit = chunk_hashes(edited)
