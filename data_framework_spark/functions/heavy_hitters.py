@@ -39,6 +39,20 @@ from data_framework_spark.sources.tables import load_table
 HH_K = 50  # heavy hitter threshold: count > n / HH_K
 
 
+def mg_fold(counters, vc, k: int):
+    """One Misra-Gries merge step [Agarwal et al., PODS 2012 §3]:
+    fold an exact per-batch ``value_counts()`` Series into an MG
+    summary Series (add counters; if over k entries, subtract the
+    (k+1)-th largest and keep the strictly positive remainder).
+    Returns the new summary (≤ k entries). Shared by the batch
+    partition sketch and the streaming per-bucket state kernel."""
+    counters = vc if counters is None else counters.add(vc, fill_value=0)
+    if len(counters) > k:
+        m = counters.nlargest(k + 1).iloc[-1]
+        counters = counters[counters > m] - m
+    return counters
+
+
 def _mg_partial(k: int):
     """mapInPandas kernel: one Misra-Gries summary per partition.
 
@@ -59,18 +73,8 @@ def _mg_partial(k: int):
         n_part = 0
         for pdf in batches:
             n_part += len(pdf)
-            vc = pdf["tok"].value_counts()  # exact per-batch summary
-            counters = (
-                vc
-                if counters is None
-                else counters.add(vc, fill_value=0)
-            )
-            if len(counters) > k:
-                # MG merge trim: at most k entries strictly exceed the
-                # (k+1)-th largest value m, so subtract-m + keep->0
-                # restores the k-counter bound in one vector op
-                m = counters.nlargest(k + 1).iloc[-1]
-                counters = counters[counters > m] - m
+            # exact per-batch summary folded by the MG merge rule
+            counters = mg_fold(counters, pdf["tok"].value_counts(), k)
         toks = [] if counters is None else list(counters.index)
         cnts = [] if counters is None else [int(c) for c in counters]
         # the summary also carries this partition's row count as a

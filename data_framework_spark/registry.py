@@ -56,6 +56,7 @@ from data_framework_spark.sources import formats as formats_mod
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.similarity import ivf as ivf_mod
 from data_framework_spark.similarity import semantic as semantic_mod
+from data_framework_spark.streaming import sketches as stream_sketches
 from data_framework_spark.streaming import stateful as stream_stateful
 from data_framework_spark.streaming import windows as stream_windows
 
@@ -773,6 +774,12 @@ QUERIES: dict[str, Query] = {
         "k-anonymity audit over (source, lang, length-bucket) "
         "quasi-identifiers — re-identification risk accounting",
     ),
+    "streaming_heavy_hitters": Query(
+        stream_sketches.q_streaming_heavy_hitters,
+        stream_sketches.Q_STREAMING_HEAVY_HITTERS_SQL,
+        "streaming Misra-Gries heavy hitters: per-bucket sketch state "
+        "across micro-batches + exact re-count, vs GROUP BY/HAVING",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -789,7 +796,8 @@ QUERIES: dict[str, Query] = {
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
 # find_structures_contract/multi8. Thirty-five round-4-green entries
-# spill past slot 50 and head the round-7 rotation: flood_region_grid,
+# spill past slot 50 and head the round-7 rotation: flood_label_grid,
+# flood_region_grid,
 # contours_grid,
 # running_sum_events,
 # gradient_events,
@@ -839,6 +847,7 @@ _VERIFY_FIRST: list[str] = [
     "snapshot_diff",
     "heaps_fit",
     "k_anonymity",
+    "streaming_heavy_hitters",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -860,7 +869,6 @@ _VERIFY_FIRST: list[str] = [
     "extrema_filter_grid",
     "gap_fill_grid",
     "dilate_grid",
-    "flood_label_grid",
 ]
 
 QUERIES = {

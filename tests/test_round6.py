@@ -414,3 +414,26 @@ def test_k_anonymity_accounting(spark, sf_dir):
         assert r.n_small_groups <= r.n_groups
         assert r.n_docs_at_risk <= r.n_small_groups * (K_ANON - 1)
         assert r.min_k >= 1
+
+
+def test_streaming_mg_state_survives_batches():
+    """Cross-micro-batch MG survival: a key whose occurrences are
+    split across many folds (as the streaming state kernel sees them)
+    must remain in the summary when its total exceeds n/(k+1), even
+    under heavy distractor churn — the superset guarantee the
+    streaming read-out's exact re-count relies on."""
+    import pandas as pd
+
+    from data_framework_spark.functions.heavy_hitters import mg_fold
+
+    k = 8
+    counters, n = None, 0
+    # 10 folds: 5 occurrences of the heavy key + 20 unique distractors
+    for fold in range(10):
+        vals = [777] * 5 + [fold * 1000 + i for i in range(20)]
+        vc = pd.Series(vals, dtype="int64").value_counts()
+        n += len(vals)
+        counters = mg_fold(counters, vc, k)
+    assert len(counters) <= k  # bounded state
+    assert n == 250
+    assert 777 in counters.index  # 50 > 250/(8+1)
