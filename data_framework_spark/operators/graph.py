@@ -1,0 +1,178 @@
+"""Iterative graph analytics on derived similarity graphs: PageRank
+over the embedding near-duplicate graph.
+
+Extension layer (SURVEY.md §7 phase 5) — the iterative-dataflow
+pattern the engine had not yet demonstrated: rank = f(rank) repeated
+to a fixed horizon, each iteration a join + aggregate over the edge
+list. Within a curation pipeline this is duplicate-cluster centrality
+— which documents sit at the center of a near-dup neighborhood (keep
+the hub, drop satellites) — but the operator is the general shape of
+label propagation / influence scoring over any derived graph.
+
+Spark-first iterative execution: the edge list (with out-degrees) is
+computed once and PERSISTED — every iteration re-reads it, and
+without the persist each pass would recompute the GEMM pair
+enumeration; ranks are re-persisted per iteration and the previous
+iteration unpersisted, keeping lineage depth constant (the classic
+guard against iterative-plan blowup). Five fixed iterations unroll
+into five chained CTEs on the oracle side, so the DuckDB SQL computes
+the identical arithmetic — damping, teleport, dangling-mass leak and
+all. Scores are rounded only at the output (intermediate sums agree
+across engines to ~1e-15; ordering uses the rounded score with node
+id as the total-order tiebreak).
+
+Scale: the edge list shuffles once on the source node for degrees
+and once per iteration for contributions — at 100 TB-corpus scale
+the graph (near-dup pairs) is orders of magnitude smaller than the
+corpus, and both shuffles key on node id, so pre-bucketing the edge
+list by node makes every iteration co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.similarity.ann import blocked_cosine_pairs
+from data_framework_spark.sources.tables import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+PR_EDGE_COS = 0.40  # same threshold as q_embedding_near_dups
+PR_TOP = 50
+
+
+def pagerank(
+    nodes: DataFrame,  # (node)
+    edges: DataFrame,  # (a, b) directed
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """(node, r) after `iters` synchronous PageRank steps from the
+    uniform start; dangling nodes' mass leaks (not redistributed) —
+    the oracle computes the same. Edge/degree frame persisted once;
+    rank frames persisted per iteration with constant lineage."""
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "a").persist()
+    out_edges.count()  # materialize once for all iterations
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    prev = None
+    for _ in range(iters):
+        contribs = (
+            out_edges.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_frame))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # cut lineage before the next iteration
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = new_ranks, new_ranks
+    out_edges.unpersist()
+    return ranks
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetric embedding near-dup graph
+    (edges = exact cosine ≥ PR_EDGE_COS pairs, both directions), five
+    synchronous iterations from uniform, top PR_TOP nodes by rounded
+    score with node id as tiebreak — duplicate-neighborhood hubs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=PR_EDGE_COS
+    ).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    ranks = pagerank(nodes, edges)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    out = (
+        ranks.join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+            F.round(F.col("r"), 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOP)
+    )
+    # materialize before the persisted rank frame is released
+    pdf = out.toPandas()
+    ranks.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _pagerank_sql() -> str:
+    d, iters, top = PR_DAMPING, PR_ITERS, PR_TOP
+    it_ctes = []
+    for i in range(1, iters + 1):
+        it_ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nt)
+         + {d} * coalesce(sum(r{i-1}.r / de.deg), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN deg de ON de.a = e.a
+  LEFT JOIN r{i-1} ON r{i-1}.node = e.a
+  GROUP BY n.node
+)""")
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e0 a, e0 b
+  WHERE a.vec_id < b.vec_id
+    AND round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm), 6) >= {PR_EDGE_COS}
+),
+edges AS (
+  SELECT a, b FROM pairs
+  UNION ALL
+  SELECT b AS a, a AS b FROM pairs
+),
+nodes AS (
+  SELECT vec_id AS node FROM embeddings
+),
+nt AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes
+),
+deg AS (
+  SELECT a, count(*) AS deg FROM edges GROUP BY a
+),
+r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nt) AS r FROM nodes
+),
+{",".join(it_ctes)}
+SELECT node,
+       coalesce((SELECT deg FROM deg WHERE deg.a = node), 0)::BIGINT AS deg,
+       round(r, 6) AS rank
+FROM r{iters}
+ORDER BY rank DESC, node ASC
+LIMIT {top}
+"""
+
+
+Q_PAGERANK_NEARDUP_SQL = _pagerank_sql()

@@ -36,6 +36,7 @@ from data_framework_spark.multimodal import binary_ops as multimodal_mod
 from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
+    graph,
     asof,
     bucketed,
     dataset_query,
@@ -780,6 +781,13 @@ QUERIES: dict[str, Query] = {
         "streaming Misra-Gries heavy hitters: per-bucket sketch state "
         "across micro-batches + exact re-count, vs GROUP BY/HAVING",
     ),
+    "pagerank_neardup": Query(
+        graph.q_pagerank_neardup,
+        graph.Q_PAGERANK_NEARDUP_SQL,
+        "PageRank over the symmetric embedding near-dup graph, 5 "
+        "synchronous iterations (iterative dataflow, per-iteration "
+        "persist), vs 5 unrolled CTEs",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -796,7 +804,8 @@ QUERIES: dict[str, Query] = {
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
 # find_structures_contract/multi8. Thirty-five round-4-green entries
-# spill past slot 50 and head the round-7 rotation: flood_label_grid,
+# spill past slot 50 and head the round-7 rotation: dilate_grid,
+# flood_label_grid,
 # flood_region_grid,
 # contours_grid,
 # running_sum_events,
@@ -848,6 +857,7 @@ _VERIFY_FIRST: list[str] = [
     "heaps_fit",
     "k_anonymity",
     "streaming_heavy_hitters",
+    "pagerank_neardup",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -868,7 +878,6 @@ _VERIFY_FIRST: list[str] = [
     "gaussian_smooth_grid",
     "extrema_filter_grid",
     "gap_fill_grid",
-    "dilate_grid",
 ]
 
 QUERIES = {

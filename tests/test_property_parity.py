@@ -338,3 +338,49 @@ def test_domain_mix_matches_numpy(spark, tmp_path_factory, data):
         assert abs(got[src].w_temp - float(w[src])) <= 1.01e-6
         want_epochs = float(w[src] * MIX_BUDGET / per[src])
         assert abs(got[src].epochs - want_epochs) <= 1.01e-4
+
+
+def _pagerank_reference(n, edges, d, iters):
+    """Dense numpy PageRank, synchronous, dangling mass leaks."""
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        c = np.zeros(n)
+        for a, b in edges:
+            c[b] += r[a] / deg[a]
+        r = (1 - d) / n + d * c
+    return r
+
+
+@given(st.data())
+@_SLOW
+def test_pagerank_matches_numpy(spark, data):
+    from data_framework_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        pagerank,
+    )
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    n = data.draw(st.integers(2, 15), label="n")
+    # random undirected edge set (possibly leaving isolated nodes)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(data.draw(st.integers(0, 25)), 2))
+        if a != b
+    }
+    edges = sorted({e for a, b in pairs for e in [(a, b), (b, a)]})
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    if edges:
+        edges_df = spark.createDataFrame(edges, "a long, b long")
+    else:
+        edges_df = spark.createDataFrame([], "a long, b long")
+    got = {
+        r.node: r.r for r in pagerank(nodes_df, edges_df).collect()
+    }
+    want = _pagerank_reference(n, edges, PR_DAMPING, PR_ITERS)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
