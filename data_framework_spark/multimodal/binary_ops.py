@@ -259,3 +259,111 @@ SELECT doc_id AS asset_id,
 FROM documents
 WHERE doc_id % 3 = 2
 """
+
+
+# --- binary → embedding → retrieval ----------------------------------------
+
+
+EMBED_DIM = 8
+EMBED_QUERIES = 10
+EMBED_TOPK = 5
+
+
+def embed_assets(df: DataFrame) -> DataFrame:
+    """payload → EMBED_DIM-dim embedding via the batched encode
+    kernel: component j = uint32(md5(md5(payload) ∥ '#j')[:8]) / 2³²
+    − 0.5. A deterministic stand-in with the same plumbing as a real
+    encoder (Arrow-batched mapInPandas over payload bytes, metadata
+    pruned off the wire) whose arithmetic ALSO has an exact DuckDB
+    spelling — so unlike the numpy fake-decode features, the entire
+    binary→vector→retrieval path is oracle-checkable end-to-end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                digest = hashlib.md5(p if p is not None else b"").hexdigest()
+                vecs.append(
+                    [
+                        int(
+                            hashlib.md5(f"{digest}#{j}".encode()).hexdigest()[
+                                :8
+                            ],
+                            16,
+                        )
+                        / 4294967296.0
+                        - 0.5
+                        for j in range(EMBED_DIM)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "vec": vecs}
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        kernel, schema="asset_id long, vec array<double>"
+    )
+
+
+def q_multimodal_embed_topk(spark, sf_dir: str) -> DataFrame:
+    """The multimodal retrieval pipeline end-to-end: synthesized
+    binary assets → Arrow-batched encode kernel → exact cosine top-5
+    for the first EMBED_QUERIES assets against the full asset set.
+    Unlike q_multimodal_features (whose numpy features are unit-tested
+    only), the embedding here is md5-derived so DuckDB recomputes the
+    identical vectors and the WHOLE binary→vector→top-k path is in
+    the hash: a kernel bug, an Arrow truncation, or a broken cosine
+    all show up as a digest mismatch."""
+    from data_framework_spark.similarity.ann import brute_force_topk
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    emb = embed_assets(assets)
+    queries = emb.filter(F.col("asset_id") < EMBED_QUERIES)
+    return (
+        brute_force_topk(emb, queries, "asset_id", "vec", k=EMBED_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _embed_sql() -> str:
+    comps = ", ".join(
+        "(('0x' || substring(md5(md5(text) || '#%d'), 1, 8))::UBIGINT::DOUBLE"
+        " / 4294967296.0 - 0.5)" % j
+        for j in range(EMBED_DIM)
+    )
+    return f"""
+WITH emb AS (
+  SELECT doc_id AS asset_id, [{comps}] AS vec
+  FROM documents WHERE doc_id < 200
+),
+n AS (
+  SELECT asset_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM emb
+),
+scored AS (
+  SELECT q.asset_id AS query_id, c.asset_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                                   i -> q.vec[i] * c.vec[i]))
+           / (q.nrm * c.nrm), 6) AS cos
+  FROM n q, n c
+  WHERE q.asset_id < {EMBED_QUERIES} AND q.asset_id <> c.asset_id
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {EMBED_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+Q_MULTIMODAL_EMBED_TOPK_SQL = _embed_sql()

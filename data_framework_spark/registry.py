@@ -788,6 +788,12 @@ QUERIES: dict[str, Query] = {
         "synchronous iterations (iterative dataflow, per-iteration "
         "persist), vs 5 unrolled CTEs",
     ),
+    "multimodal_embed_topk": Query(
+        multimodal_mod.q_multimodal_embed_topk,
+        multimodal_mod.Q_MULTIMODAL_EMBED_TOPK_SQL,
+        "binary assets -> Arrow-batched encode kernel -> exact cosine "
+        "top-5 retrieval; the whole path is in the oracle hash",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -804,7 +810,8 @@ QUERIES: dict[str, Query] = {
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
 # find_structures_contract/multi8. Thirty-five round-4-green entries
-# spill past slot 50 and head the round-7 rotation: dilate_grid,
+# spill past slot 50 and head the round-7 rotation: gap_fill_grid,
+# dilate_grid,
 # flood_label_grid,
 # flood_region_grid,
 # contours_grid,
@@ -858,6 +865,7 @@ _VERIFY_FIRST: list[str] = [
     "k_anonymity",
     "streaming_heavy_hitters",
     "pagerank_neardup",
+    "multimodal_embed_topk",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -877,7 +885,6 @@ _VERIFY_FIRST: list[str] = [
     "label_extrema_lineitem",
     "gaussian_smooth_grid",
     "extrema_filter_grid",
-    "gap_fill_grid",
 ]
 
 QUERIES = {

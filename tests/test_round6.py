@@ -437,3 +437,23 @@ def test_streaming_mg_state_survives_batches():
     assert len(counters) <= k  # bounded state
     assert n == 250
     assert 777 in counters.index  # 50 > 250/(8+1)
+
+
+def test_embed_assets_null_payload_and_determinism(spark):
+    """The encode kernel must handle NULL payloads (empty-bytes
+    convention, same as extract_features) and be deterministic."""
+    from data_framework_spark.multimodal.binary_ops import (
+        EMBED_DIM,
+        embed_assets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, None)],
+        "asset_id long, payload binary",
+    )
+    a = {r.asset_id: r.vec for r in embed_assets(df).collect()}
+    b = {r.asset_id: r.vec for r in embed_assets(df).collect()}
+    assert a == b
+    assert len(a[1]) == EMBED_DIM and len(a[2]) == EMBED_DIM
+    assert all(-0.5 <= v < 0.5 for v in a[1])
+    assert a[1] != a[2]
