@@ -425,3 +425,77 @@ FROM m
 
 
 Q_LANG_ID_SQL = _lang_id_sql()
+
+
+# --- normalization accounting ----------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization accounting: the cleanup pass every corpus
+    gets before tokenization — lowercase, strip non-alphanumeric
+    (keeping single spaces), collapse whitespace runs, trim — with
+    per-source before/after character totals, the shrink fraction,
+    and how many documents changed at all. Pure JVM regex in
+    whole-stage codegen, shuffle-free until the per-source rollup
+    (the same posture as pii_scrub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " {2,}",
+            " ",
+        )
+    )
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("chars_before"),
+        F.length(normalized).alias("chars_after"),
+        (normalized != F.col("text")).cast("int").alias("changed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars_before").alias("chars_before"),
+            F.sum("chars_after").alias("chars_after"),
+            F.sum("changed").alias("n_changed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "chars_before",
+            "chars_after",
+            F.round(
+                (F.col("chars_before") - F.col("chars_after"))
+                / F.col("chars_before").cast("double"),
+                4,
+            ).alias("shrink_frac"),
+            "n_changed",
+        )
+        .orderBy("source")
+    )
+
+
+Q_TEXT_NORMALIZE_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS chars_before,
+         length(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+           ' {2,}', ' ', 'g'))) AS chars_after,
+         CASE WHEN trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                ' {2,}', ' ', 'g')) <> text THEN 1 ELSE 0 END AS changed
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(chars_before)::BIGINT AS chars_before,
+       sum(chars_after)::BIGINT AS chars_after,
+       round((sum(chars_before) - sum(chars_after))
+             / sum(chars_before)::DOUBLE, 4) AS shrink_frac,
+       sum(changed)::BIGINT AS n_changed
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

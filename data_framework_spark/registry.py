@@ -37,6 +37,7 @@ from data_framework_spark.operators import lineslice_query
 from data_framework_spark.operators import (
     aggregates,
     graph,
+    incremental,
     asof,
     bucketed,
     dataset_query,
@@ -794,6 +795,18 @@ QUERIES: dict[str, Query] = {
         "binary assets -> Arrow-batched encode kernel -> exact cosine "
         "top-5 retrieval; the whole path is in the oracle hash",
     ),
+    "text_normalize": Query(
+        text_mod.q_text_normalize,
+        text_mod.Q_TEXT_NORMALIZE_SQL,
+        "normalization accounting (lowercase/strip/collapse) with "
+        "per-source shrink fractions — JVM regex, shuffle-free",
+    ),
+    "incremental_agg_refresh": Query(
+        incremental.q_incremental_agg_refresh,
+        incremental.Q_INCREMENTAL_AGG_REFRESH_SQL,
+        "materialized-view maintenance: partial-state merge of "
+        "historical+new batches, hash-equal to full recompute",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -810,7 +823,9 @@ QUERIES: dict[str, Query] = {
 # contract) stays excluded so every slot buys a hash-green signal —
 # its pipeline is hash-covered by the in-window
 # find_structures_contract/multi8. Thirty-five round-4-green entries
-# spill past slot 50 and head the round-7 rotation: gap_fill_grid,
+# spill past slot 50 and head the round-7 rotation: gaussian_smooth_grid,
+# extrema_filter_grid,
+# gap_fill_grid,
 # dilate_grid,
 # flood_label_grid,
 # flood_region_grid,
@@ -866,6 +881,8 @@ _VERIFY_FIRST: list[str] = [
     "streaming_heavy_hitters",
     "pagerank_neardup",
     "multimodal_embed_topk",
+    "text_normalize",
+    "incremental_agg_refresh",
     # -- changed round 6 (identical results, re-verified) --
     "heavy_hitters",  # vectorized Misra-Gries pass 1
     "lang_id",  # shuffle-free second codegen barrier
@@ -883,8 +900,6 @@ _VERIFY_FIRST: list[str] = [
     "label_extrema_events",
     "bounds_lineitem",
     "label_extrema_lineitem",
-    "gaussian_smooth_grid",
-    "extrema_filter_grid",
 ]
 
 QUERIES = {

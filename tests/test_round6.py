@@ -457,3 +457,33 @@ def test_embed_assets_null_payload_and_determinism(spark):
     assert len(a[1]) == EMBED_DIM and len(a[2]) == EMBED_DIM
     assert all(-0.5 <= v < 0.5 for v in a[1])
     assert a[1] != a[2]
+
+
+def test_merge_states_disjoint_groups(spark):
+    """Partial-state merge must handle groups present on only one
+    side (full-outer semantics) and merge min/max/count/sum exactly."""
+    from data_framework_spark.operators.incremental import (
+        merge_states,
+        partial_state,
+    )
+
+    a = spark.createDataFrame(
+        [("s1", 100, 1), ("s1", 200, 2), ("s2", 50, 3)],
+        "source string, n_chars long, doc_id long",
+    )
+    b = spark.createDataFrame(
+        [("s2", 500, 4), ("s3", 10, 5)],
+        "source string, n_chars long, doc_id long",
+    )
+    merged = {
+        r.source: r
+        for r in merge_states(partial_state(a), partial_state(b)).collect()
+    }
+    full = {
+        r.source: r
+        for r in partial_state(a.unionByName(b)).collect()
+    }
+    assert set(merged) == set(full) == {"s1", "s2", "s3"}
+    for s in full:
+        for c in ["n_docs", "sum_chars", "min_chars", "max_chars"]:
+            assert getattr(merged[s], c) == getattr(full[s], c), (s, c)
