@@ -1,0 +1,186 @@
+"""Event-sequence analytics: ordered funnels and rolling-window
+anomaly detection.
+
+Extension layer (SURVEY.md §7 phase 5) — the event-log counterparts
+of the corpus diagnostics: a STRICTLY-ORDERED conversion funnel
+(each stage's timestamp must come after the previous stage's — the
+semantics product funnels actually need, not mere set membership)
+and per-series rolling z-score anomaly flags (the windowed version
+of the reference's global 3σ threshold, vpicdataset.py:486-487 —
+a level shift that global σ misses is obvious against a trailing
+window).
+
+Scale shapes: the funnel is one filtered conditional-min aggregate
+per stage, each shuffling on user_id — on a user-bucketed event
+table all four stages are co-located, no cross-key traffic. The
+anomaly scan is a single window pass per (user) series plus one
+rollup; the window frame is row-bounded (trailing W events), so
+state per series is constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+ZS_WINDOW = 20  # trailing events per series
+ZS_MIN_PRIOR = 10  # require this many prior events before scoring
+ZS_SIGMA = 3.0
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel over events: users whose first
+    'signup' precedes a 'view' precedes a 'click' precedes a
+    'purchase' (each stage's qualifying event must be strictly after
+    the previous stage's chosen timestamp, taking each stage's
+    EARLIEST qualifying event). One row: per-stage user counts and
+    step conversion rates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    # each stage frame is persisted before counting: the next stage
+    # joins the cached frame, so stage k is computed once (without the
+    # persist, counting stage 4 re-runs stages 1-3 — triangular work)
+    stage = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .persist()
+    )
+    stages = [stage]
+    counts = [stage.count()]
+    for ev_type in FUNNEL_STAGES[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == ev_type)
+            .join(stage, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .persist()
+        )
+        stages.append(stage)
+        counts.append(stage.count())
+    for s in stages:
+        s.unpersist()
+    n1, n2, n3, n4 = counts
+    row = [
+        (
+            n1,
+            n2,
+            n3,
+            n4,
+            round(n2 / n1, 4) if n1 else 0.0,
+            round(n3 / n2, 4) if n2 else 0.0,
+            round(n4 / n3, 4) if n3 else 0.0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_signup long, n_view long, n_click long, n_purchase long, "
+        "conv_view double, conv_click double, conv_purchase double",
+    )
+
+
+Q_FUNNEL_STAGES_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_view,
+       (SELECT count(*) FROM s3) AS n_click,
+       (SELECT count(*) FROM s4) AS n_purchase,
+       round((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1)::DOUBLE, 4)
+         AS conv_view,
+       round((SELECT count(*) FROM s3) / (SELECT count(*) FROM s2)::DOUBLE, 4)
+         AS conv_click,
+       round((SELECT count(*) FROM s4) / (SELECT count(*) FROM s3)::DOUBLE, 4)
+         AS conv_purchase
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rolling anomaly detection: an event is anomalous
+    when its |z-score| against the TRAILING ZS_WINDOW events of the
+    same user exceeds ZS_SIGMA (z rounded to 6dp before the cut so
+    the boundary is engine-stable; events with fewer than
+    ZS_MIN_PRIOR predecessors or zero trailing variance are not
+    scored). Emits per-event_type scored/anomaly accounting — the
+    windowed upgrade of the reference's global 3σ threshold."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WINDOW, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        F.count("value").over(w).alias("n_prior"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sd"),
+        "value",
+    ).filter(
+        (F.col("n_prior") >= ZS_MIN_PRIOR) & (F.col("sd") > 0)
+    )
+    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        scored.select("event_type", (z > ZS_SIGMA).cast("int").alias("anom"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("anom").alias("n_anomalies"),
+            F.round(F.avg(F.col("anom").cast("double")), 4).alias(
+                "anomaly_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_ROLLING_ZSCORE_SQL = f"""
+WITH scored AS (
+  SELECT event_type,
+         count(value) OVER w AS n_prior,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN round(abs(value - mu) / sd, 6) > {ZS_SIGMA}
+              THEN 1 ELSE 0 END AS anom
+  FROM scored
+  WHERE n_prior >= {ZS_MIN_PRIOR} AND sd > 0
+)
+SELECT event_type,
+       count(*) AS n_scored,
+       sum(anom)::BIGINT AS n_anomalies,
+       round(avg(anom::DOUBLE), 4) AS anomaly_rate
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""

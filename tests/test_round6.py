@@ -487,3 +487,71 @@ def test_merge_states_disjoint_groups(spark):
     for s in full:
         for c in ["n_docs", "sum_chars", "min_chars", "max_chars"]:
             assert getattr(merged[s], c) == getattr(full[s], c), (s, c)
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """Hand-built log: user 1 completes the funnel in order; user 2
+    has all four events but purchase BEFORE click (must not count);
+    user 3 signs up only. Strict ordering must hold."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    seq1 = [("signup", 0), ("view", 1), ("click", 2), ("purchase", 3)]
+    seq2 = [("signup", 0), ("purchase", 1), ("view", 2), ("click", 3)]
+    for i, (t, off) in enumerate(seq1):
+        rows.append((i, base + dt.timedelta(minutes=off), 1, t, 1.0, "{}"))
+    for i, (t, off) in enumerate(seq2):
+        rows.append(
+            (10 + i, base + dt.timedelta(minutes=off), 2, t, 1.0, "{}")
+        )
+    rows.append((20, base, 3, "signup", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "funnelcase"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    from data_framework_spark.operators.analytics import q_funnel_stages
+
+    [r] = q_funnel_stages(spark, str(d)).collect()
+    assert (r.n_signup, r.n_view, r.n_click, r.n_purchase) == (3, 2, 2, 1)
+
+
+def test_rolling_zscore_detects_spike(spark, tmp_path):
+    """A flat series with one huge spike after enough history must be
+    flagged exactly once; a constant series yields zero scored rows
+    (sd = 0 excluded)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: mild noise then a spike at event 30
+    for i in range(40):
+        v = 10.0 + (0.1 if i % 2 else -0.1)
+        if i == 30:
+            v = 1000.0
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "view", v, "{}"))
+    # user 2: perfectly constant (never scored: sd == 0)
+    for i in range(40):
+        rows.append(
+            (100 + i, base + dt.timedelta(minutes=i), 2, "view", 5.0, "{}")
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "zscase"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    from data_framework_spark.operators.analytics import q_rolling_zscore
+
+    out = {r.event_type: r for r in q_rolling_zscore(spark, str(d)).collect()}
+    assert out["view"].n_anomalies == 1
