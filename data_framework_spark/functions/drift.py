@@ -71,14 +71,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cb").over(W.partitionBy()).alias("n_all"),
         )
     )
+    # single-source guard: when one source IS the whole corpus the
+    # rest-of-corpus denominator is 0 — Spark's x/0 yields NULL while
+    # DuckDB yields IEEE NaN, an engine-divergent edge; both engines
+    # emit d = 0.0 (drift against an empty complement is undefined,
+    # and 0 keeps the ks aggregate total-order stable)
     joined = cum.join(tot, "bucket").select(
         "source",
         "n_s",
-        F.abs(
-            F.col("cum_s") / F.col("n_s")
-            - (F.col("cum_all") - F.col("cum_s"))
-            / (F.col("n_all") - F.col("n_s"))
-        ).alias("d"),
+        F.when(F.col("n_all") == F.col("n_s"), F.lit(0.0))
+        .otherwise(
+            F.abs(
+                F.col("cum_s") / F.col("n_s")
+                - (F.col("cum_all") - F.col("cum_s"))
+                / (F.col("n_all") - F.col("n_s"))
+            )
+        )
+        .alias("d"),
     )
     return (
         joined.groupBy("source")
@@ -122,8 +131,10 @@ tot AS (
 )
 SELECT source,
        any_value(n_s)::BIGINT AS n_docs,
-       round(max(abs(cum_s::DOUBLE / n_s
-                     - (cum_all - cum_s)::DOUBLE / (n_all - n_s))), 6) AS ks
+       round(max(CASE WHEN n_all = n_s THEN 0.0
+                 ELSE abs(cum_s::DOUBLE / n_s
+                          - (cum_all - cum_s)::DOUBLE / (n_all - n_s))
+                 END), 6) AS ks
 FROM cum JOIN tot USING (bucket)
 GROUP BY source
 ORDER BY source

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from data_framework_spark.functions.numeric import stable_round
 from data_framework_spark.functions.text import tokens
 from data_framework_spark.sources.tables import load_table
 
@@ -116,8 +117,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fit = topn.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias("slope"),
-        F.round(F.regr_r2(F.log("c"), F.log("rank")), 4).alias("r2"),
+        stable_round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias(
+            "slope"
+        ),
+        stable_round(F.regr_r2(F.log("c"), F.log("rank")), 4).alias("r2"),
     )
     return fit.crossJoin(F.broadcast(totals)).select(
         "n_terms", "slope", "r2", "vocab_size", "total_tokens"
@@ -139,8 +142,8 @@ topn AS (
 ),
 fit AS (
   SELECT count(*) AS n_terms,
-         round(regr_slope(ln(c), ln(rank)), 4) AS slope,
-         round(regr_r2(ln(c), ln(rank)), 4) AS r2
+         round(regr_slope(ln(c), ln(rank)), 4) + 0.0 AS slope,
+         round(regr_r2(ln(c), ln(rank)), 4) + 0.0 AS r2
   FROM topn
 ),
 totals AS (
@@ -202,11 +205,14 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO r2 here: on a saturated (template-like) corpus ln(v) is
     # constant, making regr_r2 a 0/0 whose value is nondeterministic
     # catastrophic-cancellation noise (observed flapping in DuckDB).
-    # beta is safe — cov/var(x) with constant y rounds to ±0.0, which
-    # the digest collapses. v_first==vocab_full is the saturation flag.
+    # beta on the same corpus is a cancellation AROUND zero whose
+    # rounded result flaps between +0.0 and -0.0 across DuckDB runs
+    # (round-6 driver red) — and the driver digest distinguishes
+    # signed zeros, so beta goes through stable_round on both
+    # engines. v_first==vocab_full is the saturation flag.
     return per_thr.agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.regr_slope(F.log("v"), F.log("n")), 4).alias("beta"),
+        stable_round(F.regr_slope(F.log("v"), F.log("n")), 4).alias("beta"),
         F.min("v").cast("long").alias("v_first"),
         F.max("v").cast("long").alias("vocab_full"),
         F.max("n").cast("long").alias("tokens_full"),
@@ -242,7 +248,7 @@ per_thr AS (
   FROM v_band FULL OUTER JOIN n_band USING (i)
 )
 SELECT count(*) AS n_points,
-       round(regr_slope(ln(v), ln(n)), 4) AS beta,
+       round(regr_slope(ln(v), ln(n)), 4) + 0.0 AS beta,
        min(v)::BIGINT AS v_first,
        max(v)::BIGINT AS vocab_full,
        max(n)::BIGINT AS tokens_full

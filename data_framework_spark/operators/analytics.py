@@ -20,7 +20,7 @@ state per series is constant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
@@ -67,21 +67,28 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages:
         s.unpersist()
     n1, n2, n3, n4 = counts
-    row = [
-        (
-            n1,
-            n2,
-            n3,
-            n4,
-            round(n2 / n1, 4) if n1 else 0.0,
-            round(n3 / n2, 4) if n2 else 0.0,
-            round(n4 / n3, 4) if n3 else 0.0,
+    # rates are rounded by SPARK's F.round (HALF_UP, matching DuckDB's
+    # round), not Python round() (HALF_EVEN — a representable 4dp
+    # midpoint like 1/32 would diverge the hash); empty-stage
+    # denominators yield 0.0 via the same CASE guard the oracle uses
+    base = spark.createDataFrame(
+        [(n1, n2, n3, n4)],
+        "n_signup long, n_view long, n_click long, n_purchase long",
+    )
+
+    def rate(num: str, den: str) -> Column:
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.round(F.col(num) / F.col(den).cast("double"), 4)
         )
-    ]
-    return spark.createDataFrame(
-        row,
-        "n_signup long, n_view long, n_click long, n_purchase long, "
-        "conv_view double, conv_click double, conv_purchase double",
+
+    return base.select(
+        "n_signup",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        rate("n_view", "n_signup").alias("conv_view"),
+        rate("n_click", "n_view").alias("conv_click"),
+        rate("n_purchase", "n_click").alias("conv_purchase"),
     )
 
 
@@ -105,16 +112,20 @@ s4 AS (
   FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
   WHERE e.event_type = 'purchase' GROUP BY e.user_id
 )
-SELECT (SELECT count(*) FROM s1) AS n_signup,
-       (SELECT count(*) FROM s2) AS n_view,
-       (SELECT count(*) FROM s3) AS n_click,
-       (SELECT count(*) FROM s4) AS n_purchase,
-       round((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1)::DOUBLE, 4)
-         AS conv_view,
-       round((SELECT count(*) FROM s3) / (SELECT count(*) FROM s2)::DOUBLE, 4)
-         AS conv_click,
-       round((SELECT count(*) FROM s4) / (SELECT count(*) FROM s3)::DOUBLE, 4)
-         AS conv_purchase
+, n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3,
+         (SELECT count(*) FROM s4) AS n4
+)
+SELECT n1 AS n_signup, n2 AS n_view, n3 AS n_click, n4 AS n_purchase,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n2 / n1::DOUBLE, 4) END AS conv_view,
+       CASE WHEN n2 = 0 THEN 0.0
+            ELSE round(n3 / n2::DOUBLE, 4) END AS conv_click,
+       CASE WHEN n3 = 0 THEN 0.0
+            ELSE round(n4 / n3::DOUBLE, 4) END AS conv_purchase
+FROM n
 """
 
 

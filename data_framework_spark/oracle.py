@@ -39,8 +39,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
+        # deliberately DO NOT collapse -0.0: the driver's digest
+        # distinguishes signed zeros (round-6 `heaps_fit` red proved
+        # it), so the local replica must be at least as strict —
+        # `%.10g` renders -0.0 as "-0" vs "0". Queries stabilize the
+        # sign at the projection (functions/numeric.stable_round),
+        # never the comparator.
         return f"{v:.10g}"
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()

@@ -257,9 +257,13 @@ def blocked_cosine_pairs(
             return pd.DataFrame({"a": [], "b": [], "cos": []})
         av = np.stack(a["a_vec"].to_numpy()).astype(np.float64)
         bv = np.stack(b["a_vec"].to_numpy()).astype(np.float64)
-        an = av / np.linalg.norm(av, axis=1, keepdims=True)
-        bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
-        sim = an @ bn.T
+        # SAME float association as the oracle SQL: dot / (nrm_a *
+        # nrm_b), NOT normalize-then-GEMM — the different rounding
+        # path can flip a pair sitting exactly on the 6dp threshold
+        # (round-6 advisory)
+        sim = (av @ bv.T) / np.outer(
+            np.linalg.norm(av, axis=1), np.linalg.norm(bv, axis=1)
+        )
         ai = a["a_id"].to_numpy()
         bi_ = b["a_id"].to_numpy()
         rsim = _round6_half_away(sim)
@@ -716,8 +720,9 @@ def lsh_bucketed_pairs(
         if len(pdf) < 2:
             return pd.DataFrame({"a": [], "b": [], "cos": []})
         v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        sim = vn @ vn.T
+        # oracle-matching association: dot / (nrm_a * nrm_b)
+        nrm = np.linalg.norm(v, axis=1)
+        sim = (v @ v.T) / np.outer(nrm, nrm)
         ids = pdf["vid"].to_numpy()
         rsim = _round6_half_away(sim)
         ii, jj = np.nonzero(rsim >= threshold)

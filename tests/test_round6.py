@@ -181,12 +181,15 @@ def test_chunk_count_formula(spark):
 
 
 def test_chunk_documents_single_shuffle(spark, sf_dir):
-    """Chunking is a pure flatMap — the only exchange in the plan is
-    the final presentation sort's range partitioning."""
+    """Chunking is a pure flatMap — no hash/aggregation exchange may
+    appear; only the final presentation sort's range partitioning is
+    allowed (counting range exchanges out keeps the assertion robust
+    to AQE/partitioning config — round-6 advisory)."""
     from data_framework_spark.functions.chunking import q_chunk_documents
 
     plan = q_chunk_documents(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    non_range = plan.count("Exchange") - plan.count("Exchange rangepartitioning")
+    assert non_range == 0, plan
 
 
 def test_stratified_split_partitions_corpus(spark, sf_dir):

@@ -1,0 +1,212 @@
+"""Round-7 regression suite: signed-zero stabilization (the round-6
+driver red), engine-divergent edge guards, and the GEMM association
+fix — plus a source-level sweep that keeps new queries from
+reintroducing bare rounded regression aggregates.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+PKG = Path(__file__).resolve().parent.parent / "data_framework_spark"
+
+
+# --- signed-zero: the stable_round contract -------------------------------
+
+
+def test_stable_round_canonicalizes_negative_zero(spark):
+    """-0.0 + 0.0 == +0.0 per IEEE 754; stable_round must render a
+    rounded -0.0 as a value the strict digest formats as '0', not
+    '-0'."""
+    import duckdb
+
+    from data_framework_spark.functions.numeric import stable_round
+    from data_framework_spark.oracle import _norm
+
+    row = (
+        spark.range(1)
+        .select(stable_round(F.lit(-0.00001), 4).alias("s"))
+        .collect()[0]
+    )
+    assert _norm(row["s"]) == "0"
+    # the trap is DuckDB-side (Spark's round already canonicalizes):
+    # bare round keeps the sign, `+ 0.0` clears it
+    bare, stab = duckdb.connect().execute(
+        "SELECT round(-0.00001::DOUBLE, 4), round(-0.00001::DOUBLE, 4) + 0.0"
+    ).fetchone()
+    assert _norm(bare) == "-0"  # what made the round-6 driver row red
+    assert _norm(stab) == "0"
+
+
+def test_oracle_norm_distinguishes_signed_zero():
+    """The local replica must be at least as strict as the driver's
+    digest: -0.0 and +0.0 hash differently (round-6 process bug —
+    the replica collapsed them, hiding a driver-only red)."""
+    from data_framework_spark.oracle import _norm
+
+    assert _norm(-0.0) != _norm(0.0)
+    assert _norm(0.0) == "0"
+
+
+def test_no_bare_rounded_regression_aggregates():
+    """Every F.round over a regr_* / covar_* aggregate in the query
+    modules must go through stable_round (or append + F.lit(0.0)):
+    a rounded slope/covariance can land on -0.0 on one engine and
+    +0.0 on the other, and the driver digest distinguishes them."""
+    bad: list[str] = []
+    pat = re.compile(r"F\.round\(\s*F\.(regr_|covar_)")
+    for path in PKG.rglob("*.py"):
+        if path.name == "numeric.py":  # the helper documents the pattern
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line):
+                bad.append(f"{path.relative_to(PKG)}:{i}: {line.strip()}")
+    assert not bad, f"bare rounded regression aggregates: {bad}"
+
+
+def test_oracle_sql_regr_rounds_are_stabilized():
+    """The DuckDB side of the same sweep: any round(regr_*...) in an
+    oracle SQL string must be followed by `+ 0.0`."""
+    from data_framework_spark.registry import QUERIES
+
+    bad: list[str] = []
+    pat = re.compile(r"round\(regr_[a-z0-9_]+\([^;]*?\),\s*\d+\)(?!\s*\+\s*0\.0)")
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        for m in pat.finditer(q.oracle):
+            bad.append(f"{name}: {m.group(0)[:80]}")
+    assert not bad, f"unstabilized oracle regr rounds: {bad}"
+
+
+# --- repeated-digest stress for the regr family ---------------------------
+
+
+@pytest.mark.parametrize("name", ["heaps_fit", "zipf_fit"])
+def test_regr_query_digest_stable_across_duckdb_runs(spark, sf_dir, name):
+    """The round-6 flap reproduced within 6 DuckDB runs; 5 fresh
+    connections against one fixed Spark digest catch a recurrence."""
+    from data_framework_spark.oracle import _digest, duckdb_connection
+    from data_framework_spark.registry import QUERIES
+
+    q = QUERIES[name]
+    sdf = q.fn(spark, sf_dir)
+    sdig = _digest([tuple(r) for r in sdf.collect()], list(sdf.columns))
+    for _ in range(5):
+        con = duckdb_connection(sf_dir)
+        res = con.execute(q.oracle)
+        dcols = [d[0] for d in res.description]
+        assert _digest(res.fetchall(), dcols) == sdig
+        con.close()
+
+
+# --- funnel rounding semantics --------------------------------------------
+
+
+def test_funnel_rates_use_half_up_not_banker(spark):
+    """A representable 4dp midpoint (1/32 = 0.03125) must round to
+    0.0313 (HALF_UP, matching DuckDB), not Python round()'s 0.0312
+    (HALF_EVEN) — checked through the same F.round expression the
+    funnel uses (round-6 advisory, medium)."""
+    assert round(1 / 32, 4) == 0.0312  # Python banker's — the bug
+
+    v = (
+        spark.createDataFrame([(1, 32)], "num long, den long")
+        .select(
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("num") / F.col("den").cast("double"), 4))
+            .alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    assert v == 0.0313
+
+
+def test_funnel_zero_denominator_yields_zero(spark):
+    """An empty stage must give conversion 0.0 on both engines (the
+    SQL has the same CASE guard; Spark NULL vs DuckDB NaN from 0/0
+    was the divergence)."""
+    from data_framework_spark.operators.analytics import Q_FUNNEL_STAGES_SQL
+
+    assert "CASE WHEN n1 = 0 THEN 0.0" in Q_FUNNEL_STAGES_SQL
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1::BIGINT, TIMESTAMP '2024-01-01', 'signup')) t(user_id, ts, event_type)"
+    )
+    row = con.execute(Q_FUNNEL_STAGES_SQL).fetchone()
+    # n_signup=1, all later stages empty -> all rates 0.0, never NaN
+    assert row[0] == 1 and row[4] == 0.0 and row[5] == 0.0 and row[6] == 0.0
+
+
+# --- ks_drift single-source guard -----------------------------------------
+
+
+def test_ks_drift_single_source_is_zero(spark):
+    """When one source constitutes the whole corpus the rest-of-corpus
+    CDF denominator is 0 (Spark NULL vs DuckDB NaN); both engines now
+    emit ks = 0.0."""
+    import duckdb
+
+    from data_framework_spark.functions.drift import Q_KS_DRIFT_SQL, q_ks_drift
+
+    docs = spark.createDataFrame(
+        [(i, "only", 10 * i) for i in range(1, 21)],
+        "doc_id long, source string, n_chars long",
+    )
+    import data_framework_spark.functions.drift as drift_mod
+    from data_framework_spark.sources import tables as tables_mod
+
+    orig = tables_mod.load_table
+    try:
+        drift_mod.load_table = lambda s, d, t: docs
+        out = q_ks_drift(spark, "unused").collect()
+    finally:
+        drift_mod.load_table = orig
+    assert len(out) == 1 and out[0]["ks"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT "
+        "range AS doc_id, 'only' AS source, 10 * range AS n_chars "
+        "FROM range(1, 21)"
+    )
+    drow = con.execute(Q_KS_DRIFT_SQL).fetchall()
+    assert len(drow) == 1 and drow[0][2] == 0.0
+
+
+# --- GEMM association matches the oracle ----------------------------------
+
+
+def test_gemm_association_is_dot_over_norm_product():
+    """The numpy kernels must compute dot/(nrm_a*nrm_b) — the same
+    float association as the oracle SQL — not normalize-then-GEMM
+    (a threshold-edge pair can flip under the other association)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    av = rng.normal(size=(50, 64))
+    bv = rng.normal(size=(40, 64))
+    # reference association (the oracle's): per-pair dot / (na * nb)
+    expect = np.empty((50, 40))
+    na = np.linalg.norm(av, axis=1)
+    nb = np.linalg.norm(bv, axis=1)
+    for i in range(50):
+        for j in range(40):
+            expect[i, j] = (av[i] @ bv[j]) / (na[i] * nb[j])
+    got = (av @ bv.T) / np.outer(na, nb)
+    # bit-identical is too strong across BLAS paths (blocked GEMM may
+    # reorder the dot itself), but the association change removed the
+    # systematic normalize-first divergence; require agreement far
+    # below the 6dp rounding granularity
+    assert np.max(np.abs(got - expect)) < 1e-12
+
+    src = (PKG / "similarity" / "ann.py").read_text()
+    assert "np.outer(" in src
+    assert "keepdims=True)\n        sim =" not in src
