@@ -101,6 +101,28 @@ def main() -> None:
         k: round(abs(warm_a[k] - warm_b[k]), 4) for k in warm_a
     }
 
+    # Cold-noise instrumentation (round-6 verdict #7): the headline
+    # baseline ratio reads the r1-subset cold subtotal, which inherits
+    # whatever VM noise hit the full-suite cold pass. A SECOND cold
+    # pass over the frozen r1 subset ONLY (cheap), in a FRESH
+    # SparkSession so per-session codegen/plan caches are genuinely
+    # cold again (the JVM's JIT stays warm — stated, not hidden), and
+    # the recorded r1_subset_cold_min = per-query min of the two cold
+    # passes stops a single noisy pass from defining the ratio.
+    def run_subset(names: list[str]) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in sorted(names):
+            if name not in QUERIES:
+                continue
+            if name in _ROUTE_OF:
+                evict_route(spark, sf_dir, _ROUTE_OF[name])
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t[name] = round(time.perf_counter() - t0, 4)
+        return t
+
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -129,6 +151,25 @@ def main() -> None:
                 sum(v for k, v in timings.items() if k in nameset), 4
             )
             out[f"{rnd}_subset_n"] = sum(1 for k in timings if k in nameset)
+        if "r1" in subsets:
+            spark.stop()
+            spark = get_spark("data_framework_spark-bench-cold2")
+            spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ).count()
+            cold2 = run_subset(subsets["r1"])
+            out["r1_subset_cold2_value"] = round(sum(cold2.values()), 4)
+            out["r1_subset_cold_min"] = round(
+                sum(
+                    min(timings.get(k, cold2[k]), cold2[k]) for k in cold2
+                ),
+                4,
+            )
+            out["cold2_protocol"] = (
+                "fresh SparkSession (codegen/plan caches cold, JVM JIT "
+                "warm); r1_subset_cold_min = per-query min of the two "
+                "cold passes"
+            )
     except (OSError, KeyError, json.JSONDecodeError, TypeError):
         pass
     print(json.dumps(out))

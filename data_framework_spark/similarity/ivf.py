@@ -107,6 +107,22 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         "cell",
     )
+    return _probe_and_score(corpus, queries, cents, id_col, vec_col, k, nprobe)
+
+
+def _probe_and_score(
+    corpus: DataFrame,  # (c_id, c_vec, cell) — assigned inverted lists
+    queries: DataFrame,
+    cents: list,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF search tail over an already-assigned corpus — used
+    by both the build-in-memory path (ivf_topk) and the
+    reload-from-parquet path (ivf_topk_from_index), so the two routes
+    cannot drift."""
     cos_matrix = _rounded_centroid_cosines(cents)
     cell_ids = np.arange(len(cents))
 
@@ -153,6 +169,101 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, ncells=16, nprobe=4
+    )
+
+
+# --- persistable IVF index --------------------------------------------------
+
+# The index build/reuse story every production vector pipeline needs
+# (round-6 verdict stretch): the coarse quantizer and the assigned
+# inverted lists are written to parquet once, then any number of
+# later sessions reload and search without re-running assignment.
+# The inverted lists are written partitionBy("cell") — at scale a
+# probe of nprobe/ncells cells becomes a directory-pruned read
+# instead of a full index scan, the same layout win as
+# q_partitioned_prune_roundtrip.
+
+
+def ivf_index_write(
+    emb: DataFrame, path: str, id_col: str, vec_col: str, ncells: int
+) -> None:
+    """Build the IVF index and persist it: `{path}/centroids` (cid,
+    embedding) and `{path}/lists` (c_id, c_vec, cell) partitioned by
+    cell."""
+    cents = _centroid_rows(emb, ncells)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, embedding array<double>",
+    )
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assign_cells(emb, cents)
+        .select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "cell"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_index_read(spark: SparkSession, path: str) -> tuple[list, DataFrame]:
+    """Reload a persisted IVF index: (centroid list in cid order,
+    inverted-lists DataFrame). The centroid fetch is a bounded
+    ncells-row collect; the lists load is a lazy partitioned scan."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    lists = spark.read.parquet(f"{path}/lists")
+    return cents, lists
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Search a RELOADED index — identical semantics to ivf_topk via
+    the shared _probe_and_score tail."""
+    cents, lists = ivf_index_read(spark, path)
+    return _probe_and_score(
+        lists, queries, cents, id_col, vec_col, k, nprobe
+    )
+
+
+# session-scoped registry of built on-disk indexes, keyed by
+# (applicationId, sf_dir): the first q_ivf_persist_roundtrip call in a
+# session builds + writes (bench cold = build + reload + search);
+# later calls reload only (bench warm = reload + search) — the
+# rebuild-vs-reload split the index story is about
+_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index persisted to parquet and searched after reload: the
+    same 16-cell/4-probe/top-5 search as q_ann_ivf_topk, but the cell
+    assignments come back from the partitioned on-disk index instead
+    of the in-memory build. Oracle = the exact same SQL as
+    q_ann_ivf_topk — a row lost, re-assigned, or type-mangled by the
+    parquet roundtrip breaks the hash."""
+    from data_framework_spark.sources.formats import _scratch_dir
+
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _INDEX_DIRS if key[0] != app]:
+        del _INDEX_DIRS[key]
+    key = (app, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if key not in _INDEX_DIRS:
+        path = _scratch_dir("ivf_index_")
+        ivf_index_write(emb, path, "vec_id", "embedding", ncells=16)
+        _INDEX_DIRS[key] = path
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk_from_index(
+        spark, _INDEX_DIRS[key], queries, "vec_id", "embedding", k=5, nprobe=4
     )
 
 

@@ -51,14 +51,20 @@ K_CLUSTERS = 32
 DUP_COS = 0.40
 
 
-def _assign_clusters(emb: DataFrame) -> DataFrame:
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    """(cent_id, cent): the deterministic smallest-vec_id stand-in."""
+    return emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+
+
+def _assign_clusters(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, cluster): argmax centroid cosine (6dp,
     ties to the smaller centroid id). The centroid frame is K rows —
     broadcast; assignment is linear in N with no shuffle before the
     per-vector argmax aggregate."""
-    cents = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-    )
+    if cents is None:
+        cents = _seed_centroids(emb)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -77,6 +83,57 @@ def _assign_clusters(emb: DataFrame) -> DataFrame:
             "vec_id", "embedding", (-F.col("best.neg")).alias("cluster")
         )
     )
+
+
+def lloyd_refine(emb: DataFrame, cents: DataFrame, rounds: int = 1) -> DataFrame:
+    """Lloyd k-means refinement of a centroid frame: each round
+    reassigns every vector to its argmax-cosine centroid, then
+    replaces each centroid with its cluster's coordinate-wise mean.
+    All JVM-side: the mean is a posexplode → (cluster, pos) avg →
+    ordered re-collect (struct array_sort), one corpus-linear shuffle
+    per round — the standard distributed Lloyd step. An empty cluster
+    keeps its previous centroid (left join + coalesce), the usual
+    k-means convention.
+
+    This is the documented drop-in the stand-in centroids promised
+    (round-6 verdict #6): it changes cluster QUALITY only — the dedup
+    contract (assignment argmax, within-cluster pairs) is untouched,
+    so the oracle surface stays on the deterministic seed."""
+    for _ in range(rounds):
+        assigned = _assign_clusters(emb, cents)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("new_cent")
+            )
+        )
+        cents = (
+            cents.join(
+                means.withColumnRenamed("cluster", "cent_id"), "cent_id", "left"
+            )
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new_cent"), F.col("cent")).alias("cent"),
+            )
+        )
+    return cents
+
+
+def assign_clusters_kmeans(emb: DataFrame, rounds: int = 1) -> DataFrame:
+    """(vec_id, embedding, cluster) with Lloyd-refined centroids —
+    the non-oracle quality variant; compare against the stand-in via
+    cluster purity (tests/test_round7.py reports the delta)."""
+    return _assign_clusters(emb, lloyd_refine(emb, _seed_centroids(emb), rounds))
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,6 +181,113 @@ def test_ks_drift_single_source_is_zero(spark):
     assert len(drow) == 1 and drow[0][2] == 0.0
 
 
+# --- PageRank LSH edge route ----------------------------------------------
+
+
+def test_pagerank_lsh_edges_match_exact(spark, sf_dir):
+    """The flagged sign-LSH edge route must produce the same edge set
+    as the exact all-pairs GEMM on the shipped corpus (round-6
+    verdict #5; the chosen 2-plane x 12-band parameters were measured
+    to give exact recall at cos >= 0.40 here), hence identical
+    PageRank output."""
+    from data_framework_spark.operators.graph import neardup_edges
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {tuple(r) for r in neardup_edges(emb, "exact").collect()}
+    lsh = {tuple(r) for r in neardup_edges(emb, "lsh").collect()}
+    assert exact == lsh
+    assert len(exact) > 0
+
+
+# --- SemDeDup k-means refinement ------------------------------------------
+
+
+def test_lloyd_refinement_improves_compactness_and_reports_purity(
+    spark, sf_dir
+):
+    """One Lloyd round over the stand-in centroids must (a) produce a
+    complete assignment (every vector, ≤ K clusters), (b) improve the
+    internal objective it optimizes — mean cosine to the assigned
+    centroid (measured 0.306 → 0.391 at sf0.01) — and (c) report the
+    external purity delta vs the stand-in. On this corpus labels are
+    uncorrelated with the isotropic embedding geometry, so purity
+    moves only within noise (measured −0.004..−0.010); the assertion
+    bounds it rather than demanding improvement (round-6 verdict #6:
+    'variant + purity delta reported; oracle surface unchanged')."""
+    from data_framework_spark.similarity.ann import cosine
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters,
+        _seed_centroids,
+        K_CLUSTERS,
+        lloyd_refine,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    seeds = _seed_centroids(e)
+    refined = lloyd_refine(e, seeds, rounds=1)
+    assert refined.count() == K_CLUSTERS
+
+    def mean_cos(cents):
+        a = _assign_clusters(e, cents)
+        j = a.join(cents.withColumnRenamed("cent_id", "cluster"), "cluster")
+        return j.agg(
+            F.avg(cosine(F.col("embedding"), F.col("cent"))).alias("m")
+        ).collect()[0]["m"]
+
+    assert mean_cos(refined) > mean_cos(seeds) + 0.02
+
+    def purity(cents):
+        a = _assign_clusters(e, cents).join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        cl = a.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+        top = cl.groupBy("cluster").agg(
+            F.max("c").alias("m"), F.sum("c").alias("n")
+        )
+        return top.agg((F.sum("m") / F.sum("n")).alias("p")).collect()[0]["p"]
+
+    n = e.count()
+    assigned = _assign_clusters(e, refined)
+    assert assigned.count() == n  # complete partition, nothing dropped
+    delta = purity(refined) - purity(seeds)
+    print(f"purity delta (refined - standin): {delta:+.4f}")
+    assert abs(delta) < 0.05  # random-label corpus: noise-bounded
+
+
+# --- persistable IVF index ------------------------------------------------
+
+
+def test_ivf_index_reload_matches_in_memory_build(spark, sf_dir, tmp_path):
+    """An index written to parquet and reloaded must search to exactly
+    the in-memory build's results (same _probe_and_score tail; the
+    roundtrip only moves the assignment through the partitioned
+    layout)."""
+    from data_framework_spark.similarity.ivf import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    mem = ivf_topk(emb, queries, "vec_id", "embedding", k=5, ncells=16, nprobe=4)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, "vec_id", "embedding", ncells=16)
+    disk = ivf_topk_from_index(
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+    # the on-disk inverted lists are cell-partitioned (directory-
+    # prunable at scale)
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/lists"))
+
+
 # --- GEMM association matches the oracle ----------------------------------
 
 
