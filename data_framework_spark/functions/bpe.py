@@ -1,0 +1,180 @@
+"""BPE vocabulary induction: the byte-pair-encoding merge-learning
+step every modern tokenizer pipeline runs over its training corpus.
+
+Extension layer (SURVEY.md §7 phase 5) — classic BPE (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units", §3.2): start from characters, repeatedly count adjacent
+symbol pairs over the word-frequency table and merge the most
+frequent pair into a new symbol. The learned merge list IS the
+tokenizer; this operator emits the first BPE_MERGES merges with
+their pair counts.
+
+Scale shape — the reason BPE trains fine at 100 TB: ONE corpus-sized
+aggregate builds the word-frequency table, and every subsequent step
+(pair counting, merge application) runs on that VOCABULARY-sized
+frame, which Zipf's law keeps orders of magnitude smaller than the
+corpus (the same posture as functions/lm.py's unigram LM; production
+trainers like HuggingFace tokenizers train from exactly this word
+table). Each merge iteration is one aggregate over the vocab frame
+plus a bounded single-row collect of the winning pair — the same
+bounded-driver-fetch pattern as the IVF centroid rows.
+
+Engine-portable merge application: a word is represented as a STRING
+of delimiter-wrapped symbols, ␟sym␞␟sym␞…, using the ASCII unit/
+record separators (chr 31/30 — cannot appear in text). Merging pair
+(a, b) is then a plain literal replace of ␟a␞␟b␞ with ␟ab␞ — both
+Spark's `F.replace` and DuckDB's `replace()` substitute
+non-overlapping occurrences LEFT TO RIGHT, which is exactly greedy
+BPE merge order (e.g. pair (a,a) on "aaa" → "aa","a"), and the
+wrapping makes cross-symbol false matches impossible (␟a␞ never
+matches inside ␟xa␞). Ties on pair count break lexicographically
+(left asc, right asc) on both engines for a deterministic merge
+sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.functions.text import tokens
+from data_framework_spark.sources.tables import load_table
+
+BPE_MERGES = 6
+_OS = chr(31)  # symbol open (ASCII unit separator)
+_CS = chr(30)  # symbol close (ASCII record separator)
+
+
+def _wrapped_words(docs: DataFrame) -> DataFrame:
+    """(w, freq): word-frequency table with each word rendered as
+    delimiter-wrapped initial (character) symbols. The ONE
+    corpus-sized aggregate; everything downstream is vocab-sized."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace(
+                F.col("word"), "(.)", f"{_OS}$1{_CS}"
+            ).alias("w"),
+            "freq",
+        )
+    )
+
+
+def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
+    """Most frequent adjacent symbol pair (count desc, left asc,
+    right asc) over the wrapped-word frame — one vocab-sized
+    aggregate + a single-row collect."""
+    with_syms = words.select(
+        "freq",
+        F.split(
+            F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
+        ).alias("syms"),
+    ).filter(F.size("syms") >= 2)
+    n = F.size(F.col("syms"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("syms"), 1, n - 1).alias("l"),
+        F.slice(F.col("syms"), 2, n - 1).alias("r"),
+    )
+    top = (
+        with_syms.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None
+    return top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """The first `n_merges` BPE merges over the corpus word table:
+    [(rank, left_sym, right_sym, pair_count)]. The words frame is
+    persisted once; each iteration chains one literal replace onto
+    it (narrow, vocab-sized) and runs one pair-count aggregate."""
+    words = _wrapped_words(docs).persist()
+    words.count()
+    base = words
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            got = _top_pair(words)
+            if got is None:
+                break
+            left, right, cnt = got
+            merges.append((rank, left, right, cnt))
+            words = words.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
+                    F.lit(f"{_OS}{left}{right}{_CS}"),
+                ).alias("w"),
+                "freq",
+            )
+    finally:
+        base.unpersist()
+    return merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table for the documents corpus — the
+    driver-checkable face of the BPE trainer."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, "
+        "pair_count long",
+    )
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    os_, cs = _OS, _CS
+    ctes = [
+        f"""wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY word
+),
+w0 AS (
+  SELECT regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = i - 1
+        ctes.append(f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM (
+    SELECT string_split(substring(w, 2, length(w) - 2),
+                        '{cs}{os_}') AS syms, freq
+    FROM w{prev}
+  ), unnest(range(1, len(syms))) AS t(i)
+  GROUP BY l, r
+)""")
+        ctes.append(f"""t{i} AS (
+  SELECT l, r, cnt FROM p{i}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)""")
+        if i < n_merges:
+            ctes.append(f"""w{i} AS (
+  SELECT replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
+                 '{os_}' || t.l || t.r || '{cs}') AS w, w.freq
+  FROM w{prev} w CROSS JOIN t{i} t
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"cnt::BIGINT AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY merge_rank"
+    )
+
+
+Q_BPE_MERGES_SQL = _bpe_sql()

@@ -24,6 +24,7 @@ from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
+from data_framework_spark.functions import bpe as bpe_mod
 from data_framework_spark.functions import chunking as chunking_mod
 from data_framework_spark.functions import corpus as corpus_mod
 from data_framework_spark.functions import drift as drift_mod
@@ -797,6 +798,13 @@ QUERIES: dict[str, Query] = {
         "synchronous iterations (iterative dataflow, per-iteration "
         "persist), vs 5 unrolled CTEs",
     ),
+    "bpe_merges": Query(
+        bpe_mod.q_bpe_merges,
+        bpe_mod.Q_BPE_MERGES_SQL,
+        "BPE vocabulary induction: first 6 merges learned over the "
+        "word-frequency table (one corpus aggregate, then vocab-sized "
+        "iterations), vs 6 unrolled merge CTEs",
+    ),
     "pagerank_neardup_lsh": Query(
         graph.q_pagerank_neardup_lsh,
         graph.Q_PAGERANK_NEARDUP_SQL,
@@ -849,16 +857,17 @@ QUERIES: dict[str, Query] = {
 # block bounds_lineitem .. interp_events, the multimodal/streaming/
 # format entries, then the relational block through
 # dup_ngram_fraction) — after r7 no query's driver row is older than
-# two rounds — then the 2 NEW round-7 queries (pagerank_neardup_lsh:
+# two rounds — then the 3 NEW round-7 queries (pagerank_neardup_lsh:
 # the LSH-routed edge-list scale path; ivf_persist_roundtrip: the
-# parquet-persisted IVF index), then the 5 queries whose
-# implementation changed this round (funnel_stages: Spark-side
-# HALF_UP rates + zero-denominator guards; ks_drift: single-source
-# guard; embedding_near_dups / embedding_dedup_lsh /
+# parquet-persisted IVF index; bpe_merges: BPE vocabulary
+# induction), then the 4 queries whose implementation changed this
+# round (funnel_stages: Spark-side HALF_UP rates + zero-denominator
+# guards; embedding_near_dups / embedding_dedup_lsh /
 # pagerank_neardup: GEMM association now dot/(na*nb) matching the
-# oracle). zipf_fit also changed (stable_round, value-neutral on
-# both engines) but r6-green + replica-green covers it — the slot
-# went to the never-verified queries. `find_structures_island`
+# oracle + Arrow-batched band buckets). zipf_fit (stable_round) and
+# ks_drift (single-source guard) also changed, but both changes are
+# value-neutral on this corpus and r6-green + strict-replica-green
+# covers them — their slots went to the never-verified queries. `find_structures_island`
 # (rows-only by contract) stays excluded so every slot buys a
 # hash-green signal. Round 8's rotation should hoist the 45
 # last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t
@@ -912,9 +921,9 @@ _VERIFY_FIRST: list[str] = [
     # -- NEW round 7 (never driver-verified) --
     "pagerank_neardup_lsh",
     "ivf_persist_roundtrip",
+    "bpe_merges",
     # -- changed round 7 (re-pinned) --
     "funnel_stages",
-    "ks_drift",
     "embedding_near_dups",
     "embedding_dedup_lsh",
     "pagerank_neardup",

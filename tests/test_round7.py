@@ -200,6 +200,39 @@ def test_pagerank_lsh_edges_match_exact(spark, sf_dir):
     assert len(exact) > 0
 
 
+# --- BPE vocabulary induction ---------------------------------------------
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """Hand-verifiable BPE run: 'abab abab cd' → words abab(×2),
+    cd(×1). Pair counts: (a,b)=4, (b,a)=2, (c,d)=1 → merge 1 is
+    (a,b,4); after applying, abab = (ab)(ab) → merge 2 is (ab,ab,2)
+    — the iterative property: merge 2 consumes merge 1's symbol —
+    then (c,d,1), then no pairs remain (early stop before
+    n_merges)."""
+    from data_framework_spark.functions.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(docs, n_merges=6)
+    assert merges == [
+        (1, "a", "b", 4),
+        (2, "ab", "ab", 2),
+        (3, "c", "d", 1),
+    ]
+
+
+def test_bpe_greedy_overlap_left_to_right(spark):
+    """Pair (a,a) on 'aaa' must merge greedily left-to-right into
+    (aa)(a) — so the second merge sees pair (aa, a), not (a, aa)."""
+    from data_framework_spark.functions.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=2)
+    assert merges == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
 # --- SemDeDup k-means refinement ------------------------------------------
 
 
