@@ -59,6 +59,7 @@ from data_framework_spark.sources import array_ingest
 from data_framework_spark.sources import formats as formats_mod
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.similarity import ivf as ivf_mod
+from data_framework_spark.similarity import pq as pq_mod
 from data_framework_spark.similarity import semantic as semantic_mod
 from data_framework_spark.streaming import sketches as stream_sketches
 from data_framework_spark.streaming import stateful as stream_stateful
@@ -798,6 +799,13 @@ QUERIES: dict[str, Query] = {
         "synchronous iterations (iterative dataflow, per-iteration "
         "persist), vs 5 unrolled CTEs",
     ),
+    "pq_codes": Query(
+        pq_mod.q_pq_codes,
+        pq_mod.Q_PQ_CODES_SQL,
+        "product quantization (Jegou et al. 2011): per-subspace "
+        "codebook assignment counts + mean quantization error — the "
+        "memory side of an IVF-PQ index, one Arrow-batched pass",
+    ),
     "bpe_merges": Query(
         bpe_mod.q_bpe_merges,
         bpe_mod.Q_BPE_MERGES_SQL,
@@ -857,17 +865,20 @@ QUERIES: dict[str, Query] = {
 # block bounds_lineitem .. interp_events, the multimodal/streaming/
 # format entries, then the relational block through
 # dup_ngram_fraction) — after r7 no query's driver row is older than
-# two rounds — then the 3 NEW round-7 queries (pagerank_neardup_lsh:
+# two rounds — then the 4 NEW round-7 queries (pagerank_neardup_lsh:
 # the LSH-routed edge-list scale path; ivf_persist_roundtrip: the
-# parquet-persisted IVF index; bpe_merges: BPE vocabulary
-# induction), then the 4 queries whose implementation changed this
-# round (funnel_stages: Spark-side HALF_UP rates + zero-denominator
-# guards; embedding_near_dups / embedding_dedup_lsh /
-# pagerank_neardup: GEMM association now dot/(na*nb) matching the
-# oracle + Arrow-batched band buckets). zipf_fit (stable_round) and
-# ks_drift (single-source guard) also changed, but both changes are
-# value-neutral on this corpus and r6-green + strict-replica-green
-# covers them — their slots went to the never-verified queries. `find_structures_island`
+# parquet-persisted IVF index; bpe_merges: BPE vocabulary induction;
+# pq_codes: product-quantization codebook audit), then the 3 queries
+# whose implementation changed this round (funnel_stages: Spark-side
+# HALF_UP rates + zero-denominator guards; embedding_near_dups /
+# embedding_dedup_lsh: GEMM association now dot/(na*nb) matching the
+# oracle + Arrow-batched band buckets). Changed-but-not-hoisted:
+# zipf_fit (stable_round) and ks_drift (single-source guard) are
+# value-neutral on this corpus; pagerank_neardup's edge-route
+# refactor is driver-covered by the in-window pagerank_neardup_lsh
+# (same oracle, same iteration arithmetic, shared GEMM kernels) —
+# all strict-replica-green, their slots went to never-verified
+# queries. `find_structures_island`
 # (rows-only by contract) stays excluded so every slot buys a
 # hash-green signal. Round 8's rotation should hoist the 45
 # last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t
@@ -922,11 +933,11 @@ _VERIFY_FIRST: list[str] = [
     "pagerank_neardup_lsh",
     "ivf_persist_roundtrip",
     "bpe_merges",
+    "pq_codes",
     # -- changed round 7 (re-pinned) --
     "funnel_stages",
     "embedding_near_dups",
     "embedding_dedup_lsh",
-    "pagerank_neardup",
 ]
 
 QUERIES = {

@@ -1,0 +1,168 @@
+"""Product quantization (PQ): compress embeddings to m subspace codes
+— the memory side of a production IVF-PQ vector index.
+
+Extension layer (SURVEY.md §7 phase 5) — Jégou et al. 2011 ("Product
+Quantization for Nearest Neighbor Search", §II): split each vector
+into PQ_M contiguous subspaces, quantize each subspace against its
+own PQ_K-centroid codebook, and store only the m code bytes (here
+8 × 4 bits ≈ 4 bytes vs 256 bytes of float32 — a 64× compression).
+At 100 TB this is what makes a billion-vector index fit in memory;
+search then proxies distances through per-subspace lookup tables.
+
+Codebook choice mirrors ivf.py: deterministic sampled centroids (the
+first PQ_K vectors' sub-slices) rather than trained k-means — the PQ
+*structure* (subspace split, per-subspace argmin assignment, code
+accounting, quantization error) is identical, the codebooks are
+bit-reproducible in the DuckDB oracle, and a trained codebook (one
+`semantic.lloyd_refine` round per subspace) drops in without touching
+the contract.
+
+Assignment determinism (the ivf.assign_cells convention): squared L2
+distances are rounded half-away-from-zero to 9 decimals (matching
+SQL round()) before the argmin, ties to the smallest code id, so
+numpy (sequential per-term accumulation) and DuckDB (list_sum fold)
+agree bit-for-bit at the rounding granularity.
+
+The query emits the per-(subspace, code) assignment counts and mean
+quantization error — the codebook-health audit a PQ build ships with
+(a dead code = wasted codebook capacity; a hot code = under-split
+region), 128 bounded rows from one corpus-linear Arrow-batched pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.sources.tables import load_table
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_DIM = 64
+_SUB = PQ_DIM // PQ_M
+
+
+def _codebooks(emb: DataFrame) -> np.ndarray:
+    """(PQ_M, PQ_K, _SUB) deterministic codebooks: the first PQ_K
+    vectors' subspace slices — a bounded PQ_K-row collect, same as
+    ivf._centroid_rows."""
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) != PQ_K:
+        raise ValueError(f"need vec_ids 0..{PQ_K - 1} for the codebook")
+    full = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    return np.stack(
+        [full[:, s * _SUB : (s + 1) * _SUB] for s in range(PQ_M)]
+    )
+
+
+def _round9(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero to 9 decimals (SQL round semantics)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5) / 1e9
+
+
+def assign_pq_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """corpus → (vec_id, subspace, code, err): per-subspace argmin of
+    the 9dp-rounded squared L2 distance to the PQ_K codebook entries,
+    ties to the smallest code. One Arrow-batched pass; the per-term
+    distance accumulation is SEQUENTIAL over the _SUB dims (explicit
+    left-to-right adds, not np.sum's pairwise tree) to mirror the
+    oracle's list_sum fold."""
+    spark = emb.sparkSession
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(X)
+            out_sub = np.empty((n, PQ_M), dtype=np.int32)
+            out_err = np.empty((n, PQ_M), dtype=np.float64)
+            for s in range(PQ_M):
+                Xs = X[:, s * _SUB : (s + 1) * _SUB]  # (n, sub)
+                C = books[s]  # (K, sub)
+                diff = Xs[:, None, :] - C[None, :, :]  # (n, K, sub)
+                sq = diff * diff
+                acc = sq[:, :, 0]
+                for j in range(1, _SUB):  # sequential fold, oracle order
+                    acc = acc + sq[:, :, j]
+                d = _round9(acc)
+                code = np.argmin(d, axis=1)  # first min → smallest code
+                out_sub[:, s] = code
+                out_err[:, s] = d[np.arange(n), code]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), PQ_M
+                    ),
+                    "subspace": np.tile(np.arange(PQ_M), n),
+                    "code": out_sub.reshape(-1),
+                    "err": out_err.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        gen, schema="vec_id long, subspace int, code int, err double"
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-health audit: per-(subspace, code) assignment count
+    and mean quantization error over the embeddings corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _codebooks(emb)
+    return (
+        assign_pq_codes(emb, books)
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("err"), 6).alias("avg_sq_err"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+Q_PQ_CODES_SQL = f"""
+WITH parts AS (
+  SELECT vec_id, s.s::INTEGER AS subspace,
+         list_slice(embedding, s.s * {_SUB} + 1,
+                    s.s * {_SUB} + {_SUB}) AS sub
+  FROM embeddings, range(0, {PQ_M}) s(s)
+),
+cents AS (
+  SELECT vec_id::INTEGER AS cid, subspace, sub AS csub
+  FROM parts WHERE vec_id < {PQ_K}
+),
+dist AS (
+  SELECT p.vec_id, p.subspace, c.cid,
+         round(list_sum(list_transform(range(1, {_SUB} + 1),
+               i -> (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE)
+                    * (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE))), 9) AS d
+  FROM parts p JOIN cents c USING (subspace)
+),
+assigned AS (
+  SELECT vec_id, subspace, cid AS code, d
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, subspace ORDER BY d ASC, cid ASC) AS rn
+    FROM dist
+  )
+  WHERE rn = 1
+)
+SELECT subspace, code, count(*) AS n_assigned,
+       round(avg(d), 6) AS avg_sq_err
+FROM assigned
+GROUP BY subspace, code
+ORDER BY subspace, code
+"""

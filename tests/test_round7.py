@@ -200,6 +200,33 @@ def test_pagerank_lsh_edges_match_exact(spark, sf_dir):
     assert len(exact) > 0
 
 
+# --- product quantization -------------------------------------------------
+
+
+def test_pq_codebook_vectors_quantize_to_themselves(spark, sf_dir):
+    """Exactness anchor: each codebook vector (vec_id < PQ_K) must be
+    assigned its OWN code in every subspace with zero quantization
+    error (self-distance 0 is the unique minimum on a random-float
+    corpus), and every corpus vector gets exactly PQ_M codes."""
+    from data_framework_spark.similarity.pq import (
+        PQ_K,
+        PQ_M,
+        _codebooks,
+        assign_pq_codes,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _codebooks(emb)
+    codes = assign_pq_codes(emb, books)
+    self_rows = codes.filter(F.col("vec_id") < PQ_K).collect()
+    assert len(self_rows) == PQ_K * PQ_M
+    for r in self_rows:
+        assert r["code"] == r["vec_id"] and r["err"] == 0.0
+    n = emb.count()
+    assert codes.count() == n * PQ_M
+
+
 # --- BPE vocabulary induction ---------------------------------------------
 
 
