@@ -806,6 +806,13 @@ QUERIES: dict[str, Query] = {
         "codebook assignment counts + mean quantization error — the "
         "memory side of an IVF-PQ index, one Arrow-batched pass",
     ),
+    "pq_adc_topk": Query(
+        pq_mod.q_pq_adc_topk,
+        pq_mod.Q_PQ_ADC_TOPK_SQL,
+        "PQ asymmetric-distance search: top-5 L2 neighbors scored "
+        "entirely through the compressed code table + broadcast "
+        "query lookup tables — the IVF-PQ search side",
+    ),
     "bpe_merges": Query(
         bpe_mod.q_bpe_merges,
         bpe_mod.Q_BPE_MERGES_SQL,
@@ -865,20 +872,24 @@ QUERIES: dict[str, Query] = {
 # block bounds_lineitem .. interp_events, the multimodal/streaming/
 # format entries, then the relational block through
 # dup_ngram_fraction) — after r7 no query's driver row is older than
-# two rounds — then the 4 NEW round-7 queries (pagerank_neardup_lsh:
+# two rounds — then ALL 5 NEW round-7 queries (pagerank_neardup_lsh:
 # the LSH-routed edge-list scale path; ivf_persist_roundtrip: the
 # parquet-persisted IVF index; bpe_merges: BPE vocabulary induction;
-# pq_codes: product-quantization codebook audit), then the 3 queries
-# whose implementation changed this round (funnel_stages: Spark-side
-# HALF_UP rates + zero-denominator guards; embedding_near_dups /
+# pq_codes / pq_adc_topk: product-quantization codebook audit +
+# ADC search), then 2 changed queries (embedding_near_dups /
 # embedding_dedup_lsh: GEMM association now dot/(na*nb) matching the
-# oracle + Arrow-batched band buckets). Changed-but-not-hoisted:
-# zipf_fit (stable_round) and ks_drift (single-source guard) are
-# value-neutral on this corpus; pagerank_neardup's edge-route
-# refactor is driver-covered by the in-window pagerank_neardup_lsh
-# (same oracle, same iteration arithmetic, shared GEMM kernels) —
-# all strict-replica-green, their slots went to never-verified
-# queries. `find_structures_island`
+# oracle + Arrow-batched band buckets — the kernel-change coverage).
+# Changed-but-not-hoisted: funnel_stages (HALF_UP rates), zipf_fit
+# (stable_round), ks_drift (single-source guard), pagerank_neardup
+# (edge-route refactor; driver-covered by the in-window
+# pagerank_neardup_lsh — same oracle, iteration arithmetic, kernels)
+# — each is PROVABLY value-identical on this corpus (its previous
+# driver row was hash-green AND the new implementation is
+# strict-replica-green against the same oracle, so old == oracle ==
+# new); never-verified queries outrank value-identical re-pins for
+# slots. Round 8 must hoist these four re-pins along with the 45
+# last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t):
+# 45 + 4 = 49 slots, leaving 1 for a round-8 addition. `find_structures_island`
 # (rows-only by contract) stays excluded so every slot buys a
 # hash-green signal. Round 8's rotation should hoist the 45
 # last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t
@@ -934,8 +945,8 @@ _VERIFY_FIRST: list[str] = [
     "ivf_persist_roundtrip",
     "bpe_merges",
     "pq_codes",
+    "pq_adc_topk",
     # -- changed round 7 (re-pinned) --
-    "funnel_stages",
     "embedding_near_dups",
     "embedding_dedup_lsh",
 ]
