@@ -133,7 +133,61 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the trainer: run the learned BPE_MERGES
+    merges over the word table in order and report the corpus
+    tokenization accounting — total characters, total BPE tokens,
+    fertility (chars per token, THE tokenizer-efficiency metric), and
+    the induced symbol-vocabulary size. Merge application is the same
+    vocab-sized literal-replace chain as training (symbol content
+    length is invariant under merging, so chars_total falls out of
+    the wrapped representation: len(w) − 2·n_symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs)
+    words = _wrapped_words(docs)
+    for _, left, right, _cnt in merges:
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
+                F.lit(f"{_OS}{left}{right}{_CS}"),
+            ).alias("w"),
+            "freq",
+        )
+    syms = F.split(
+        F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
+    )
+    per_word = words.select(
+        "freq",
+        syms.alias("syms"),
+        (F.length("w") - 2 * F.size(syms)).alias("content_chars"),
+    )
+    totals = per_word.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("total_occurrences"),
+        F.sum(F.col("freq") * F.col("content_chars")).alias("chars_total"),
+        F.sum(F.col("freq") * F.size("syms")).alias("tokens_total"),
+    )
+    vocab = per_word.select(
+        F.explode("syms").alias("sym")
+    ).agg(F.count_distinct("sym").alias("vocab_symbols"))
+    return totals.crossJoin(F.broadcast(vocab)).select(
+        "n_words",
+        "total_occurrences",
+        "chars_total",
+        "tokens_total",
+        F.round(
+            F.col("chars_total") / F.col("tokens_total"), 6
+        ).alias("fertility"),
+        "vocab_symbols",
+    )
+
+
+def _bpe_ctes(n_merges: int, with_final_words: bool) -> list[str]:
+    """The shared unrolled-merge CTE chain: wf, w0, then per merge i
+    the pair counts p{i}, the winner t{i}, and (when needed for a
+    later stage or the final accounting) the merged word table
+    w{i}."""
     os_, cs = _OS, _CS
     ctes = [
         f"""wf AS (
@@ -161,12 +215,17 @@ w0 AS (
   SELECT l, r, cnt FROM p{i}
   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 )""")
-        if i < n_merges:
+        if i < n_merges or with_final_words:
             ctes.append(f"""w{i} AS (
   SELECT replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
                  '{os_}' || t.l || t.r || '{cs}') AS w, w.freq
   FROM w{prev} w CROSS JOIN t{i} t
 )""")
+    return ctes
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    ctes = _bpe_ctes(n_merges, with_final_words=False)
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
         f"cnt::BIGINT AS pair_count FROM t{i}"
@@ -178,3 +237,40 @@ w0 AS (
 
 
 Q_BPE_MERGES_SQL = _bpe_sql()
+
+
+def _bpe_tokenize_sql(n_merges: int = BPE_MERGES) -> str:
+    os_, cs = _OS, _CS
+    ctes = _bpe_ctes(n_merges, with_final_words=True)
+    ctes.append(f"""pw AS (
+  SELECT freq,
+         string_split(substring(w, 2, length(w) - 2),
+                      '{cs}{os_}') AS syms,
+         length(w) - 2 * len(string_split(substring(w, 2, length(w) - 2),
+                                          '{cs}{os_}')) AS content_chars
+  FROM w{n_merges}
+)""")
+    ctes.append("""tot AS (
+  SELECT count(*) AS n_words,
+         sum(freq)::BIGINT AS total_occurrences,
+         sum(freq * content_chars)::BIGINT AS chars_total,
+         sum(freq * len(syms))::BIGINT AS tokens_total
+  FROM pw
+)""")
+    ctes.append("""voc AS (
+  SELECT count(DISTINCT sym) AS vocab_symbols
+  FROM (SELECT unnest(syms) AS sym FROM pw)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT n_words, total_occurrences, chars_total, tokens_total,
+       round(chars_total::DOUBLE / tokens_total, 6) AS fertility,
+       vocab_symbols
+FROM tot CROSS JOIN voc
+"""
+    )
+
+
+Q_BPE_TOKENIZE_SQL = _bpe_tokenize_sql()

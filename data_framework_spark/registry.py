@@ -820,6 +820,13 @@ QUERIES: dict[str, Query] = {
         "word-frequency table (one corpus aggregate, then vocab-sized "
         "iterations), vs 6 unrolled merge CTEs",
     ),
+    "bpe_tokenize": Query(
+        bpe_mod.q_bpe_tokenize,
+        bpe_mod.Q_BPE_TOKENIZE_SQL,
+        "BPE apply side: corpus tokenization accounting after the "
+        "learned merges — chars, tokens, fertility (chars/token), "
+        "induced symbol-vocabulary size",
+    ),
     "pagerank_neardup_lsh": Query(
         graph.q_pagerank_neardup_lsh,
         graph.Q_PAGERANK_NEARDUP_SQL,
@@ -887,9 +894,10 @@ QUERIES: dict[str, Query] = {
 # driver row was hash-green AND the new implementation is
 # strict-replica-green against the same oracle, so old == oracle ==
 # new); never-verified queries outrank value-identical re-pins for
-# slots. Round 8 must hoist these four re-pins along with the 45
-# last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t):
-# 45 + 4 = 49 slots, leaving 1 for a round-8 addition. `find_structures_island`
+# slots. Round 8 must hoist: the 45 last-green-r5 block
+# (tpch_q8_market_share .. halo_smooth_multi_t), these four re-pins,
+# and bpe_tokenize (added after the r7 window filled; replica-green
+# r7, never driver-verified): 45 + 4 + 1 = exactly 50. `find_structures_island`
 # (rows-only by contract) stays excluded so every slot buys a
 # hash-green signal. Round 8's rotation should hoist the 45
 # last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t

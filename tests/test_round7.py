@@ -285,6 +285,32 @@ def test_bpe_merges_hand_corpus(spark):
     ]
 
 
+def test_bpe_tokenize_hand_corpus(spark):
+    """Apply-side accounting on the hand corpus: after the 3
+    learnable merges, 'abab'(×2) is one token and 'cd' one token —
+    chars 10, tokens 3, fertility 10/3, induced vocab {abab, cd}.
+    Content chars must be invariant under merging."""
+    import data_framework_spark.functions.bpe as bpe_mod
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd")], "doc_id long, text string"
+    )
+    import data_framework_spark.sources.tables as tables_mod
+
+    orig = bpe_mod.load_table
+    try:
+        bpe_mod.load_table = lambda s, d, t: docs
+        row = bpe_mod.q_bpe_tokenize(spark, "unused").collect()[0]
+    finally:
+        bpe_mod.load_table = orig
+    assert row["n_words"] == 2
+    assert row["total_occurrences"] == 3
+    assert row["chars_total"] == 10
+    assert row["tokens_total"] == 3
+    assert row["fertility"] == round(10 / 3, 6)
+    assert row["vocab_symbols"] == 2
+
+
 def test_bpe_greedy_overlap_left_to_right(spark):
     """Pair (a,a) on 'aaa' must merge greedily left-to-right into
     (aa)(a) — so the second merge sees pair (aa, a), not (a, aa)."""
