@@ -409,6 +409,60 @@ def test_ivf_index_reload_matches_in_memory_build(spark, sf_dir, tmp_path):
     assert any(d.startswith("cell=") for d in os.listdir(f"{path}/lists"))
 
 
+# --- physical-plan properties of the new operators ------------------------
+
+
+def test_pq_adc_lut_join_is_broadcast(spark, sf_dir):
+    """The ADC scoring join must broadcast the bounded lookup-table
+    side (|Q|·M·K rows) — a shuffled join here would move the whole
+    code table for a 2560-row build side."""
+    from data_framework_spark.similarity.pq import q_pq_adc_topk
+
+    plan = (
+        q_pq_adc_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ivf_index_cell_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted inverted lists are partitioned by cell, so a
+    single-cell probe must show up as a PartitionFilter on the scan
+    (directory pruning — the layout claim the index makes), not a
+    post-scan filter."""
+    from data_framework_spark.similarity.ivf import ivf_index_write
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_plan")
+    ivf_index_write(emb, path, "vec_id", "embedding", ncells=16)
+    df = spark.read.parquet(f"{path}/lists").filter(F.col("cell") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in seg, seg
+
+
+def test_bpe_word_table_is_the_only_corpus_shuffle(spark, sf_dir):
+    """BPE pair counting runs on the vocab frame: the pair-count plan
+    contains the word-count aggregate's exchange plus the final
+    top-1 single-partition exchange — both hash exchanges key on
+    vocab-sized data, and no exchange carries corpus rows after the
+    word aggregate (structural: everything downstream reads the
+    grouped word table)."""
+    from data_framework_spark.functions.bpe import _wrapped_words
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _wrapped_words(docs)
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    # one corpus-keyed exchange (the word groupBy); the regex wrap is
+    # a projection on top, adding none
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 # --- GEMM association matches the oracle ----------------------------------
 
 
