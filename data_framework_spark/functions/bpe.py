@@ -91,14 +91,20 @@ def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
 
 
 def learn_bpe_merges(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    words: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """The first `n_merges` BPE merges over the corpus word table:
     [(rank, left_sym, right_sym, pair_count)]. The words frame is
-    persisted once; each iteration chains one literal replace onto
-    it (narrow, vocab-sized) and runs one pair-count aggregate."""
-    words = _wrapped_words(docs).persist()
-    words.count()
+    persisted once (callers that already hold a persisted
+    `_wrapped_words` frame pass it in to skip the corpus aggregate);
+    each iteration chains one literal replace onto it (narrow,
+    vocab-sized) and runs one pair-count aggregate."""
+    own_persist = words is None
+    if words is None:
+        words = _wrapped_words(docs).persist()
+        words.count()
     base = words
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -117,7 +123,8 @@ def learn_bpe_merges(
                 "freq",
             )
     finally:
-        base.unpersist()
+        if own_persist:
+            base.unpersist()
     return merges
 
 
@@ -143,8 +150,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     length is invariant under merging, so chars_total falls out of
     the wrapped representation: len(w) − 2·n_symbols)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs)
-    words = _wrapped_words(docs)
+    # ONE corpus aggregate shared by training and application — the
+    # persisted vocab frame feeds both the merge learning and the
+    # final tokenization accounting
+    base = _wrapped_words(docs).persist()
+    base.count()
+    merges = learn_bpe_merges(docs, words=base)
+    words = base
     for _, left, right, _cnt in merges:
         words = words.select(
             F.replace(
@@ -171,7 +183,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = per_word.select(
         F.explode("syms").alias("sym")
     ).agg(F.count_distinct("sym").alias("vocab_symbols"))
-    return totals.crossJoin(F.broadcast(vocab)).select(
+    out = totals.crossJoin(F.broadcast(vocab)).select(
         "n_words",
         "total_occurrences",
         "chars_total",
@@ -181,6 +193,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         "vocab_symbols",
     )
+    # materialize before releasing the shared vocab frame
+    pdf = out.toPandas()
+    base.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 def _bpe_ctes(n_merges: int, with_final_words: bool) -> list[str]:
