@@ -1,0 +1,134 @@
+"""Lexical retrieval: BM25 scoring over the documents corpus.
+
+Extension layer (SURVEY.md §7 phase 5) — the ranking half of a
+training-data search/inspection stack (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond", §3.3; the
+IDF spelling is Lucene's `ln(1 + (N - df + 0.5)/(df + 0.5))`, which
+keeps IDF positive for terms in more than half the corpus).
+
+Scale shape (the part that matters at 100 TB):
+- Per-document term frequencies come from a ROW-LOCAL array filter
+  over the tokenized text (`F.filter` inside whole-stage codegen) —
+  no explode, no shuffle, no Python. For a bounded query-term set
+  this beats building an inverted index: the scan streams once and
+  emits one row per document.
+- The corpus statistics BM25 needs (N, avgdl, one df per query term)
+  are ONE aggregate producing a single row, broadcast back with a
+  `crossJoin(broadcast(...))` — the same pattern every corpus-wide
+  normalization in this repo uses.
+- The final top-k is a rank-limit sort over only the docs that
+  matched at least one term.
+For ad-hoc many-term workloads you would materialize the inverted
+index instead (explode → (term, doc, tf) postings, partitioned by
+term) and join the query against it; the postings build is the same
+explode this repo already ships in `tfidf_top_terms`.
+
+Determinism: the score is a single written-order expression
+(term1 + term2 + term3) evaluated identically by Spark and DuckDB —
+no aggregation-order float drift — so the 6dp round is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_framework_spark.functions.text import tokens
+from data_framework_spark.sources.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("table", "spark", "vector")
+BM25_TOPK = 20
+
+
+def _tf(term: str):
+    """Row-local term frequency: count of exact-match tokens."""
+    return F.size(
+        F.filter(tokens(F.col("text")), lambda x: x == F.lit(term))
+    ).cast("double")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the fixed query ``table spark
+    vector``: per-doc tf via codegen array filters, corpus stats
+    (N, avgdl, per-term df) as one broadcast row, score as one
+    deterministic expression, rank-limit top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("double").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+
+    def contrib(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        return idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = contrib(0) + contrib(1) + contrib(2)
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def _tf_sql(term: str, i: int) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{term}'))::DOUBLE AS tf{i}"
+    )
+
+
+_CONTRIB_SQL = [
+    f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} "
+    f"* ({BM25_K1} + 1.0) / (tf{i} + {BM25_K1} "
+    f"* (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    for i in range(len(BM25_TERMS))
+]
+
+Q_BM25_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::DOUBLE AS dl,
+         {_tf_sql(BM25_TERMS[0], 0)},
+         {_tf_sql(BM25_TERMS[1], 1)},
+         {_tf_sql(BM25_TERMS[2], 2)}
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum((tf0 > 0)::INTEGER)::DOUBLE AS df0,
+         sum((tf1 > 0)::INTEGER)::DOUBLE AS df1,
+         sum((tf2 > 0)::INTEGER)::DOUBLE AS df2
+  FROM scored
+)
+SELECT doc_id,
+       round({_CONTRIB_SQL[0]}
+           + {_CONTRIB_SQL[1]}
+           + {_CONTRIB_SQL[2]}, 6) AS bm25
+FROM scored CROSS JOIN stats
+WHERE round({_CONTRIB_SQL[0]}
+          + {_CONTRIB_SQL[1]}
+          + {_CONTRIB_SQL[2]}, 6) > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""

@@ -24,6 +24,7 @@ from data_framework_spark.dedup import minhash as dedup_minhash_mod
 from data_framework_spark.dedup import ngram as dedup_ngram_mod
 from data_framework_spark.dedup import clusters as dedup_clusters_mod
 from data_framework_spark.dedup import simhash as dedup_simhash_mod
+from data_framework_spark.dedup import spans as spans_mod
 from data_framework_spark.functions import bpe as bpe_mod
 from data_framework_spark.functions import chunking as chunking_mod
 from data_framework_spark.functions import corpus as corpus_mod
@@ -31,6 +32,7 @@ from data_framework_spark.functions import drift as drift_mod
 from data_framework_spark.functions import lm as lm_mod
 from data_framework_spark.functions import heavy_hitters as hh_mod
 from data_framework_spark.functions import semistructured as semi_mod
+from data_framework_spark.functions import retrieval as retrieval_mod
 from data_framework_spark.functions import sampling as sampling_mod
 from data_framework_spark.functions import text as text_mod
 from data_framework_spark.multimodal import binary_ops as multimodal_mod
@@ -61,6 +63,7 @@ from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.similarity import ivf as ivf_mod
 from data_framework_spark.similarity import pq as pq_mod
 from data_framework_spark.similarity import semantic as semantic_mod
+from data_framework_spark.similarity import sq as sq_mod
 from data_framework_spark.streaming import sketches as stream_sketches
 from data_framework_spark.streaming import stateful as stream_stateful
 from data_framework_spark.streaming import windows as stream_windows
@@ -866,6 +869,27 @@ QUERIES: dict[str, Query] = {
         "per-series trailing-window z-score anomaly accounting — the "
         "windowed upgrade of the reference's global 3-sigma threshold",
     ),
+    "bm25_topk": Query(
+        retrieval_mod.q_bm25_topk,
+        retrieval_mod.Q_BM25_TOPK_SQL,
+        "BM25 top-20 retrieval for a fixed query: row-local tf via "
+        "codegen array filters (no explode), corpus stats as one "
+        "broadcast row, written-order score expression",
+    ),
+    "dup_span_extract": Query(
+        spans_mod.q_dup_span_extract,
+        spans_mod.Q_DUP_SPAN_EXTRACT_SQL,
+        "exact-substring duplicate spans (Lee et al. 2022 output "
+        "shape): k-gram collision marking + gaps-and-islands merge "
+        "into maximal per-doc duplicated token ranges",
+    ),
+    "sq8_quantize": Query(
+        sq_mod.q_sq8_quantize,
+        sq_mod.Q_SQ8_QUANTIZE_SQL,
+        "int8 scalar quantization audit: per-dimension grid scale, "
+        "codes used, mean/max reconstruction error — the 4x memory "
+        "tier beside IVF and PQ; two linear passes, broadcast stats",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -894,14 +918,17 @@ QUERIES: dict[str, Query] = {
 # driver row was hash-green AND the new implementation is
 # strict-replica-green against the same oracle, so old == oracle ==
 # new); never-verified queries outrank value-identical re-pins for
-# slots. Round 8 must hoist: the 45 last-green-r5 block
-# (tpch_q8_market_share .. halo_smooth_multi_t), these four re-pins,
-# and bpe_tokenize (added after the r7 window filled; replica-green
-# r7, never driver-verified): 45 + 4 + 1 = exactly 50. `find_structures_island`
-# (rows-only by contract) stays excluded so every slot buys a
-# hash-green signal. Round 8's rotation should hoist the 45
-# last-green-r5 block (tpch_q8_market_share .. halo_smooth_multi_t
-# in registry order) — 45 + new/changed fits the window.
+# slots. Round 8 must hoist, in priority order: (a) the 4
+# never-driver-verified round-7 late additions (bpe_tokenize,
+# bm25_topk, dup_span_extract, sq8_quantize — all replica-green r7),
+# (b) the 45 last-green-r5 block (tpch_q8_market_share ..
+# halo_smooth_multi_t in registry order), (c) the round-7 re-pins
+# (funnel_stages, zipf_fit, ks_drift, pagerank_neardup — each
+# provably value-identical, see above) as the remaining 1 slot
+# allows, oldest driver row first; 4 + 45 + 1 = exactly 50.
+# `find_structures_island` (rows-only by contract) stays excluded so
+# every slot buys a hash-green signal. The re-pins left out land in
+# round 9 with the then-stale r6 block.
 _VERIFY_FIRST: list[str] = [
     # -- round-6 RED, fixed this round (signed-zero stabilized) --
     "heaps_fit",
