@@ -91,6 +91,84 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERTED-INDEX route to the same BM25 result — the plan
+    you materialize when the query workload is ad-hoc/many-term
+    rather than a fixed bounded term set:
+
+    explode → (term, doc_id, tf) postings (corpus-linear, the build
+    you'd write to parquet partitioned by term), df folded per term
+    on the postings themselves, the 3-row query-term frame BROADCAST
+    into the postings join so only matching postings survive the
+    scan, then one groupBy(doc_id) to sum per-term contributions.
+
+    Shares `Q_BM25_TOPK_SQL` as its oracle (the registry dual-route
+    convention, e.g. pagerank exact vs LSH): same scores, different
+    physical plan. The one float-parity subtlety: the row-local route
+    and the oracle sum contributions in WRITTEN order (t0+t1+t2),
+    so this route sorts each doc's contributions by term index and
+    folds them in that same order via an array aggregate — never
+    `sum()`, whose partial-aggregation order Spark doesn't define."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_TERMS)], "tix int, term string"
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("double").alias("dl"),
+        tokens(F.col("text")).alias("ts"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("ts").alias("term"))
+        .join(F.broadcast(terms_df), "term")
+        .groupBy("term", "tix", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "tix", contrib.alias("c"))
+        .groupBy("doc_id")
+        # written-order fold: sort the (tix, c) structs, then add the
+        # contributions left-to-right exactly like t0+t1+t2
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tix"), F.col("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
 def _tf_sql(term: str, i: int) -> str:
     return (
         f"len(list_filter(string_split(text, ' '), "

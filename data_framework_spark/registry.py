@@ -876,6 +876,13 @@ QUERIES: dict[str, Query] = {
         "codegen array filters (no explode), corpus stats as one "
         "broadcast row, written-order score expression",
     ),
+    "bm25_postings_topk": Query(
+        retrieval_mod.q_bm25_postings_topk,
+        retrieval_mod.Q_BM25_TOPK_SQL,
+        "BM25 via a materialized inverted index (explode -> postings, "
+        "broadcast query-term prune, written-order contribution fold) "
+        "— the ad-hoc/many-term route; same oracle as bm25_topk",
+    ),
     "dup_span_extract": Query(
         spans_mod.q_dup_span_extract,
         spans_mod.Q_DUP_SPAN_EXTRACT_SQL,
