@@ -27,7 +27,8 @@ of the flags, then min(start)/max(end) per island.
 
 Scale shape: the k-gram build is a row-local `transform` over the
 token array followed by ONE posexplode (corpus-linear, ~n_tokens
-rows); the collision count is one groupBy on the gram. At 100 TB
+rows); the collision count is one gram-partitioned window count over
+that same frame — a single scan and a single shuffle. At 100 TB
 the gram column would be `xxhash64(gram)` (8 bytes instead of the
 string; a hash collision marks a non-duplicate position duplicated —
 harmless for cutting) — the string is kept here for DuckDB oracle
@@ -48,8 +49,15 @@ SPAN_K = 5  # k-gram width in tokens
 
 def duplicated_positions(docs: DataFrame) -> DataFrame:
     """(doc_id, pos) for every 0-based token position whose k-gram
-    occurs >1 time in the corpus. Row-local gram build, one explode,
-    one gram-keyed aggregate."""
+    occurs >1 time in the corpus. Row-local gram build, ONE explode,
+    ONE gram-partitioned window count — the round-7 aggregate+join
+    formulation evaluated the gram subtree twice (once under the
+    groupBy, once as the join probe); `count(*) over (partition by
+    gram)` marks each position in the same pass that counts it.
+    Skew note for 100 TB: a pathological hot gram co-locates all its
+    rows in one window partition (no map-side combine); if the corpus
+    has such grams, persist the exploded frame and fall back to the
+    aggregate+join, or pre-filter grams made of stopwords."""
     k = SPAN_K
     toks = docs.select(
         "doc_id", tokens(F.col("text")).alias("ts")
@@ -70,13 +78,12 @@ def duplicated_positions(docs: DataFrame) -> DataFrame:
     pos = toks.select(
         "doc_id", F.posexplode("grams").alias("pos", "gram")
     )
-    dup_grams = (
-        pos.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    occ = F.count(F.lit(1)).over(W.partitionBy("gram"))
+    return (
+        pos.withColumn("occ", occ)
         .filter(F.col("occ") > 1)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    return pos.join(dup_grams, "gram").select("doc_id", "pos")
 
 
 def merge_spans(iv: DataFrame) -> DataFrame:

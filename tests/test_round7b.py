@@ -93,6 +93,22 @@ def test_dup_span_short_docs_no_grams(spark, tmp_path):
     assert q_dup_span_extract(spark, str(tmp_path)).count() == 0
 
 
+def test_dup_span_single_gram_scan(spark):
+    """The round-8 rewrite pins the single-scan shape: exactly ONE
+    Generate (posexplode) in the physical plan — the round-7
+    aggregate+join formulation materialized the gram subtree twice
+    (two Generates), doubling the heaviest scan in the suite."""
+    import re
+
+    from data_framework_spark.dedup.spans import q_dup_span_extract
+    from tests.test_plan_properties import plan_text
+
+    p = plan_text(q_dup_span_extract(spark, SF_SMALL))
+    # formatted explain prints each node twice (tree + detail); count
+    # the detail headers "(n) Generate"
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
+
+
 # --- bm25_topk ---------------------------------------------------------------
 
 
