@@ -91,46 +91,87 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The INVERTED-INDEX route to the same BM25 result — the plan
-    you materialize when the query workload is ad-hoc/many-term
-    rather than a fixed bounded term set:
+BM25_TERM_BUCKETS = 32  # postings partition fan-out (pmod of xxhash64)
 
-    explode → (term, doc_id, tf) postings (corpus-linear, the build
-    you'd write to parquet partitioned by term), df folded per term
-    on the postings themselves, the 3-row query-term frame BROADCAST
-    into the postings join so only matching postings survive the
-    scan, then one groupBy(doc_id) to sum per-term contributions.
 
-    Shares `Q_BM25_TOPK_SQL` as its oracle (the registry dual-route
-    convention, e.g. pagerank exact vs LSH): same scores, different
-    physical plan. The one float-parity subtlety: the row-local route
-    and the oracle sum contributions in WRITTEN order (t0+t1+t2),
-    so this route sorts each doc's contributions by term index and
-    folds them in that same order via an array aggregate — never
-    `sum()`, whose partial-aggregation order Spark doesn't define."""
-    docs = load_table(spark, sf_dir, "documents")
-    terms_df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(BM25_TERMS)], "tix int, term string"
-    )
+def bm25_index_write(docs: DataFrame, path: str) -> None:
+    """Materialize the FULL-VOCABULARY inverted index to parquet —
+    the build an ad-hoc/many-term retrieval workload amortizes:
+
+    - `{path}/postings`: (term, doc_id, dl, tf), one corpus-linear
+      explode + one groupBy, written `partitionBy("tbucket")` where
+      tbucket = pmod(xxhash64(term), 32). Partitioning by raw term
+      would mint one directory per vocabulary word (millions at
+      100 TB); the hash bucket keeps the directory count fixed while
+      a bounded query-term set still prunes the read to ≤|terms|
+      buckets via partition pruning on the pushed tbucket filter.
+    - `{path}/terms`: (term, df) — per-term document frequency,
+      vocabulary-sized, folded once at build time so query time
+      never rescans postings to count df.
+    - `{path}/stats`: one row (n_docs, avgdl).
+    """
     base = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("double").alias("dl"),
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl"),
         tokens(F.col("text")).alias("ts"),
-    )
-    corpus = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
     )
     postings = (
         base.select("doc_id", "dl", F.explode("ts").alias("term"))
-        .join(F.broadcast(terms_df), "term")
-        .groupBy("term", "tix", "doc_id", "dl")
+        .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(BM25_TERM_BUCKETS))
+        )
     )
-    dfreq = postings.groupBy("term").agg(
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+        f"{path}/postings"
+    )
+    idx = postings.sparkSession.read.parquet(f"{path}/postings")
+    idx.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/terms")
+    base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark: SparkSession, path: str, terms: tuple[str, ...], k: int
+) -> DataFrame:
+    """BM25 top-k for `terms` against a RELOADED postings index. The
+    postings scan carries a tbucket + term filter, so at scale only
+    the ≤|terms| matching bucket directories are read (partition
+    pruning) and only matching rows survive (predicate pushdown) —
+    the corpus text is never touched.
+
+    Float-parity subtlety vs the row-local route/oracle: those sum
+    contributions in WRITTEN order (t0+t1+t2), so this route sorts
+    each doc's contributions by term index and folds them in that
+    same order via an array aggregate — never `sum()`, whose
+    partial-aggregation order Spark doesn't define."""
+    terms_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "tix int, term string"
     )
+    buckets = sorted(
+        {
+            r["tbucket"]
+            for r in terms_df.select(
+                F.pmod(F.xxhash64("term"), F.lit(BM25_TERM_BUCKETS)).alias(
+                    "tbucket"
+                )
+            ).collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbucket").isin(buckets))
+        .join(F.broadcast(terms_df), "term")
+    )
+    # df only for the query terms — never broadcast the full vocab
+    dfreq = spark.read.parquet(f"{path}/terms").join(
+        F.broadcast(terms_df.select("term")), "term"
+    )
+    corpus = spark.read.parquet(f"{path}/stats")
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     contrib = (
         F.log(
@@ -165,7 +206,42 @@ def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", F.round("score", 6).alias("bm25"))
         .filter(F.col("bm25") > 0)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK)
+        .limit(k)
+    )
+
+
+# session-scoped registry of built on-disk indexes, keyed by
+# (applicationId, sf_dir) — the ivf._INDEX_DIRS convention: the first
+# call in a session builds + writes (bench cold = build + reload +
+# search); later calls reload only (bench warm = reload + search)
+_BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INVERTED-INDEX route to the same BM25 result —
+    the plan you materialize when the query workload is ad-hoc/
+    many-term rather than a fixed bounded term set: the full-vocab
+    postings index is written to parquet once (term-hash-bucketed
+    directories, per-term df table, one-row corpus stats) and the
+    query runs entirely against the RELOADED index — the documents
+    text is not rescanned.
+
+    Shares `Q_BM25_TOPK_SQL` as its oracle (the registry dual-route
+    convention, e.g. pagerank exact vs LSH): same scores, different
+    physical plan — a posting lost, re-bucketed, or type-mangled by
+    the parquet roundtrip breaks the hash."""
+    from data_framework_spark.sources.formats import _scratch_dir
+
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _BM25_INDEX_DIRS if key[0] != app]:
+        del _BM25_INDEX_DIRS[key]
+    key = (app, sf_dir)
+    if key not in _BM25_INDEX_DIRS:
+        path = _scratch_dir("bm25_index_")
+        bm25_index_write(load_table(spark, sf_dir, "documents"), path)
+        _BM25_INDEX_DIRS[key] = path
+    return bm25_topk_from_index(
+        spark, _BM25_INDEX_DIRS[key], BM25_TERMS, BM25_TOPK
     )
 
 

@@ -182,6 +182,58 @@ def test_bm25_plan_no_explode(spark):
     assert "BroadcastExchange" in plan or "Broadcast" in plan
 
 
+def test_bm25_postings_route_equals_row_local(spark, tmp_path):
+    """Route equality for the persisted inverted-index path: on a
+    hand corpus where docs match only subsets of the query terms,
+    q_bm25_postings_topk (build → parquet → reload → postings join →
+    written-order fold) returns the EXACT same (doc_id, bm25) rows —
+    same doubles, not approx — as the row-local q_bm25_topk, and the
+    fold claim (array_sort + aggregate reproduces the t0+t1+t2 float
+    association) holds bitwise."""
+    from data_framework_spark.functions.retrieval import (
+        q_bm25_postings_topk,
+        q_bm25_topk,
+    )
+
+    rows = [
+        (0, "table spark vector table", "en", "s", 0),
+        (1, "table other words here", "en", "s", 0),  # t0 only
+        (2, "spark spark spark pad pad pad pad pad", "en", "s", 0),  # t1 only
+        (3, "vector pad", "en", "s", 0),  # t2 only
+        (4, "nothing relevant at all", "en", "s", 0),  # no terms
+        (5, "spark vector spark vector x y z", "en", "s", 0),  # t1+t2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    row_local = [
+        (r.doc_id, r.bm25) for r in q_bm25_topk(spark, str(tmp_path)).collect()
+    ]
+    postings = [
+        (r.doc_id, r.bm25)
+        for r in q_bm25_postings_topk(spark, str(tmp_path)).collect()
+    ]
+    assert row_local == postings
+    assert {d for d, _ in row_local} == {0, 1, 2, 3, 5}
+
+
+def test_bm25_postings_prunes_term_buckets(spark):
+    """The persisted index's scale claim: the postings read is
+    partition-pruned to the query terms' hash buckets — the scan's
+    PartitionFilters must reference tbucket, and the documents text
+    is not rescanned at query time (exactly one parquet scan of the
+    postings, none of documents.parquet)."""
+    from data_framework_spark.functions.retrieval import q_bm25_postings_topk
+    from tests.test_plan_properties import plan_text
+
+    q_bm25_postings_topk(spark, SF_SMALL)  # ensure index built
+    p = plan_text(q_bm25_postings_topk(spark, SF_SMALL))
+    assert "tbucket" in p
+    assert "documents.parquet" not in p
+
+
 # --- sq8_quantize ------------------------------------------------------------
 
 
