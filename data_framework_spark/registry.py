@@ -61,6 +61,7 @@ from data_framework_spark.sources import array_ingest
 from data_framework_spark.sources import formats as formats_mod
 from data_framework_spark.similarity import ann as ann_mod
 from data_framework_spark.similarity import ivf as ivf_mod
+from data_framework_spark.similarity import ivfpq as ivfpq_mod
 from data_framework_spark.similarity import pq as pq_mod
 from data_framework_spark.similarity import semantic as semantic_mod
 from data_framework_spark.similarity import sq as sq_mod
@@ -896,6 +897,22 @@ QUERIES: dict[str, Query] = {
         "int8 scalar quantization audit: per-dimension grid scale, "
         "codes used, mean/max reconstruction error — the 4x memory "
         "tier beside IVF and PQ; two linear passes, broadcast stats",
+    ),
+    # -- round 8: the composed vector index + tokenizer roundtrip ---
+    "ivfpq_persist_topk": Query(
+        ivfpq_mod.q_ivfpq_persist_topk,
+        ivfpq_mod.Q_IVFPQ_PERSIST_TOPK_SQL,
+        "IVFADC (Jegou 2011 SIV): coarse-cell prune + residual PQ "
+        "codes + ADC scoring, answered from the parquet-persisted "
+        "cell-partitioned index — the composed production vector "
+        "index the round-7 IVF/PQ pieces exist to build",
+    ),
+    "ivfpq_recall_contract": Query(
+        ivfpq_mod.q_ivfpq_recall_contract,
+        ivfpq_mod.Q_IVFPQ_RECALL_CONTRACT_SQL,
+        "recall@5 of the IVFADC route vs the exact squared-L2 "
+        "baseline, shared recall_vs_exact arithmetic + per-SF "
+        "calibrated floor (isotropic-corpus caveat documented)",
     ),
 }
 
