@@ -46,14 +46,16 @@ _CS = chr(30)  # symbol close (ASCII record separator)
 
 
 def _wrapped_words(docs: DataFrame) -> DataFrame:
-    """(w, freq): word-frequency table with each word rendered as
-    delimiter-wrapped initial (character) symbols. The ONE
+    """(word, w, freq): word-frequency table with each word rendered
+    as delimiter-wrapped initial (character) symbols (the original
+    word rides along for the detokenize roundtrip audit). The ONE
     corpus-sized aggregate; everything downstream is vocab-sized."""
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.regexp_replace(
                 F.col("word"), "(.)", f"{_OS}$1{_CS}"
             ).alias("w"),
@@ -199,12 +201,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
-def _bpe_ctes(n_merges: int, with_final_words: bool) -> list[str]:
+def _bpe_ctes(
+    n_merges: int, with_final_words: bool, carry_word: bool = False
+) -> list[str]:
     """The shared unrolled-merge CTE chain: wf, w0, then per merge i
     the pair counts p{i}, the winner t{i}, and (when needed for a
     later stage or the final accounting) the merged word table
-    w{i}."""
+    w{i}. With carry_word the ORIGINAL word column rides through the
+    chain so the detokenize audit can compare against it."""
     os_, cs = _OS, _CS
+    wcol = "word, " if carry_word else ""
     ctes = [
         f"""wf AS (
   SELECT word, count(*) AS freq FROM (
@@ -212,10 +218,11 @@ def _bpe_ctes(n_merges: int, with_final_words: bool) -> list[str]:
   ) GROUP BY word
 ),
 w0 AS (
-  SELECT regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq
+  SELECT {wcol}regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq
   FROM wf
 )"""
     ]
+    wcol_w = "w.word, " if carry_word else ""
     for i in range(1, n_merges + 1):
         prev = i - 1
         ctes.append(f"""p{i} AS (
@@ -233,7 +240,7 @@ w0 AS (
 )""")
         if i < n_merges or with_final_words:
             ctes.append(f"""w{i} AS (
-  SELECT replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
+  SELECT {wcol_w}replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
                  '{os_}' || t.l || t.r || '{cs}') AS w, w.freq
   FROM w{prev} w CROSS JOIN t{i} t
 )""")
@@ -290,3 +297,96 @@ FROM tot CROSS JOIN voc
 
 
 Q_BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
+def q_bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE integrity audit a tokenizer rollout ships with:
+    apply the learned merges, then INVERT the tokenization
+    (concatenate each word's symbols — i.e. strip the wrapping
+    delimiters) and verify it reproduces the original text, accounted
+    per document: (doc_id, n_words, bpe_tokens, roundtrip_ok).
+
+    roundtrip_ok is a GENUINE recomputation on both engines (detok
+    compared against the word column carried through the merge
+    chain), not a pinned literal — a merge that corrupted symbol
+    content (e.g. a delimiter-collision bug in the replace) would
+    flip it to false and break the hash. BPE merging is
+    content-preserving by construction, so the expected value is
+    all-true; the audit exists to catch the construction breaking.
+
+    Scale shape: the merge chain runs on the vocab frame (Zipf-small)
+    exactly as in training; the ONLY corpus-sized work is the final
+    explode + join-back of doc tokens against the merged vocab map —
+    one linear pass, the same shape as every per-doc text pass in
+    functions/corpus.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _wrapped_words(docs).persist()
+    base.count()
+    merges = learn_bpe_merges(docs, words=base)
+    words = base
+    for _, left, right, _cnt in merges:
+        words = words.select(
+            "word",
+            F.replace(
+                F.col("w"),
+                F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
+                F.lit(f"{_OS}{left}{right}{_CS}"),
+            ).alias("w"),
+        )
+    syms = F.split(
+        F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
+    )
+    vocab_map = words.select(
+        "word",
+        F.size(syms).alias("n_syms"),
+        (F.translate(F.col("w"), _OS + _CS, "") == F.col("word")).alias(
+            "ok"
+        ),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    out = (
+        tok.join(vocab_map, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("bpe_tokens"),
+            F.bool_and("ok").alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
+    # materialize before releasing the shared vocab frame
+    pdf = out.toPandas()
+    base.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _bpe_detok_sql(n_merges: int = BPE_MERGES) -> str:
+    os_, cs = _OS, _CS
+    ctes = _bpe_ctes(n_merges, with_final_words=True, carry_word=True)
+    ctes.append(f"""vm AS (
+  SELECT word,
+         len(string_split(substring(w, 2, length(w) - 2),
+                          '{cs}{os_}')) AS n_syms,
+         replace(replace(w, '{os_}', ''), '{cs}', '') = word AS ok
+  FROM w{n_merges}
+)""")
+    ctes.append("""tokdoc AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(n_syms)::BIGINT AS bpe_tokens,
+       bool_and(ok) AS roundtrip_ok
+FROM tokdoc JOIN vm USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+Q_BPE_DETOK_ROUNDTRIP_SQL = _bpe_detok_sql()

@@ -914,6 +914,13 @@ QUERIES: dict[str, Query] = {
         "baseline, shared recall_vs_exact arithmetic + per-SF "
         "calibrated floor (isotropic-corpus caveat documented)",
     ),
+    "bpe_detok_roundtrip": Query(
+        bpe_mod.q_bpe_detok_roundtrip,
+        bpe_mod.Q_BPE_DETOK_ROUNDTRIP_SQL,
+        "tokenizer decode audit: apply the learned BPE merges, "
+        "invert (symbol concat), join back to the corpus — per-doc "
+        "token counts + genuine roundtrip-equality recomputation",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry

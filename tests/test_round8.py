@@ -94,6 +94,33 @@ def test_ivfpq_residuals_subtract_assigned_centroid(spark):
         assert np.array_equal(rec, orig[r["vec_id"]])
 
 
+# --- BPE detokenize roundtrip ----------------------------------------------
+
+
+def test_bpe_detok_roundtrip_hand_corpus(spark, tmp_path):
+    """'abab abab cd' corpus: after the merges (ab), (abab), (cd) the
+    word abab is ONE token and cd is ONE token; detokenization must
+    reproduce both words exactly (roundtrip_ok), with per-doc
+    accounting (doc 0 = 'abab abab cd' -> 3 words, 3 BPE tokens;
+    doc 1 = 'abab' -> 1 word, 1 token)."""
+    from data_framework_spark.functions.bpe import q_bpe_detok_roundtrip
+
+    rows = [
+        (0, "abab abab cd", "en", "s", 0),
+        (1, "abab", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_words, r.bpe_tokens, r.roundtrip_ok)
+        for r in q_bpe_detok_roundtrip(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 3, True), 1: (1, 1, True)}
+
+
 def test_ivfpq_recall_contract_meets_floor(spark):
     """The contract row reports meets_floor=True at the shipped SF
     (floor calibrated from measured recall, ivfpq.py docstring)."""
