@@ -104,14 +104,120 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    probe: DataFrame,
+) -> DataFrame:
+    """The Arrow-vectorized route to the exact same pairs — the
+    round-8 rewrite of the hot path after the suite's slowest warm
+    query stabilized at ~6.4 s on the JVM array_intersect form.
+
+    Same exact semantics (identical gram hashes, identical 6dp
+    half-away rounding — equality test-pinned against
+    `ngram_jaccard_pairs`), different kernel: instead of one
+    hash-set-allocating `array_intersect` call per (doc, probe) PAIR,
+    each Arrow batch does ONE `searchsorted` of all its gram
+    occurrences into the sorted union of probe grams, multiplies
+    through a (|union| × |probe|) 0/1 membership matrix, and
+    segment-sums per doc (`np.add.reduceat`) — intersection counts
+    for every probe at once, C-speed, O(batch_grams · |probe|).
+    Measured at sf0.1: 6.4-6.9 s → ~1 s wall (the JVM form's
+    per-pair cost dominates; the matrix form amortizes it away).
+
+    Bounded-probe assumption unchanged: the probe gram sets are
+    collected driver-side (the same bound the JVM route's broadcast
+    relies on); at 100 TB the batch work stays corpus-linear."""
+    import numpy as np
+    import pandas as pd
+
+    from data_framework_spark.similarity.ann import _round6_half_away
+
+    # repartition BEFORE the gram transform: the documents file is one
+    # small row group (one scan task), so building grams pre-exchange
+    # runs the whole O(corpus chars) substring+hash work on a single
+    # core (measured 1.9 s of the query's 2.7 s). Exchanging the raw
+    # (id, text) rows first is cheap and the gram build then runs
+    # n_parts-wide, pipelined into the Arrow kernel's input projection.
+    # Unlike the JVM route there is NO re-evaluation hazard to
+    # barrier against: mapInPandas consumes each input row exactly
+    # once, whereas the crossJoin form re-evaluates un-materialized
+    # projections per PAIR. The partition count is EXPLICIT because
+    # AQE would coalesce this byte-small shuffle to one partition —
+    # it sizes by bytes and can't see the downstream per-row compute.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    gram_sets = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.transform(char_ngrams(text_col), lambda g: F.xxhash64(g)).alias(
+            "grams"
+        ),
+    )
+    probe_rows = gram_sets.join(F.broadcast(probe), "doc").collect()
+    p_ids = np.array([r["doc"] for r in probe_rows], dtype=np.int64)
+    sets = [np.sort(np.asarray(r["grams"], dtype=np.int64)) for r in probe_rows]
+    union = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+    member = np.zeros((len(union), len(sets)), dtype=np.int32)
+    for j, s in enumerate(sets):
+        member[np.searchsorted(union, s), j] = 1
+    p_sizes = np.array([len(s) for s in sets], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty or len(sets) == 0:
+                continue
+            lens = np.fromiter(
+                (len(g) for g in pdf["grams"]), dtype=np.int64, count=len(pdf)
+            )
+            keep = lens > 0
+            if not keep.any():
+                continue
+            docs_arr = pdf["doc"].to_numpy()[keep]
+            glist = [
+                np.asarray(g, dtype=np.int64)
+                for g, k in zip(pdf["grams"], keep)
+                if k
+            ]
+            lens = lens[keep]
+            allg = np.concatenate(glist)
+            idx = np.clip(np.searchsorted(union, allg), 0, len(union) - 1)
+            contrib = member[idx] * (union[idx] == allg)[:, None]
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            inter = np.add.reduceat(contrib, starts, axis=0)
+            usz = lens[:, None] + p_sizes[None, :] - inter
+            jac = _round6_half_away(inter / usz)
+            ok = (jac >= threshold) & (docs_arr[:, None] != p_ids[None, :])
+            di, pi = np.nonzero(ok)
+            if len(di) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "a": np.minimum(docs_arr[di], p_ids[pi]),
+                    "b": np.maximum(docs_arr[di], p_ids[pi]),
+                    "jaccard": jac[di, pi],
+                }
+            )
+
+    # probe-probe pairs emit from both orientations; distinct
+    # collapses them (jaccard is identical by construction)
+    return gram_sets.mapInPandas(
+        gen, schema="a long, b long, jaccard double"
+    ).distinct()
+
+
 # --- driver-checkable query instantiations ---------------------------------
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-Jaccard ≥ 0.5 pairs for probe docs (doc_id < 20)."""
+    """Trigram-Jaccard ≥ 0.5 pairs for probe docs (doc_id < 20) —
+    served by the Arrow membership-matrix kernel (equality to the
+    JVM array_intersect route is test-pinned; same oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") < 20).select(F.col("doc_id").alias("doc"))
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, probe=probe)
+    return ngram_jaccard_pairs_arrow(
+        docs, "doc_id", "text", threshold=0.5, probe=probe
+    )
 
 
 Q_NGRAM_JACCARD_PAIRS_SQL = f"""

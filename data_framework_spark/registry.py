@@ -947,7 +947,11 @@ QUERIES: dict[str, Query] = {
 # bpe_detok_roundtrip — kept to exactly 3 so the window arithmetic
 # closes), then (b) the 47-query last-green-r6 block in registry
 # order (timeslice_events .. rolling_zscore, which contains all four
-# re-pins); 3 + 47 = exactly 50 with no deferrals.
+# re-pins); 3 + 47 = exactly 50 with no deferrals. That block also
+# contains ngram_jaccard_pairs, whose kernel changed in round 8 (JVM
+# array_intersect -> Arrow membership matrix, 6.4 s -> ~1.0 s warm at
+# sf0.1): exact-equality to the old driver-green route is test-pinned
+# (test_round8b), and the r9 window gives it a fresh driver row.
 # `find_structures_island` (rows-only by contract) stays excluded so
 # every slot buys a hash-green signal.
 _VERIFY_FIRST: list[str] = [

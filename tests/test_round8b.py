@@ -94,6 +94,69 @@ def test_dup_spans_match_reference(spark, data):
     assert got == _spans_reference(texts, SPAN_K)
 
 
+# --- ngram Jaccard: Arrow kernel equals the JVM route -----------------------
+
+
+def test_ngram_jaccard_arrow_route_equals_jvm(spark):
+    """The round-8 Arrow membership-matrix kernel must return the
+    EXACT same (a, b, jaccard) set — same rounded doubles — as the
+    JVM array_intersect route it replaced in the hot path."""
+    from data_framework_spark.dedup.ngram import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_arrow,
+    )
+    from data_framework_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    probe = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc")
+    )
+    jvm = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 0.5, probe
+        ).collect()
+    }
+    arrow = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs_arrow(
+            docs, "doc_id", "text", 0.5, probe
+        ).collect()
+    }
+    assert jvm == arrow and len(arrow) > 0
+
+
+def test_ngram_jaccard_arrow_short_texts_and_empty_probe(spark):
+    """Edge cases through the Arrow kernel: sub-trigram texts (the
+    greatest() pad) and an empty probe set (no collected gram sets —
+    the kernel must yield an empty frame, not crash)."""
+    from data_framework_spark.dedup.ngram import ngram_jaccard_pairs_arrow
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "xy")], "doc_id long, text string"
+    )
+    probe = docs.filter(F.col("doc_id") <= 1).select(
+        F.col("doc_id").alias("doc")
+    )
+    got = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs_arrow(
+            docs, "doc_id", "text", 0.5, probe
+        ).collect()
+    }
+    assert got == {(1, 2, 1.0)}
+    empty_probe = docs.filter(F.col("doc_id") < 0).select(
+        F.col("doc_id").alias("doc")
+    )
+    assert (
+        ngram_jaccard_pairs_arrow(
+            docs, "doc_id", "text", 0.5, empty_probe
+        ).count()
+        == 0
+    )
+
+
 # --- IVF-PQ build determinism ----------------------------------------------
 
 
