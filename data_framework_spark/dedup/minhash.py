@@ -37,10 +37,27 @@ BANDS = 4  # → 2 rows per band
 
 
 def _shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) rows — distinct word unigrams per document."""
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("shingle"),
+    """(id, shingle) rows — distinct word unigrams per document.
+
+    Round-8 shape: explode the RAW split and dedup per doc with one
+    (doc, shingle) shuffle. Exploding `array_distinct(split(...))`
+    re-evaluates that O(doc_len) expression once per OUTPUT row
+    inside Generate (the per-output-row trap measured in
+    dedup/spans.duplicated_positions — here ×3, since the minhash
+    pair verify consumes this frame three times); the raw-split
+    explode keeps the re-evaluated child trivial and the distinct
+    becomes a cheap exchange with map-side combine. widen_scan
+    parallelizes past the test corpus's one-row-group scan (no-op at
+    scale)."""
+    from data_framework_spark.sources.tables import widen_scan
+
+    return (
+        widen_scan(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("shingle"),
+        )
+        .dropDuplicates(["doc", "shingle"])
     )
 
 

@@ -38,6 +38,9 @@ BAND_WIDTH = BITS // BANDS
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, simhash) — 32-bit SimHash of the token-frequency vector."""
+    from data_framework_spark.sources.tables import widen_scan
+
+    docs = widen_scan(docs)  # token explode at full width on small files
     tf = (
         docs.select(
             F.col(id_col).alias("doc"),

@@ -25,10 +25,11 @@ a running max of the interval ends, start a new island when an
 interval begins past (running-max-end + 1), island id = running sum
 of the flags, then min(start)/max(end) per island.
 
-Scale shape: the k-gram build is a row-local `transform` over the
-token array followed by ONE posexplode (corpus-linear, ~n_tokens
-rows); the collision count is one gram-partitioned window count over
-that same frame — a single scan and a single shuffle. At 100 TB
+Scale shape: ONE posexplode of the raw tokens (corpus-linear,
+~n_tokens rows), grams assembled by per-doc window leads (each gram
+built exactly once — see duplicated_positions for the two Generate/
+double-scan traps this dodges), then one gram-partitioned window
+count — a single scan and two bounded shuffles (doc_id, then gram). At 100 TB
 the gram column would be `xxhash64(gram)` (8 bytes instead of the
 string; a hash collision marks a non-duplicate position duplicated —
 harmless for cutting) — the string is kept here for DuckDB oracle
@@ -42,41 +43,54 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.functions.text import tokens
-from data_framework_spark.sources.tables import load_table
+from data_framework_spark.sources.tables import load_table, widen_scan
 
 SPAN_K = 5  # k-gram width in tokens
 
 
 def duplicated_positions(docs: DataFrame) -> DataFrame:
     """(doc_id, pos) for every 0-based token position whose k-gram
-    occurs >1 time in the corpus. Row-local gram build, ONE explode,
-    ONE gram-partitioned window count — the round-7 aggregate+join
-    formulation evaluated the gram subtree twice (once under the
-    groupBy, once as the join probe); `count(*) over (partition by
-    gram)` marks each position in the same pass that counts it.
-    Skew note for 100 TB: a pathological hot gram co-locates all its
-    rows in one window partition (no map-side combine); if the corpus
-    has such grams, persist the exploded frame and fall back to the
-    aggregate+join, or pre-filter grams made of stopwords."""
+    occurs >1 time in the corpus. ONE plain token explode, grams
+    assembled by window `lead`s, ONE gram-partitioned window count.
+
+    Two performance traps this shape avoids (both measured at sf0.1):
+    - exploding a PRE-BUILT gram array re-evaluates the whole
+      O(doc_len) array-construction expression once per OUTPUT row
+      inside Generate (Catalyst collapses the projection into the
+      generator child; a repartition between them does not stop it) —
+      ~54× the intended work, 3.5 s vs 0.8 s. Exploding the raw
+      tokens is cheap, and `concat_ws(w, lead(w,1)..lead(w,k-1))`
+      over (doc_id, pos) builds each gram exactly once; the trailing
+      partial windows are dropped via `lead(w, k-1) IS NOT NULL`
+      (concat_ws would silently skip the nulls), which also zeroes
+      out docs shorter than k tokens.
+    - the round-7 aggregate+join formulation evaluated the gram
+      subtree twice; `count(*) over (partition by gram)` marks each
+      position in the same pass that counts it.
+
+    Scale: the lead window partitions by doc_id (bounded per-doc
+    state); the count window shuffles once on the gram. A
+    pathological hot gram co-locates in one partition (no map-side
+    combine) — if the corpus has such grams, pre-filter stopword
+    grams or fall back to a persisted aggregate+join."""
     k = SPAN_K
-    toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("ts")
-    ).select(
-        "doc_id",
-        F.when(
-            F.size("ts") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - k),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("ts"), i + 1, k)
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
+    docs = widen_scan(docs)  # token explode at full width on small files
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
     )
-    pos = toks.select(
-        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, k)]
+    )
+    pos = (
+        tok.select(
+            "doc_id",
+            "pos",
+            gram.alias("gram"),
+            F.lead("w", k - 1).over(wspec).isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "pos", "gram")
     )
     occ = F.count(F.lit(1)).over(W.partitionBy("gram"))
     return (

@@ -301,24 +301,31 @@ ORDER BY source_a, source_b
 
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams — the n-gram frequency sweep
-    behind tokenizer/contamination analyses. Bigrams are built inside
-    the array domain (transform over an index sequence), so the only
-    shuffle is the final count aggregate with map-side combine."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    # guard: sequence(1, 0) would generate DESCENDING [1, 0] for a
-    # one-token doc (Spark semantics), then index 0 errors
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    behind tokenizer/contamination analyses.
+
+    Round-8 shape: explode the RAW tokens and pair each with its
+    successor via a per-doc window lead. The previous array-domain
+    build (transform over an index sequence, then explode) hit
+    Generate's per-OUTPUT-row re-evaluation of the interpreted HOF
+    array expression (measured ~40× the intended work on this
+    pattern, 2.6 s → well under 1 s warm at sf0.1 — see
+    dedup/spans.duplicated_positions for the full analysis); the lead
+    form builds each bigram exactly once. Shuffles: the doc-window
+    exchange (bounded per-doc state) + the count aggregate with
+    map-side combine."""
+    from pyspark.sql import Window as W
+
+    from data_framework_spark.sources.tables import widen_scan
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("w", 1).over(wspec)
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        tok.select(F.concat_ws(" ", F.col("w"), nxt).alias("bigram"), nxt.alias("nxt"))
+        .filter(F.col("nxt").isNotNull())  # drop the trailing partial
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -398,6 +405,42 @@ DECONTAM_SHINGLE = 8
 DECONTAM_BENCH_FRAC = 0.05
 
 
+def decontam_shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h): per-doc DISTINCT md5 shingle hashes as
+    ROWS — the exploded twin of `decontam_shingles`, built without
+    the per-output-row Generate trap (dedup/spans.duplicated_positions
+    has the analysis): one plain token explode, each
+    DECONTAM_SHINGLE-gram assembled once via per-doc window leads and
+    md5'd once, then a (doc_id, h) dedup with map-side combine. Docs
+    shorter than the shingle width contribute NO rows — callers
+    needing them restore from the doc roster with a left join."""
+    from pyspark.sql import Window as W
+
+    from data_framework_spark.sources.tables import widen_scan
+
+    k = DECONTAM_SHINGLE
+    tok = widen_scan(docs).select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, k)]
+    )
+    return (
+        tok.select(
+            "doc_id",
+            "source",
+            F.md5(sh).alias("h"),
+            F.lead("w", k - 1).over(wspec).isNotNull().alias("full"),
+        )
+        .filter("full")
+        .dropDuplicates(["doc_id", "h"])
+        .select("doc_id", "source", "h")
+    )
+
+
 def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-benchmark decontamination: flag training documents
     sharing any `DECONTAM_SHINGLE`-token sliding shingle with a
@@ -411,39 +454,34 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality, so near-verbatim leakage is caught.
 
     Scale shape: the benchmark shingle set is benchmark-sized (tiny
-    vs corpus) → broadcast; the train side explodes per-doc DISTINCT
-    shingles (flatMap, no shuffle), the broadcast join filters to
-    matches immediately, and the only shuffle is the groupBy over the
-    (small) matched rows plus the final per-source aggregate. No
-    corpus-sized pair enumeration anywhere.
+    vs corpus) → broadcast; the train side builds per-doc DISTINCT
+    shingle ROWS via `decontam_shingle_rows` (one plain token explode
+    + window leads — each shingle hashed exactly once; the previous
+    explode of the pre-built md5 array re-evaluated the whole
+    interpreted shingle+md5 subtree once per OUTPUT row, the
+    per-output-row Generate trap measured in dedup/spans — 2.7 s →
+    ~1 s warm at sf0.1), the broadcast LEFT join marks matches in
+    place, and zero-shingle train docs are restored by a left join
+    from the train roster. No corpus-sized pair enumeration anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = decontam_shingles(tokens(F.col("text")))
     is_bench = hash_fraction(F.col("doc_id")) < DECONTAM_BENCH_FRAC
-    base = docs.select(
-        "doc_id", "source", sh.alias("g"), is_bench.alias("b")
-    )
-    bench_h = base.filter("b").select(F.explode("g").alias("h")).distinct()
-    # Single evaluation of the train-side shingle transform: explode_outer
-    # keeps zero-shingle docs (h=null, never joins), the broadcast LEFT
-    # join marks matches in place, and ONE per-doc aggregation derives
-    # both n_sh (count skips the null h) and n_matched — so the expensive
-    # shingle+md5 subtree has exactly one consumer and needs no cache
-    # (round 3 evaluated it ~3x across three plan branches).
-    # g is distinct per doc, so counting marks == matched-shingle count.
-    exploded = (
-        base.filter(~F.col("b"))
-        .select("doc_id", "source", F.explode_outer("g").alias("h"))
-    )
-    per_doc = (
-        exploded.join(
-            F.broadcast(bench_h.withColumn("m", F.lit(1))), "h", "left"
-        )
+    sh_rows = decontam_shingle_rows(docs).withColumn("b", is_bench)
+    bench_h = sh_rows.filter("b").select("h").distinct()
+    counts = (
+        sh_rows.filter(~F.col("b"))
+        .join(F.broadcast(bench_h.withColumn("m", F.lit(1))), "h", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count("h").alias("n_sh"),
             F.coalesce(F.sum("m"), F.lit(0)).alias("n_matched"),
         )
+    )
+    roster = docs.select("doc_id", "source").filter(~is_bench)
+    per_doc = (
+        roster.join(counts, ["doc_id", "source"], "left")
+        .withColumn("n_sh", F.coalesce("n_sh", F.lit(0)))
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
         .withColumn(
             "frac",
             F.when(
@@ -568,7 +606,9 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the array domain — trigram construction, dedup, and the
     fraction are per-row JVM expressions, so the per-doc pass is
     shuffle-free and the only shuffle is the per-source aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    from data_framework_spark.sources.tables import widen_scan
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     frac = dup_trigram_frac(tokens(F.col("text")))
     return (
         docs.select("source", frac.alias("dup_frac"))

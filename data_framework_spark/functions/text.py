@@ -211,7 +211,9 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, no shuffle, no Python: per-document work only, linear
     over the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from data_framework_spark.sources.tables import widen_scan
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     # Arrow-batched pandas UDF instead of nested array transforms: the
     # higher-order-function lambdas (gram substring, md5 hash, window
     # slice-min) are CodegenFallback — interpreted per element per row

@@ -74,6 +74,30 @@ def load_table(
     return df
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan whose split count is below the session's
+    core count, so heavy PER-ROW kernels downstream (gram builds,
+    explodes, Arrow batches) run at full width instead of being
+    serialized behind the scan's task count.
+
+    Honest scale note: at 100 TB every table has thousands of
+    row-group splits and this is a structural NO-OP — the condition
+    fails and no exchange is added, preserving the shuffle-free plans
+    the per-doc passes are designed around. It only fires on
+    small-file layouts (the test corpus ships documents as ONE
+    594 KB row group, so every "shuffle-free corpus pass" was
+    actually a single-core pass; measured 4.5-4.7 s → ~1 s for the
+    heavy text queries), where exchanging the raw rows costs ~nothing
+    relative to the compute it parallelizes. Do NOT apply it before
+    filters that must reach the parquet scan — an exchange above the
+    scan blocks pushdown."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def normalize_ts(
     spark: SparkSession,
     df: DataFrame,

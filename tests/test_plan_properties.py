@@ -114,9 +114,12 @@ def test_corpus_queries_prune_columns(spark):
     scan = p[p.index("ReadSchema") :].splitlines()[0]
     assert "text" in scan and "source" in scan
     assert "doc_id" not in scan and "n_chars" not in scan and "lang" not in scan
+    # bigram_topk reads text + doc_id (the round-8 lead-window build
+    # partitions by doc); everything else stays pruned
     scan = plan_text(q_bigram_topk(spark, SF))
     scan = scan[scan.index("ReadSchema") :].splitlines()[0]
-    assert "text" in scan and "source" not in scan and "doc_id" not in scan
+    assert "text" in scan and "doc_id" in scan
+    assert "source" not in scan and "n_chars" not in scan and "lang" not in scan
     scan = plan_text(q_shard_assign(spark, SF))
     scan = scan[scan.index("ReadSchema") :].splitlines()[0]
     assert "doc_id" in scan and "text" in scan and "lang" not in scan
