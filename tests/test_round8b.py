@@ -94,6 +94,26 @@ def test_dup_spans_match_reference(spark, data):
     assert got == _spans_reference(texts, SPAN_K)
 
 
+# --- widen_scan adaptive contract -------------------------------------------
+
+
+def test_widen_scan_widens_small_and_leaves_wide_alone(spark):
+    """widen_scan repartitions a below-core-count scan up to
+    defaultParallelism and is a STRUCTURAL NO-OP (same plan object)
+    on input that is already wide — the property that keeps the
+    shuffle-free per-doc passes exchange-free at scale."""
+    from data_framework_spark.sources.tables import load_table, widen_scan
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert docs.rdd.getNumPartitions() < n  # single row group
+    widened = widen_scan(docs)
+    assert widened.rdd.getNumPartitions() == n
+    assert widened.count() == docs.count()
+    already_wide = docs.repartition(n)
+    assert widen_scan(already_wide) is already_wide
+
+
 # --- ngram Jaccard: Arrow kernel equals the JVM route -----------------------
 
 
