@@ -182,22 +182,29 @@ def main() -> None:
     # caches cold again; JVM JIT stays warm — stated, not hidden) and
     # record per-query cold-min, the number cross-round comparisons
     # should read.
-    top10 = [
-        k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    ]
-    spark.stop()
-    spark = get_spark("data_framework_spark-bench-cold3")
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    if any(k.startswith("bucketed_") for k in top10):
-        bucketed_tables(spark, sf_dir)  # layout stays outside timings
-    cold3 = run_subset(top10)
-    out["top10_cold_min"] = {
-        k: round(min(timings[k], cold3[k]), 4) for k in cold3
-    }
-    out["top10_cold_protocol"] = (
-        "10 slowest-cold queries re-run in a fresh session; "
-        "per-query min of the two cold passes"
-    )
+    # Guarded like the cold2 block: a transient failure in the
+    # instrumentation must degrade to a missing key, never abort
+    # main() after three full passes and lose the whole bench artifact
+    # (the tail-capture failure mode the module docstring documents).
+    try:
+        top10 = [
+            k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ]
+        spark.stop()
+        spark = get_spark("data_framework_spark-bench-cold3")
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        if any(k.startswith("bucketed_") for k in top10):
+            bucketed_tables(spark, sf_dir)  # layout stays outside timings
+        cold3 = run_subset(top10)
+        out["top10_cold_min"] = {
+            k: round(min(timings[k], cold3[k]), 4) for k in cold3
+        }
+        out["top10_cold_protocol"] = (
+            "10 slowest-cold queries re-run in a fresh session; "
+            "per-query min of the two cold passes"
+        )
+    except Exception as exc:  # noqa: BLE001 — degrade, don't lose the run
+        out["top10_cold_error"] = repr(exc)[:200]
     print(json.dumps(out))
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

@@ -129,7 +129,9 @@ def ngram_jaccard_pairs_arrow(
 
     Bounded-probe assumption unchanged: the probe gram sets are
     collected driver-side (the same bound the JVM route's broadcast
-    relies on); at 100 TB the batch work stays corpus-linear."""
+    relies on); at 100 TB the batch work stays corpus-linear. Doc ids
+    must be 64-bit integers (the kernel vectorizes them as int64);
+    the generic-id caller falls back to `ngram_jaccard_pairs`."""
     import numpy as np
     import pandas as pd
 
@@ -154,7 +156,21 @@ def ngram_jaccard_pairs_arrow(
             "grams"
         ),
     )
-    probe_rows = gram_sets.join(F.broadcast(probe), "doc").collect()
+    # probe sets: join the PROBE IDS to the raw docs FIRST, then hash —
+    # collecting from gram_sets would run the full-corpus gram build as
+    # a separate job just to keep |probe| rows, doubling the corpus-
+    # side work (the main job recomputes gram_sets; cross-job plans
+    # share no exchanges)
+    probe_rows = (
+        docs.join(F.broadcast(probe), docs[id_col] == probe["doc"])
+        .select(
+            probe["doc"],
+            F.transform(
+                char_ngrams(text_col), lambda g: F.xxhash64(g)
+            ).alias("grams"),
+        )
+        .collect()
+    )
     p_ids = np.array([r["doc"] for r in probe_rows], dtype=np.int64)
     sets = [np.sort(np.asarray(r["grams"], dtype=np.int64)) for r in probe_rows]
     union = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)

@@ -42,8 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from data_framework_spark.functions.text import tokens
-from data_framework_spark.sources.tables import load_table, widen_scan
+from data_framework_spark.sources.tables import load_table
 
 SPAN_K = 5  # k-gram width in tokens
 
@@ -73,25 +72,9 @@ def duplicated_positions(docs: DataFrame) -> DataFrame:
     pathological hot gram co-locates in one partition (no map-side
     combine) — if the corpus has such grams, pre-filter stopword
     grams or fall back to a persisted aggregate+join."""
-    k = SPAN_K
-    docs = widen_scan(docs)  # token explode at full width on small files
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    )
-    wspec = W.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, k)]
-    )
-    pos = (
-        tok.select(
-            "doc_id",
-            "pos",
-            gram.alias("gram"),
-            F.lead("w", k - 1).over(wspec).isNotNull().alias("full"),
-        )
-        .filter("full")
-        .select("doc_id", "pos", "gram")
-    )
+    from data_framework_spark.functions.text import windowed_kgrams
+
+    pos = windowed_kgrams(docs, SPAN_K)
     occ = F.count(F.lit(1)).over(W.partitionBy("gram"))
     return (
         pos.withColumn("occ", occ)

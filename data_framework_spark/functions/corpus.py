@@ -313,19 +313,12 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     form builds each bigram exactly once. Shuffles: the doc-window
     exchange (bounded per-doc state) + the count aggregate with
     map-side combine."""
-    from pyspark.sql import Window as W
+    from data_framework_spark.functions.text import windowed_kgrams
 
-    from data_framework_spark.sources.tables import widen_scan
-
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    )
-    wspec = W.partitionBy("doc_id").orderBy("pos")
-    nxt = F.lead("w", 1).over(wspec)
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        tok.select(F.concat_ws(" ", F.col("w"), nxt).alias("bigram"), nxt.alias("nxt"))
-        .filter(F.col("nxt").isNotNull())  # drop the trailing partial
+        windowed_kgrams(docs, 2)
+        .select(F.col("gram").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -414,30 +407,12 @@ def decontam_shingle_rows(docs: DataFrame) -> DataFrame:
     md5'd once, then a (doc_id, h) dedup with map-side combine. Docs
     shorter than the shingle width contribute NO rows — callers
     needing them restore from the doc roster with a left join."""
-    from pyspark.sql import Window as W
+    from data_framework_spark.functions.text import windowed_kgrams
 
-    from data_framework_spark.sources.tables import widen_scan
-
-    k = DECONTAM_SHINGLE
-    tok = widen_scan(docs).select(
-        "doc_id",
-        "source",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "w"),
-    )
-    wspec = W.partitionBy("doc_id").orderBy("pos")
-    sh = F.concat_ws(
-        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, k)]
-    )
     return (
-        tok.select(
-            "doc_id",
-            "source",
-            F.md5(sh).alias("h"),
-            F.lead("w", k - 1).over(wspec).isNotNull().alias("full"),
-        )
-        .filter("full")
+        windowed_kgrams(docs, DECONTAM_SHINGLE, "source")
+        .select("doc_id", "source", F.md5(F.col("gram")).alias("h"))
         .dropDuplicates(["doc_id", "h"])
-        .select("doc_id", "source", "h")
     )
 
 

@@ -210,11 +210,7 @@ def bm25_topk_from_index(
     )
 
 
-# session-scoped registry of built on-disk indexes, keyed by
-# (applicationId, sf_dir) — the ivf._INDEX_DIRS convention: the first
-# call in a session builds + writes (bench cold = build + reload +
-# search); later calls reload only (bench warm = reload + search)
-_BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
+BM25_INDEX_PREFIX = "bm25_index_"
 
 
 def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,20 +225,19 @@ def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares `Q_BM25_TOPK_SQL` as its oracle (the registry dual-route
     convention, e.g. pagerank exact vs LSH): same scores, different
     physical plan — a posting lost, re-bucketed, or type-mangled by
-    the parquet roundtrip breaks the hash."""
-    from data_framework_spark.sources.formats import _scratch_dir
+    the parquet roundtrip breaks the hash. Build-once/reload-many via
+    the shared formats.session_index_dir registry."""
+    from data_framework_spark.sources.formats import session_index_dir
 
-    app = spark.sparkContext.applicationId
-    for key in [key for key in _BM25_INDEX_DIRS if key[0] != app]:
-        del _BM25_INDEX_DIRS[key]
-    key = (app, sf_dir)
-    if key not in _BM25_INDEX_DIRS:
-        path = _scratch_dir("bm25_index_")
-        bm25_index_write(load_table(spark, sf_dir, "documents"), path)
-        _BM25_INDEX_DIRS[key] = path
-    return bm25_topk_from_index(
-        spark, _BM25_INDEX_DIRS[key], BM25_TERMS, BM25_TOPK
+    path = session_index_dir(
+        spark,
+        sf_dir,
+        BM25_INDEX_PREFIX,
+        lambda p: bm25_index_write(
+            load_table(spark, sf_dir, "documents"), p
+        ),
     )
+    return bm25_topk_from_index(spark, path, BM25_TERMS, BM25_TOPK)
 
 
 def _tf_sql(term: str, i: int) -> str:

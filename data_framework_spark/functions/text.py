@@ -33,6 +33,52 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def windowed_kgrams(docs, k: int, *extra_cols: str, text_col: str = "text"):
+    """(doc_id, *extra_cols, pos, gram) rows: every k-token gram of
+    each document, each built EXACTLY ONCE — the shared shape behind
+    dup-span marking, bigram counting, and decontam shingling.
+
+    Why this form: exploding a pre-built gram ARRAY re-evaluates the
+    whole interpreted HOF construction once per OUTPUT row inside
+    Generate (~40× measured; see dedup/spans.duplicated_positions),
+    so instead the RAW tokens are exploded (trivial re-evaluated
+    child) and each gram is assembled by per-doc window leads.
+
+    Pinned invariant: `concat_ws` silently SKIPS nulls, so the
+    trailing partial windows (< k tokens left) must be dropped via
+    the `lead(w, k-1) IS NOT NULL` guard — omitting it would emit
+    short grams. The guard also zeroes out docs shorter than k
+    tokens. `pos` is the 0-based index of the gram's first token.
+
+    Scale: widen_scan parallelizes past small-file scans (structural
+    no-op at 100 TB); the lead window partitions by doc_id, so state
+    is per-document and bounded."""
+    from pyspark.sql import Window as W
+
+    from data_framework_spark.sources.tables import widen_scan
+
+    tok = widen_scan(docs).select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, k)]
+    )
+    return (
+        tok.select(
+            "doc_id",
+            *extra_cols,
+            "pos",
+            gram.alias("gram"),
+            F.lead("w", k - 1).over(wspec).isNotNull().alias("__full"),
+        )
+        .filter("__full")
+        .drop("__full")
+    )
+
+
 def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("long")
 

@@ -235,12 +235,7 @@ def ivf_topk_from_index(
     )
 
 
-# session-scoped registry of built on-disk indexes, keyed by
-# (applicationId, sf_dir): the first q_ivf_persist_roundtrip call in a
-# session builds + writes (bench cold = build + reload + search);
-# later calls reload only (bench warm = reload + search) — the
-# rebuild-vs-reload split the index story is about
-_INDEX_DIRS: dict[tuple[str, str], str] = {}
+IVF_INDEX_PREFIX = "ivf_index_"
 
 
 def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,21 +244,21 @@ def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments come back from the partitioned on-disk index instead
     of the in-memory build. Oracle = the exact same SQL as
     q_ann_ivf_topk — a row lost, re-assigned, or type-mangled by the
-    parquet roundtrip breaks the hash."""
-    from data_framework_spark.sources.formats import _scratch_dir
+    parquet roundtrip breaks the hash. Build-once/reload-many via the
+    shared formats.session_index_dir registry (bench cold = build,
+    warm = reload)."""
+    from data_framework_spark.sources.formats import session_index_dir
 
-    app = spark.sparkContext.applicationId
-    for key in [key for key in _INDEX_DIRS if key[0] != app]:
-        del _INDEX_DIRS[key]
-    key = (app, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    if key not in _INDEX_DIRS:
-        path = _scratch_dir("ivf_index_")
-        ivf_index_write(emb, path, "vec_id", "embedding", ncells=16)
-        _INDEX_DIRS[key] = path
+    path = session_index_dir(
+        spark,
+        sf_dir,
+        IVF_INDEX_PREFIX,
+        lambda p: ivf_index_write(emb, p, "vec_id", "embedding", ncells=16),
+    )
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk_from_index(
-        spark, _INDEX_DIRS[key], queries, "vec_id", "embedding", k=5, nprobe=4
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
     )
 
 

@@ -241,10 +241,7 @@ def ivfpq_topk_from_index(
     )
 
 
-# session-scoped registry of built on-disk indexes (the ivf._INDEX_DIRS
-# convention): first call builds + writes, later calls reload only —
-# bench cold = build + reload + search, warm = reload + search
-_INDEX_DIRS: dict[tuple[str, str], str] = {}
+IVFPQ_INDEX_PREFIX = "ivfpq_index_"
 
 
 def q_ivfpq_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,18 +249,18 @@ def q_ivfpq_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index: 16 coarse cells / residual PQ 8×16 / 4 probed
     cells. Oracle = the full composition in SQL — a code mis-assigned,
     a residual drifted, or a cell lost in the parquet roundtrip breaks
-    the hash."""
-    from data_framework_spark.sources.formats import _scratch_dir
+    the hash. Build-once/reload-many via the shared
+    formats.session_index_dir registry (bench cold = build, warm =
+    reload)."""
+    from data_framework_spark.sources.formats import session_index_dir
 
-    app = spark.sparkContext.applicationId
-    for key in [key for key in _INDEX_DIRS if key[0] != app]:
-        del _INDEX_DIRS[key]
-    key = (app, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    if key not in _INDEX_DIRS:
-        path = _scratch_dir("ivfpq_index_")
-        ivfpq_index_write(emb, path)
-        _INDEX_DIRS[key] = path
+    path = session_index_dir(
+        spark,
+        sf_dir,
+        IVFPQ_INDEX_PREFIX,
+        lambda p: ivfpq_index_write(emb, p),
+    )
     q_rows = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
         .select("vec_id", "embedding")
@@ -273,7 +270,7 @@ def q_ivfpq_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]]) for r in q_rows
     ]
-    return ivfpq_topk_from_index(spark, _INDEX_DIRS[key], queries)
+    return ivfpq_topk_from_index(spark, path, queries)
 
 
 def exact_l2_topk(

@@ -90,7 +90,29 @@ def widen_scan(df: DataFrame) -> DataFrame:
     heavy text queries), where exchanging the raw rows costs ~nothing
     relative to the compute it parallelizes. Do NOT apply it before
     filters that must reach the parquet scan — an exchange above the
-    scan blocks pushdown."""
+    scan blocks pushdown.
+
+    SCAN-ONLY precondition, enforced: the `df.rdd` partition-count
+    probe materializes every upstream query stage eagerly when the
+    plan contains an exchange under AQE (the probe RDD is then
+    discarded and the real query re-executes those stages — silent
+    2× work). If the analyzed plan contains a join / aggregate /
+    window / generate / repartition / sort, the helper returns the
+    frame UNCHANGED — the fail-safe is a no-op, never a double
+    execution."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        node in analyzed
+        for node in (
+            "Join",
+            "Aggregate",
+            "Window",
+            "Generate",
+            "Repartition",
+            "Sort",
+        )
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= n:

@@ -59,11 +59,11 @@ def test_ivfpq_index_layout_and_pruned_scan(spark, tmp_path):
     from tests.test_plan_properties import plan_text
 
     q_ivfpq_persist_topk(spark, SF_SMALL).collect()  # build index
-    from data_framework_spark.similarity.ivfpq import _INDEX_DIRS
+    from data_framework_spark.similarity.ivfpq import IVFPQ_INDEX_PREFIX
+    from data_framework_spark.sources.formats import get_index_dir
 
-    path = next(
-        v for k, v in _INDEX_DIRS.items() if k[1] == SF_SMALL
-    )
+    path = get_index_dir(spark, SF_SMALL, IVFPQ_INDEX_PREFIX)
+    assert path is not None
     cells = [
         d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")
     ]

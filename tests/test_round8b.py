@@ -228,15 +228,16 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
 
     from data_framework_spark.similarity.ivf import _rounded_centroid_cosines
     from data_framework_spark.similarity.ivfpq import (
-        _INDEX_DIRS,
+        IVFPQ_INDEX_PREFIX,
         IVFPQ_NPROBE,
         q_ivfpq_persist_topk,
     )
+    from data_framework_spark.sources.formats import get_index_dir
     from data_framework_spark.sources.tables import load_table
     from tests.conftest import SF_SMALL
 
     got = q_ivfpq_persist_topk(spark, SF_SMALL).collect()
-    path = next(v for k, v in _INDEX_DIRS.items() if k[1] == SF_SMALL)
+    path = get_index_dir(spark, SF_SMALL, IVFPQ_INDEX_PREFIX)
     cents = [
         [float(x) for x in r["embedding"]]
         for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
