@@ -278,12 +278,25 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["ivfpq_persist_topk", "ivfpq_recall_contract", "bpe_detok_roundtrip"],
+    [
+        # new round-8 queries
+        "ivfpq_persist_topk",
+        "ivfpq_recall_contract",
+        "bpe_detok_roundtrip",
+        # round-8 kernel swaps (float-bearing): the Arrow Jaccard
+        # kernel rounds in numpy (half-away) instead of the JVM —
+        # digest stress guards the rounding-parity claim
+        "ngram_jaccard_pairs",
+        "dup_span_extract",
+        "benchmark_decontam",
+        "bigram_topk",
+        "minhash_near_dup_pairs",
+    ],
 )
 def test_round8_query_digest_stable_across_duckdb_runs(spark, sf_dir, name):
-    """The round-7 convention for new float-bearing queries: 5 fresh
-    DuckDB connections against one fixed Spark digest catch
-    engine-order float flakes before the driver does."""
+    """The round-7 convention for new and kernel-changed float-bearing
+    queries: 5 fresh DuckDB connections against one fixed Spark digest
+    catch engine-order float flakes before the driver does."""
     from data_framework_spark.oracle import _digest, duckdb_connection
     from data_framework_spark.registry import QUERIES
 
