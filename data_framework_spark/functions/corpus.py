@@ -695,7 +695,13 @@ def _funnel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet feature table (q_curation_funnel_mat). A repartition
     barrier would NOT achieve the reuse — predicate pushdown moves
     each branch's filter below the exchange, so nothing is shared."""
-    docs = load_table(spark, sf_dir, "documents")
+    from data_framework_spark.sources.tables import widen_scan
+
+    # the base projection computes EVERY heavy per-doc HOF (token
+    # stats, dup-trigram fraction, md5 decontam shingles) at cache-
+    # materialization time — widen past the one-row-group test scan
+    # so the build runs at full width (structural no-op at scale)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     toks = tokens(t)
     dup_frac = dup_trigram_frac(toks)
