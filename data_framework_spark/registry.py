@@ -926,87 +926,75 @@ QUERIES: dict[str, Query] = {
 # The driver's correctness harness verifies only the FIRST 50 registry
 # entries in insertion order. To keep cumulative hard-signal coverage
 # fresh, the least-recently-driver-verified entries are hoisted to the
-# front each round. Round-8 rotation (the round-7 plan with the
-# CORRECTED arithmetic the ADVICE flagged — the late-added
-# bm25_postings_topk is a FIFTH never-driver-verified query, so the
-# re-pin slot the old "4 + 45 + 1" comment reserved does not exist):
-# (a) ALL 5 never-driver-verified round-7 additions first
-# (bpe_tokenize, bm25_topk, bm25_postings_topk — now the
-# parquet-persisted postings route — dup_span_extract: the
-# single-scan window rewrite, sq8_quantize; all strict-replica-green
-# in r7), then (b) the full 45-query last-green-r5 block in registry
-# order (tpch_q8_market_share .. halo_smooth_multi_t); 5 + 45 =
-# exactly 50, and after r8 no query's driver row is older than two
-# rounds. The round-7 re-pins (funnel_stages, zipf_fit, ks_drift,
-# pagerank_neardup — each provably value-identical: previous driver
-# row hash-green AND the changed implementation strict-replica-green
-# against the same oracle, so old == oracle == new) all sit in the
-# 47-query last-green-r6 block, so they need no special slot.
-# Round 9 must hoist: (a) the 3 never-driver-verified round-8
-# additions (ivfpq_persist_topk, ivfpq_recall_contract,
-# bpe_detok_roundtrip — kept to exactly 3 so the window arithmetic
-# closes), then (b) the 47-query last-green-r6 block in registry
-# order (timeslice_events .. rolling_zscore, which contains all four
-# re-pins); 3 + 47 = exactly 50 with no deferrals. That block also
-# contains ngram_jaccard_pairs, whose kernel changed in round 8 (JVM
-# array_intersect -> Arrow membership matrix, 6.4 s -> ~1.0 s warm at
-# sf0.1): exact-equality to the old driver-green route is test-pinned
-# (test_round8b), and the r9 window gives it a fresh driver row.
-# `find_structures_island` (rows-only by contract) stays excluded so
-# every slot buys a hash-green signal.
+# front each round. Round-9 rotation (exactly the plan the round-8
+# comment recorded and the r8 VERDICT endorsed): (a) the 3
+# never-driver-verified round-8 additions first (ivfpq_persist_topk,
+# ivfpq_recall_contract, bpe_detok_roundtrip — all strict-replica-green
+# in r8's 329-test run), then (b) the full 47-query last-green-r6 block
+# in registry order (timeslice_events .. rolling_zscore, recomputed
+# from CORRECTNESS_r0{6,7,8}.json as r6-green minus any later row);
+# 3 + 47 = exactly 50 with no deferrals. The block contains the four
+# round-7 re-pins (funnel_stages, zipf_fit, ks_drift, pagerank_neardup)
+# and, importantly, ngram_jaccard_pairs — whose kernel changed in
+# round 8 (JVM array_intersect -> Arrow membership matrix) with bitwise
+# equality test-pinned (test_round8b); this window buys it the fresh
+# driver hash. `find_structures_island` (rows-only by contract) stays
+# excluded so every slot buys a hash-green signal. After r9, no
+# query's driver row is older than two rounds; round 10 hoists any
+# round-9 additions plus the last-green-r7 block.
 _VERIFY_FIRST: list[str] = [
-    # -- never driver-verified round-7 additions (all 5) --
-    "bpe_tokenize",
-    "bm25_topk",
-    "bm25_postings_topk",
-    "dup_span_extract",
-    "sq8_quantize",
-    # -- last driver row round 5 (drain ALL 45, registry order) --
-    "tpch_q8_market_share",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "tpch_q9_profit",
-    "tpch_q21_waiting",
-    "tpch_q11_important_parts",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_count",
-    "tpch_q20_excess_suppliers",
-    "distinct_suppliers_by_brand",
-    "set_ops_customers",
-    "bucketed_join_lineitem",
-    "sketch_accuracy_events",
-    "profile_percentiles",
-    "moving_average_events",
-    "cube_orders",
-    "pivot_events",
-    "asof_attribution",
-    "range_join_clicks",
-    "skew_salted_agg",
-    "scalar_fns_events",
-    "sessionize_events",
-    "text_stats",
-    "lang_profile",
-    "winnow_fingerprint",
-    "token_regex_profile",
-    "corpus_mix",
-    "dedup_exact",
-    "dedup_minhash",
-    "minhash_near_dup_pairs",
-    "dedup_clusters",
-    "ann_hamming_rerank",
-    "weighted_sample",
-    "pii_scrub",
-    "compaction_roundtrip",
-    "dedup_incremental",
-    "ivf_recall_contract",
-    "halo_smooth_multi_t",
+    # -- never driver-verified round-8 additions (all 3) --
+    "ivfpq_persist_topk",
+    "ivfpq_recall_contract",
+    "bpe_detok_roundtrip",
+    # -- last driver row round 6 (drain ALL 47, registry order) --
+    "timeslice_events",
+    "zoom_lineitem",
+    "select_vars_substring",
+    "array_ingest_roundtrip",
+    "dataset_api_events",
+    "bounds_events",
+    "sigma_threshold_lineitem",
+    "label_extrema_events",
+    "lang_id",
+    "dedup_simhash",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cosine_topk",
+    "partitioned_prune_roundtrip",
+    "quality_filter",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "shard_assign",
+    "contamination_check",
+    "bigram_topk",
+    "label_centroids",
+    "find_structures_contract",
+    "curation_funnel",
+    "curation_funnel_mat",
+    "find_structures_multi8",
+    "heavy_hitters",
+    "chunk_documents",
+    "chunk_dedup",
+    "stratified_split",
+    "unigram_logprob",
+    "zipf_fit",
+    "semantic_dedup",
+    "domain_mix",
+    "ks_drift",
+    "cluster_purity",
+    "cdc_chunks",
+    "snapshot_diff",
+    "k_anonymity",
+    "streaming_heavy_hitters",
+    "pagerank_neardup",
+    "multimodal_embed_topk",
+    "text_normalize",
+    "incremental_agg_refresh",
+    "funnel_stages",
+    "rolling_zscore",
 ]
 
 QUERIES = {
