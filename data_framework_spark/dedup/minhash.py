@@ -39,25 +39,24 @@ BANDS = 4  # → 2 rows per band
 def _shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, shingle) rows — distinct word unigrams per document.
 
-    Round-8 shape: explode the RAW split and dedup per doc with one
-    (doc, shingle) shuffle. Exploding `array_distinct(split(...))`
-    re-evaluates that O(doc_len) expression once per OUTPUT row
-    inside Generate (the per-output-row trap measured in
-    dedup/spans.duplicated_positions — here ×3, since the minhash
-    pair verify consumes this frame three times); the raw-split
-    explode keeps the re-evaluated child trivial and the distinct
-    becomes a cheap exchange with map-side combine. widen_scan
-    parallelizes past the test corpus's one-row-group scan (no-op at
-    scale)."""
+    Round-9 shape: explode `array_distinct(split(...))` — per-row
+    dedup inside whole-stage codegen, NO exchange at all. The round-8
+    raw-split + dropDuplicates form traded the Generate child for a
+    (doc, shingle) shuffle per consumer; isolated measurement
+    (fresh session, n=3 warm, sf0.1 — SURVEY §8 round-9) showed the
+    shuffle buys nothing here (pairs 2.77 vs 2.76 s, dedup 0.82 vs
+    0.84 s) and loses on the multi-consumer cluster path (3.84 vs
+    3.16 s): the Generate per-output-row trap bites interpreted HOFs
+    (dedup/spans), but array_distinct(split()) is codegen. At 100 TB
+    the difference is structural — the pair-verify consumes this
+    frame three times, and this form adds ZERO exchanges where the
+    round-8 form added one per consumer. widen_scan parallelizes past
+    the test corpus's one-row-group scan (no-op at scale)."""
     from data_framework_spark.sources.tables import widen_scan
 
-    return (
-        widen_scan(docs)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), " ")).alias("shingle"),
-        )
-        .dropDuplicates(["doc", "shingle"])
+    return widen_scan(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("shingle"),
     )
 
 

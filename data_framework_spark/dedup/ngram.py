@@ -181,7 +181,11 @@ def ngram_jaccard_pairs_arrow(
 
     def gen(batches):
         for pdf in batches:
-            if pdf.empty or len(sets) == 0:
+            # len(union) == 0 alongside len(sets): char_ngrams always
+            # emits ≥1 gram today, but if that ever changes the clipped
+            # searchsorted below would index an empty array and crash
+            # the executor instead of degrading (round-8 advisory)
+            if pdf.empty or len(sets) == 0 or len(union) == 0:
                 continue
             lens = np.fromiter(
                 (len(g) for g in pdf["grams"]), dtype=np.int64, count=len(pdf)

@@ -225,11 +225,27 @@ def ivfpq_topk_from_index(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probed_cells)
     )
+    # written-order fold over the 8 subspace lookups (NOT F.sum, whose
+    # partial-aggregation order Spark does not define — summing 9dp-
+    # rounded doubles in a different order than the oracle can flip
+    # the 6dp rounding at a halfway tie; same convention as
+    # retrieval.bm25_topk_from_index, round-8 advisory)
     scored = (
         codes.join(F.broadcast(lut_df), ["cell", "subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("dlook"), 6).alias("adc_dist"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("subspace"), F.col("dlook")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["dlook"],
+                ),
+                6,
+            ).alias("adc_dist")
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -435,8 +451,11 @@ lut AS (
   FROM qparts q JOIN pcents c USING (subspace)
 ),
 scored AS (
+  -- written-order fold in subspace order, mirroring the Spark route's
+  -- array_sort + aggregate (never bare sum(): partial-agg order)
   SELECT l.query_id, a.vec_id AS neighbor_id,
-         round(sum(l.dlook), 6) AS adc_dist
+         round(list_reduce([0.0::DOUBLE] || list(l.dlook ORDER BY l.subspace),
+                           (acc, x) -> acc + x), 6) AS adc_dist
   FROM codes a
   JOIN lut l ON l.cell = a.cell AND l.subspace = a.subspace
             AND l.code = a.code

@@ -189,11 +189,25 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut, "query_id long, subspace int, code int, dlook double"
     )
     codes = assign_pq_codes(emb, books).select("vec_id", "subspace", "code")
+    # written-order fold over the 8 subspace lookups (NOT F.sum —
+    # undefined partial-agg order vs the oracle's fold; round-8
+    # advisory, same convention as retrieval.bm25_topk_from_index)
     scored = (
         codes.join(F.broadcast(lut_df), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("dlook"), 6).alias("adc_dist"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("subspace"), F.col("dlook")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["dlook"],
+                ),
+                6,
+            ).alias("adc_dist")
+        )
     )
     from pyspark.sql import Window as W
 
@@ -246,8 +260,11 @@ lut AS (
   WHERE p.vec_id < 20
 ),
 scored AS (
+  -- written-order fold in subspace order, mirroring the Spark route's
+  -- array_sort + aggregate (never bare sum(): partial-agg order)
   SELECT l.query_id, a.vec_id AS neighbor_id,
-         round(sum(l.dlook), 6) AS adc_dist
+         round(list_reduce([0.0::DOUBLE] || list(l.dlook ORDER BY l.subspace),
+                           (acc, x) -> acc + x), 6) AS adc_dist
   FROM assigned a
   JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
   WHERE a.vec_id <> l.query_id

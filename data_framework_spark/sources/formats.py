@@ -17,6 +17,7 @@ hash.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -50,19 +51,41 @@ def _cleanup_scratch_dirs() -> None:
 # divergence-prone copy per module. The first call in a session builds
 # + writes (bench cold = build + reload + search); later calls reload
 # only (bench warm = reload + search) — the rebuild-vs-reload split
-# the index story is about. Keyed by (applicationId, sf_dir, prefix);
-# entries from stopped sessions are pruned on every call so a
-# long-lived process never reuses a stale path.
-_INDEX_DIRS: dict[tuple[str, str, str], str] = {}
+# the index story is about. Keyed by (applicationId, sf_dir, prefix,
+# source fingerprint): the fingerprint — (relpath, mtime_ns, size) of
+# every parquet file under sf_dir — invalidates the entry if the data
+# at the same path is rewritten mid-session, so a caller reusing a
+# directory can never be served a stale BM25/IVF/IVF-PQ index with
+# wrong-but-plausible results (round-8 advisory). Entries from stopped
+# sessions are pruned on every call so a long-lived process never
+# reuses a stale path.
+_INDEX_DIRS: dict[tuple[str, str, str, tuple], str] = {}
+
+
+def _sf_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of a data directory: sorted
+    (relpath, mtime_ns, size) over its parquet files (one os.walk,
+    no data read)."""
+    out = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.append(
+                    (os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size)
+                )
+    return tuple(sorted(out))
 
 
 def session_index_dir(spark, sf_dir: str, prefix: str, build) -> str:
     """Return the on-disk index dir for (session, sf_dir, prefix),
-    invoking `build(path)` exactly once per session to create it."""
+    invoking `build(path)` exactly once per session per source-data
+    fingerprint to create it."""
     app = spark.sparkContext.applicationId
     for key in [k for k in _INDEX_DIRS if k[0] != app]:
         del _INDEX_DIRS[key]
-    key = (app, sf_dir, prefix)
+    key = (app, sf_dir, prefix, _sf_fingerprint(sf_dir))
     if key not in _INDEX_DIRS:
         path = _scratch_dir(prefix)
         build(path)
@@ -73,7 +96,12 @@ def session_index_dir(spark, sf_dir: str, prefix: str, build) -> str:
 def get_index_dir(spark, sf_dir: str, prefix: str) -> str | None:
     """The already-built index dir, or None — test/introspection hook."""
     return _INDEX_DIRS.get(
-        (spark.sparkContext.applicationId, sf_dir, prefix)
+        (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            prefix,
+            _sf_fingerprint(sf_dir),
+        )
     )
 
 

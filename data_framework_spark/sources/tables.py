@@ -96,23 +96,21 @@ def widen_scan(df: DataFrame) -> DataFrame:
     probe materializes every upstream query stage eagerly when the
     plan contains an exchange under AQE (the probe RDD is then
     discarded and the real query re-executes those stages — silent
-    2× work). If the analyzed plan contains a join / aggregate /
-    window / generate / repartition / sort, the helper returns the
-    frame UNCHANGED — the fail-safe is a no-op, never a double
-    execution."""
+    2× work). The guard is a POSITIVE allowlist over the analyzed
+    plan's node names — only Project / Filter / scan relations (plus
+    aliases) may appear; anything else (Join, Aggregate, Window,
+    Generate, Sort, Repartition, but also Deduplicate, Distinct, or
+    any future exchange-introducing node a blocklist would miss —
+    round-8 advisory) returns the frame UNCHANGED: the fail-safe is a
+    no-op, never a double execution."""
+    import re
+
+    allowed = ("Project", "Filter", "Relation", "LogicalRelation", "SubqueryAlias")
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        node in analyzed
-        for node in (
-            "Join",
-            "Aggregate",
-            "Window",
-            "Generate",
-            "Repartition",
-            "Sort",
-        )
-    ):
-        return df
+    for line in analyzed.splitlines():
+        node = re.sub(r"^[:+\-| ]*", "", line)
+        if node and not node.startswith(allowed):
+            return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
