@@ -202,13 +202,18 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_ctes(
-    n_merges: int, with_final_words: bool, carry_word: bool = False
+    n_merges: int,
+    with_final_words: bool,
+    carry_word: bool = False,
+    w0_where: str = "",
 ) -> list[str]:
     """The shared unrolled-merge CTE chain: wf, w0, then per merge i
     the pair counts p{i}, the winner t{i}, and (when needed for a
     later stage or the final accounting) the merged word table
     w{i}. With carry_word the ORIGINAL word column rides through the
-    chain so the detokenize audit can compare against it."""
+    chain so the detokenize audit can compare against it. `w0_where`
+    (e.g. a hash-fraction train-slice predicate, ' WHERE ...')
+    restricts which words the merges are LEARNED from."""
     os_, cs = _OS, _CS
     wcol = "word, " if carry_word else ""
     ctes = [
@@ -219,7 +224,7 @@ def _bpe_ctes(
 ),
 w0 AS (
   SELECT {wcol}regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq
-  FROM wf
+  FROM wf{w0_where}
 )"""
     ]
     wcol_w = "w.word, " if carry_word else ""
@@ -390,3 +395,169 @@ ORDER BY doc_id
 
 
 Q_BPE_DETOK_ROUNDTRIP_SQL = _bpe_detok_sql()
+
+
+# Word-level held-out split: words whose md5 hash-fraction falls below
+# the threshold are EXCLUDED from merge learning and then tokenized
+# with the train-learned merges — "apply to words never seen at train
+# time" taken literally. (A doc-level split would be vacuous here:
+# the synthetic corpus has a 31-word vocabulary fully shared across
+# any document slice, so no doc split yields a single unseen word.)
+BPE_HELDOUT_FRAC = 0.25
+
+
+def q_bpe_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The held-out application audit a tokenizer rollout gates on
+    (round-8 verdict ask 7): learn merges from the TRAIN word slice
+    only, apply them to the held-out words — every one unseen at
+    train time by construction — and report
+
+    - coverage: fraction of held-out occurrences whose every post-
+      merge symbol exists in the train-time symbol vocabulary (the
+      UNK-free rate; a symbol can only be unknown if one of the
+      word's CHARACTERS never appeared in training — classic
+      char-level BPE has no other UNK source),
+    - fertility: chars per token over the held-out slice — the
+      generalization number (merges learned on train only compress
+      held-out words where shared character sequences recur).
+
+    Both are genuine recomputations on each engine, not pinned
+    literals. Scale shape: everything here is vocab-sized (the one
+    corpus aggregate is the shared word table); the symbol vocabulary
+    is tokenizer-sized and broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_framework_spark.functions.sampling import hash_fraction
+
+    allw = _wrapped_words(docs).persist()
+    allw.count()
+    frac = hash_fraction(F.col("word"))
+    train = allw.filter(frac >= F.lit(BPE_HELDOUT_FRAC))
+    held = allw.filter(frac < F.lit(BPE_HELDOUT_FRAC))
+    merges = learn_bpe_merges(docs, words=train)
+
+    def apply_merges(words: DataFrame) -> DataFrame:
+        for _, left, right, _cnt in merges:
+            words = words.select(
+                "word",
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
+                    F.lit(f"{_OS}{left}{right}{_CS}"),
+                ).alias("w"),
+                "freq",
+            )
+        return words
+
+    syms = F.split(
+        F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
+    )
+    tsym = (
+        apply_merges(train)
+        .select(F.explode(syms).alias("sym"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    hs = apply_merges(held).select(
+        "word",
+        "freq",
+        syms.alias("syms"),
+        (F.length("w") - 2 * F.size(syms)).alias("content_chars"),
+    )
+    wcov = (
+        hs.select("word", F.explode("syms").alias("sym"))
+        .join(F.broadcast(tsym), "sym", "left")
+        .groupBy("word")
+        .agg(F.bool_and(F.col("known").isNotNull()).alias("covered"))
+    )
+    out = (
+        hs.join(wcov, "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_heldout_words"),
+            F.sum("freq").alias("heldout_occurrences"),
+            F.sum(
+                F.when(F.col("covered"), F.col("freq")).otherwise(F.lit(0))
+            ).alias("covered_occurrences"),
+            F.sum(F.col("freq") * F.col("content_chars")).alias("chars_total"),
+            F.sum(F.col("freq") * F.size("syms")).alias("tokens_total"),
+        )
+        .select(
+            "n_heldout_words",
+            "heldout_occurrences",
+            "covered_occurrences",
+            F.round(
+                F.col("covered_occurrences") / F.col("heldout_occurrences"), 6
+            ).alias("coverage"),
+            "chars_total",
+            "tokens_total",
+            F.round(
+                F.col("chars_total") / F.col("tokens_total"), 6
+            ).alias("fertility"),
+        )
+    )
+    # materialize before releasing the shared vocab frame
+    pdf = out.toPandas()
+    allw.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _bpe_heldout_sql(
+    n_merges: int = BPE_MERGES, frac: float = BPE_HELDOUT_FRAC
+) -> str:
+    from data_framework_spark.functions.sampling import HASH_FRACTION_SQL_TMPL
+
+    os_, cs = _OS, _CS
+    hf = HASH_FRACTION_SQL_TMPL.format(key="word")
+    ctes = _bpe_ctes(
+        n_merges,
+        with_final_words=True,
+        w0_where=f"\n  WHERE {hf} >= {frac}",
+    )
+    ctes.append(f"""tsym AS (
+  SELECT DISTINCT unnest(string_split(substring(w, 2, length(w) - 2),
+                                      '{cs}{os_}')) AS sym
+  FROM w{n_merges}
+)""")
+    ctes.append(f"""h0 AS (
+  SELECT word, regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq
+  FROM wf WHERE {hf} < {frac}
+)""")
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""h{i} AS (
+  SELECT h.word,
+         replace(h.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
+                 '{os_}' || t.l || t.r || '{cs}') AS w, h.freq
+  FROM h{i - 1} h CROSS JOIN t{i} t
+)""")
+    ctes.append(f"""hs AS (
+  SELECT word, freq,
+         string_split(substring(w, 2, length(w) - 2), '{cs}{os_}') AS syms,
+         length(w) - 2 * len(string_split(substring(w, 2, length(w) - 2),
+                                          '{cs}{os_}')) AS content_chars
+  FROM h{n_merges}
+)""")
+    ctes.append("""wcov AS (
+  SELECT word, bool_and(t.sym IS NOT NULL) AS covered
+  FROM (SELECT word, unnest(syms) AS sym FROM hs) h
+  LEFT JOIN tsym t USING (sym)
+  GROUP BY word
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT count(*)::BIGINT AS n_heldout_words,
+       sum(freq)::BIGINT AS heldout_occurrences,
+       coalesce(sum(freq) FILTER (WHERE covered), 0)::BIGINT
+         AS covered_occurrences,
+       round(coalesce(sum(freq) FILTER (WHERE covered), 0)::DOUBLE
+             / sum(freq), 6) AS coverage,
+       sum(freq * content_chars)::BIGINT AS chars_total,
+       sum(freq * len(syms))::BIGINT AS tokens_total,
+       round(sum(freq * content_chars)::DOUBLE
+             / sum(freq * len(syms)), 6) AS fertility
+FROM hs JOIN wcov USING (word)
+"""
+    )
+
+
+Q_BPE_HELDOUT_COVERAGE_SQL = _bpe_heldout_sql()

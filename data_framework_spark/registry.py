@@ -921,6 +921,34 @@ QUERIES: dict[str, Query] = {
         "invert (symbol concat), join back to the corpus — per-doc "
         "token counts + genuine roundtrip-equality recomputation",
     ),
+    # -- round 9: exact-refine over the persisted vector index ---
+    "ivfpq_refine_topk": Query(
+        ivfpq_mod.q_ivfpq_refine_topk,
+        ivfpq_mod.Q_IVFPQ_REFINE_TOPK_SQL,
+        "faiss-style refine: top-100 ADC shortlist from the persisted "
+        "IVFADC index re-ranked by exact L2 over a bounded broadcast "
+        "fetch of only those float vectors (r8 verdict ask 4)",
+    ),
+    "ivfpq_refine_recall": Query(
+        ivfpq_mod.q_ivfpq_refine_recall,
+        ivfpq_mod.Q_IVFPQ_REFINE_RECALL_SQL,
+        "recall@5 of the refined route vs exact squared-L2, shared "
+        "recall_vs_exact arithmetic + per-SF calibrated floor",
+    ),
+    "bm25_adhoc_topk": Query(
+        retrieval_mod.q_bm25_adhoc_topk,
+        retrieval_mod.Q_BM25_ADHOC_TOPK_SQL,
+        "a second, differently-sized term set (4 terms) against the "
+        "SAME persisted postings index — proves ad-hoc reuse without "
+        "rebuild (r8 verdict ask 5)",
+    ),
+    "bpe_heldout_coverage": Query(
+        bpe_mod.q_bpe_heldout_coverage,
+        bpe_mod.Q_BPE_HELDOUT_COVERAGE_SQL,
+        "held-out tokenizer audit: merges learned on the train word "
+        "slice applied to hash-held-out words unseen at train time — "
+        "UNK-free coverage + held-out fertility (r8 verdict ask 7)",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -940,8 +968,15 @@ QUERIES: dict[str, Query] = {
 # equality test-pinned (test_round8b); this window buys it the fresh
 # driver hash. `find_structures_island` (rows-only by contract) stays
 # excluded so every slot buys a hash-green signal. After r9, no
-# query's driver row is older than two rounds; round 10 hoists any
-# round-9 additions plus the last-green-r7 block.
+# query's driver row is older than two rounds. Round 10 must hoist:
+# (a) the 4 never-driver-verified round-9 additions
+# (ivfpq_refine_topk, ivfpq_refine_recall, bm25_adhoc_topk,
+# bpe_heldout_coverage — all strict-replica-green in r9), then
+# (b) the FIRST 46 of the 50-query last-green-r7 block in registry
+# order; 4 + 46 = exactly 50, leaving a 4-query r7 TAIL that must
+# lead round 11's window (the registry outgrew 150, so one round can
+# no longer drain a whole block — the tail is named debt, not a
+# deferral that silently ages).
 _VERIFY_FIRST: list[str] = [
     # -- never driver-verified round-8 additions (all 3) --
     "ivfpq_persist_topk",

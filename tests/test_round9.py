@@ -96,6 +96,57 @@ def test_shingles_plan_is_exchange_free(spark):
     assert len(vals) == len(set(vals))
 
 
+# --- BM25: ad-hoc term sets reuse the persisted postings index ---------------
+
+
+def test_bm25_adhoc_reuses_postings_index(spark):
+    """The round-9 ad-hoc query (different 4-term set) must answer
+    from the SAME persisted index the fixed-term route built — zero
+    rebuilds within a session (the whole point of materializing the
+    postings)."""
+    from data_framework_spark.functions.retrieval import (
+        BM25_INDEX_PREFIX,
+        q_bm25_adhoc_topk,
+        q_bm25_postings_topk,
+    )
+    from data_framework_spark.sources.formats import get_index_dir
+
+    q_bm25_postings_topk(spark, SF_SMALL).collect()
+    p1 = get_index_dir(spark, SF_SMALL, BM25_INDEX_PREFIX)
+    assert p1 is not None
+    rows = q_bm25_adhoc_topk(spark, SF_SMALL).collect()
+    assert get_index_dir(spark, SF_SMALL, BM25_INDEX_PREFIX) == p1
+    assert rows and all(r["bm25"] > 0 for r in rows)
+    # descending score, doc_id tiebreak — the index route's contract
+    scores = [(r["bm25"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
+# --- IVFADC refine: shares the index, recall dominates plain ADC -------------
+
+
+def test_ivfpq_refine_shares_index_and_beats_adc(spark):
+    """The refine stage must (a) reuse the persisted IVFADC index —
+    no rebuild — and (b) never lose to the plain ADC route on recall:
+    it re-ranks a SUPERSET of the ADC top-k with the exact metric."""
+    from data_framework_spark.similarity.ivfpq import (
+        IVFPQ_INDEX_PREFIX,
+        q_ivfpq_persist_topk,
+        q_ivfpq_recall_contract,
+        q_ivfpq_refine_recall,
+    )
+    from data_framework_spark.sources.formats import get_index_dir
+
+    q_ivfpq_persist_topk(spark, SF_SMALL).collect()
+    p1 = get_index_dir(spark, SF_SMALL, IVFPQ_INDEX_PREFIX)
+    assert p1 is not None
+    refined = q_ivfpq_refine_recall(spark, SF_SMALL).collect()[0]
+    assert get_index_dir(spark, SF_SMALL, IVFPQ_INDEX_PREFIX) == p1
+    plain = q_ivfpq_recall_contract(spark, SF_SMALL).collect()[0]
+    assert refined["recall"] >= plain["recall"]
+    assert refined["meets_floor"]
+
+
 # --- ADC written-order fold: Spark == oracle under permuted input ------------
 
 
@@ -118,3 +169,89 @@ def test_adc_fold_is_subspace_ordered(spark):
         ).alias("adc_dist")
     )
     assert folded.collect()[0]["adc_dist"] == round(0.0 + 0.1 + 0.2 + 0.3, 6)
+
+
+# --- BPE held-out coverage: independent hand recomputation -------------------
+
+
+def test_bpe_heldout_matches_pure_python_reference(spark, tmp_path):
+    """q_bpe_heldout_coverage vs an INDEPENDENT pure-Python BPE on a
+    hand corpus: same greedy merge learning (train slice only), same
+    left-to-right non-overlapping merge application to the held-out
+    words, same coverage/fertility arithmetic."""
+    import hashlib
+
+    from data_framework_spark.functions.bpe import (
+        BPE_HELDOUT_FRAC,
+        BPE_MERGES,
+        q_bpe_heldout_coverage,
+    )
+
+    texts = [
+        "banana bandana cabana apple grapple dapple zebra quartz",
+        "banana banana bandana apple apple quartz jazzy",
+        "cabana dapple zebra zebra jazzy fizzy banana",
+    ]
+    sf = str(tmp_path / "sfh")
+    spark.createDataFrame(
+        [(i, "hand", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    # --- independent reference ---
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+
+    def hf(word: str) -> float:
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) / 2**32
+
+    train = {w: f for w, f in freq.items() if hf(w) >= BPE_HELDOUT_FRAC}
+    held = {w: f for w, f in freq.items() if hf(w) < BPE_HELDOUT_FRAC}
+    assert held and train  # the split must exercise both slices
+
+    def merge_once(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    tsyms = {w: list(w) for w in train}
+    merges = []
+    for _ in range(BPE_MERGES):
+        counts: dict[tuple, int] = {}
+        for w, syms in tsyms.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + train[w]
+        if not counts:
+            break
+        (left, right), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right))
+        tsyms = {w: merge_once(s, left, right) for w, s in tsyms.items()}
+    vocab = {s for syms in tsyms.values() for s in syms}
+    hsyms = {w: list(w) for w in held}
+    for left, right in merges:
+        hsyms = {w: merge_once(s, left, right) for w, s in hsyms.items()}
+    occ = sum(held.values())
+    cov = sum(
+        f for w, f in held.items() if all(s in vocab for s in hsyms[w])
+    )
+    chars = sum(f * len(w) for w, f in held.items())
+    toks = sum(f * len(hsyms[w]) for w, f in held.items())
+
+    row = q_bpe_heldout_coverage(spark, sf).collect()[0]
+    assert row["n_heldout_words"] == len(held)
+    assert row["heldout_occurrences"] == occ
+    assert row["covered_occurrences"] == cov
+    assert row["coverage"] == round(cov / occ, 6)
+    assert row["chars_total"] == chars
+    assert row["tokens_total"] == toks
+    assert row["fertility"] == round(chars / toks, 6)
