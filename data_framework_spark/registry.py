@@ -949,6 +949,13 @@ QUERIES: dict[str, Query] = {
         "slice applied to hash-held-out words unseen at train time — "
         "UNK-free coverage + held-out fertility (r8 verdict ask 7)",
     ),
+    "ivfpq_nprobe_curve": Query(
+        ivfpq_mod.q_ivfpq_nprobe_curve,
+        ivfpq_mod.Q_IVFPQ_NPROBE_CURVE_SQL,
+        "recall@5 vs nprobe (1/2/4/8 of 16 cells) over the same "
+        "persisted index — quantifies the cell-coverage knob the "
+        "refine floor notes name",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -969,14 +976,14 @@ QUERIES: dict[str, Query] = {
 # driver hash. `find_structures_island` (rows-only by contract) stays
 # excluded so every slot buys a hash-green signal. After r9, no
 # query's driver row is older than two rounds. Round 10 must hoist:
-# (a) the 4 never-driver-verified round-9 additions
+# (a) the 5 never-driver-verified round-9 additions
 # (ivfpq_refine_topk, ivfpq_refine_recall, bm25_adhoc_topk,
-# bpe_heldout_coverage — all strict-replica-green in r9), then
-# (b) the FIRST 46 of the 50-query last-green-r7 block in registry
-# order; 4 + 46 = exactly 50, leaving a 4-query r7 TAIL that must
-# lead round 11's window (the registry outgrew 150, so one round can
-# no longer drain a whole block — the tail is named debt, not a
-# deferral that silently ages).
+# bpe_heldout_coverage, ivfpq_nprobe_curve — all strict-replica-green
+# in r9), then (b) the FIRST 45 of the 50-query last-green-r7 block
+# in registry order; 5 + 45 = exactly 50, leaving a 5-query r7 TAIL
+# that must lead round 11's window (the registry outgrew 150, so one
+# round can no longer drain a whole block — the tail is named debt,
+# not a deferral that silently ages).
 _VERIFY_FIRST: list[str] = [
     # -- never driver-verified round-8 additions (all 3) --
     "ivfpq_persist_topk",

@@ -595,6 +595,109 @@ def q_ivfpq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs nprobe over the SAME persisted index — the number
+    that substantiates the floor notes' claim that the residual
+    recall gap is CELL COVERAGE, not ADC ranking: one (nprobe, total,
+    hits, recall) row per swept nprobe ∈ {1,2,4,8} of the 16 cells.
+    The exact baseline is computed once and collected (bounded
+    |Q|·k = 100 rows) so the sweep re-runs only the cheap ADC search.
+    No monotonicity is asserted — ADC re-ranks a growing candidate
+    superset, which can evict a true neighbor from a fixed top-k —
+    the curve's VALUES are the hash-pinned contract.
+
+    The `coverage` column is the route's CEILING at each nprobe: the
+    fraction of exact-top-5 neighbors whose ASSIGNED cell is among
+    the query's probed cells (computed from the persisted code lists
+    + the same rounded-cosine cell ranking; the oracle re-derives it
+    from scratch in SQL). recall ≤ coverage by construction; the
+    measured flat ADC recall under a rising coverage is the sharp
+    form of the refine-floor note — ADC ranking, not coverage, is
+    the binding constraint at small nprobe, and the refine route is
+    what converts added coverage into recall."""
+    from data_framework_spark.sources.formats import session_index_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = session_index_dir(
+        spark,
+        sf_dir,
+        IVFPQ_INDEX_PREFIX,
+        lambda p: ivfpq_index_write(emb, p),
+    )
+    q_rows = (
+        emb.filter(F.col("vec_id") < IVFPQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [
+        (row["vec_id"], [float(x) for x in row["embedding"]]) for row in q_rows
+    ]
+    exact_rows = [
+        (r["query_id"], r["neighbor_id"])
+        for r in exact_l2_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .collect()
+    ]
+    exact = spark.createDataFrame(
+        exact_rows, "query_id long, neighbor_id long"
+    )
+    # coverage ceiling, driver-side over BOUNDED inputs only: the
+    # per-query probed-cell ranking (same rounded-cosine, ties to
+    # smallest cid, as the search path) and the exact neighbors'
+    # assigned cells read from the persisted code lists
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    cos = _rounded_centroid_cosines(cents)(
+        pd.Series([list(q[1]) for q in queries])
+    )
+    cell_ids = np.arange(len(cents))
+    order = {
+        qid: np.lexsort((cell_ids, -cos[i]))
+        for i, (qid, _) in enumerate(queries)
+    }
+    nids = sorted({nid for _, nid in exact_rows})
+    cell_of = {
+        r["vec_id"]: int(r["cell"])
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vec_id", "cell")
+        .distinct()
+        .filter(F.col("vec_id").isin(nids))
+        .collect()
+    }
+    out = None
+    for n in IVFPQ_NPROBE_SWEEP:
+        cov = sum(
+            1
+            for qid, nid in exact_rows
+            if cell_of[nid] in {int(c) for c in order[qid][:n]}
+        )
+        approx = (
+            ivfpq_topk_from_index(spark, path, queries, k=IVFPQ_K, nprobe=n)
+            .select("query_id", "neighbor_id")
+            .withColumn("m", F.lit(1))
+        )
+        row = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(n).alias("nprobe"),
+                F.count(F.lit(1)).alias("total"),
+                F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
+            )
+            .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
+            .withColumn(
+                "coverage", F.lit(round(cov / len(exact_rows), 4))
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
 def _exact_l2_sql(k: int = IVFPQ_K, nq: int = IVFPQ_NQ, dim: int = 64) -> str:
     return f"""
 SELECT query_id, neighbor_id, d, rank
@@ -670,3 +773,63 @@ SELECT 'ivfpq_refine' AS route,
 FROM exact_pairs e
 LEFT JOIN approx a USING (query_id, neighbor_id)
 """
+
+
+def _nprobe_curve_sql(
+    ncells: int = IVFPQ_NCELLS, nq: int = IVFPQ_NQ, dim: int = 64
+) -> str:
+    """Per swept nprobe: the ADC recall (full IVFADC SQL as a shadowed
+    subquery) and the coverage ceiling, re-derived from scratch — the
+    coarse cell ranking (rounded cosine, ties to smallest cid) gives
+    each query's probed set and each exact neighbor's assigned cell."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+    )
+    coarse = f"""nrm AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, embedding, n AS cn FROM nrm WHERE vec_id < {ncells}),
+cc AS (
+  SELECT e.vec_id, round({dot} / (e.n * c.cn), 9) AS d, c.cid
+  FROM nrm e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS r
+  FROM cc
+),
+assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+exact_pairs AS (
+  SELECT query_id, neighbor_id FROM ({_exact_l2_sql()})
+)"""
+    parts = []
+    for n in IVFPQ_NPROBE_SWEEP:
+        parts.append(f"""SELECT {n} AS nprobe,
+       count(*)::BIGINT AS total,
+       coalesce(sum(a.m), 0)::BIGINT AS hits,
+       round(coalesce(sum(a.m), 0)::DOUBLE / count(*), 4) AS recall,
+       round(count(*) FILTER (WHERE cv.covered)::DOUBLE / count(*), 4)
+         AS coverage
+FROM exact_pairs e
+LEFT JOIN (SELECT query_id, neighbor_id, 1 AS m
+           FROM ({_ivfpq_sql(nprobe=n)})) a
+  USING (query_id, neighbor_id)
+LEFT JOIN (SELECT e2.query_id, e2.neighbor_id, TRUE AS covered
+           FROM exact_pairs e2
+           JOIN assigned asg ON asg.vec_id = e2.neighbor_id
+           JOIN ranked rk ON rk.vec_id = e2.query_id
+                         AND rk.cid = asg.cell AND rk.r <= {n}) cv
+  USING (query_id, neighbor_id)""")
+    return (
+        "WITH "
+        + coarse
+        + "\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY nprobe"
+    )
+
+
+Q_IVFPQ_NPROBE_CURVE_SQL = _nprobe_curve_sql()

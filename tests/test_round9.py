@@ -255,3 +255,21 @@ def test_bpe_heldout_matches_pure_python_reference(spark, tmp_path):
     assert row["chars_total"] == chars
     assert row["tokens_total"] == toks
     assert row["fertility"] == round(chars / toks, 6)
+
+
+# --- nprobe curve: recall bounded by the coverage ceiling --------------------
+
+
+def test_nprobe_curve_recall_bounded_by_coverage(spark):
+    """Per swept nprobe, ADC recall can never exceed the coverage
+    ceiling (a true neighbor outside every probed cell cannot be
+    returned), and coverage is non-decreasing in nprobe (probed sets
+    are nested)."""
+    from data_framework_spark.similarity.ivfpq import q_ivfpq_nprobe_curve
+
+    rows = q_ivfpq_nprobe_curve(spark, SF_SMALL).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    for r in rows:
+        assert r["recall"] <= r["coverage"] + 1e-9, r
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
