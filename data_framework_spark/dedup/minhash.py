@@ -214,6 +214,65 @@ def verified_near_dups(
     )
 
 
+def verified_near_dups_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    probe: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The Arrow-vectorized PROBE-mode route to the exact same pairs
+    as `verified_near_dups` (equality test-pinned): the LSH candidate
+    enumeration is unchanged, but the exact-Jaccard verify swaps the
+    two corpus-sized (doc, shingle) joins for the shared membership-
+    matrix kernel (dedup/ngram.membership_jaccard_pairs) over
+    xxhash64-hashed shingle sets — every probe×doc Jaccard in one
+    corpus-linear Arrow pass, then an inner join against the
+    broadcast candidate set keeps exactly the band-sharing pairs.
+    Identical output: the kernel's 6dp half-away rounding matches
+    F.round, and a 64-bit shingle-hash collision inside one pair's
+    word sets is ~1e-13 (the dedup/ngram.py precedent). Measured at
+    sf0.1: 2.85 → ~1.9 s warm; at 100 TB the win grows — the JVM
+    verify shuffles the full shingle table twice per invocation,
+    this route shuffles only the raw (id, text) rows once.
+
+    Probe normalization invariant the candidate join relies on: in
+    probe mode every candidate pair has at least one probe side, and
+    (a, b) = (least, greatest), so `a` is always comparable with the
+    kernel's min/max normalization."""
+    if probe is None:
+        raise ValueError("verified_near_dups_arrow requires a probe set")
+    from data_framework_spark.dedup.ngram import membership_jaccard_pairs
+
+    pairs = candidate_pairs(
+        lsh_bands(minhash_signatures(docs, id_col, text_col)),
+        probe=probe,
+        max_bucket=max_bucket,
+    )
+    shingle_hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda s: F.xxhash64(s),
+    )
+    # explicit-width repartition before the per-doc gram build, the
+    # dedup/ngram.py convention (AQE would coalesce the byte-small
+    # exchange; mapInPandas consumes each row once, so no
+    # re-evaluation hazard)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    gram_sets = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), shingle_hashes.alias("grams")
+    )
+    probe_rows = (
+        docs.join(F.broadcast(probe), docs[id_col] == probe["doc"])
+        .select(probe["doc"], shingle_hashes.alias("grams"))
+        .collect()
+    )
+    verified = membership_jaccard_pairs(gram_sets, probe_rows, threshold)
+    # candidate filter LAST: the thresholded verified set is small, the
+    # candidate set is bounded by |probe|·bucket — broadcast it
+    return verified.join(F.broadcast(pairs), ["a", "b"])
+
+
 def signature_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Minhash-signature dedup: docs with identical full K-component
     signatures collapse to one representative (min id).
@@ -264,12 +323,16 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS of a bounded probe set (doc_id < 50) vs the full
     corpus — the "find duplicates of these docs" shape whose cost and
     output stay linear in the probe-set size even on a clustered
-    corpus (the all-pairs form measured 9.3M pairs on 5k docs)."""
+    corpus (the all-pairs form measured 9.3M pairs on 5k docs).
+    Served by the Arrow membership-matrix verify (equality to the
+    JVM join route is test-pinned; same oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("doc")
     )
-    return verified_near_dups(docs, "doc_id", "text", threshold=0.9, probe=probe)
+    return verified_near_dups_arrow(
+        docs, "doc_id", "text", threshold=0.9, probe=probe
+    )
 
 
 Q_MINHASH_NEAR_DUPS_SQL = f"""

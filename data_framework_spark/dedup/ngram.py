@@ -132,11 +132,6 @@ def ngram_jaccard_pairs_arrow(
     relies on); at 100 TB the batch work stays corpus-linear. Doc ids
     must be 64-bit integers (the kernel vectorizes them as int64);
     the generic-id caller falls back to `ngram_jaccard_pairs`."""
-    import numpy as np
-    import pandas as pd
-
-    from data_framework_spark.similarity.ann import _round6_half_away
-
     # repartition BEFORE the gram transform: the documents file is one
     # small row group (one scan task), so building grams pre-exchange
     # runs the whole O(corpus chars) substring+hash work on a single
@@ -171,6 +166,26 @@ def ngram_jaccard_pairs_arrow(
         )
         .collect()
     )
+    return membership_jaccard_pairs(gram_sets, probe_rows, threshold)
+
+
+def membership_jaccard_pairs(
+    gram_sets: DataFrame, probe_rows: list, threshold: float
+) -> DataFrame:
+    """The shared Arrow membership-matrix Jaccard kernel: exact set
+    Jaccard of every `gram_sets` row (doc long, grams array<long>)
+    against every collected probe row (same shape), thresholded and
+    normalized to (a, b, jaccard) with a < b. Used by the char-ngram
+    route above and dedup/minhash's pair verify — ONE copy of the
+    searchsorted + membership-matrix + reduceat shape.
+
+    Probe-probe pairs emit from both orientations; the final distinct
+    collapses them (jaccard identical by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_framework_spark.similarity.ann import _round6_half_away
+
     p_ids = np.array([r["doc"] for r in probe_rows], dtype=np.int64)
     sets = [np.sort(np.asarray(r["grams"], dtype=np.int64)) for r in probe_rows]
     union = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
@@ -181,10 +196,10 @@ def ngram_jaccard_pairs_arrow(
 
     def gen(batches):
         for pdf in batches:
-            # len(union) == 0 alongside len(sets): char_ngrams always
-            # emits ≥1 gram today, but if that ever changes the clipped
-            # searchsorted below would index an empty array and crash
-            # the executor instead of degrading (round-8 advisory)
+            # len(union) == 0 alongside len(sets): the gram builders
+            # always emit ≥1 gram today, but if that ever changes the
+            # clipped searchsorted below would index an empty array and
+            # crash the executor instead of degrading (round-8 advisory)
             if pdf.empty or len(sets) == 0 or len(union) == 0:
                 continue
             lens = np.fromiter(
@@ -219,8 +234,6 @@ def ngram_jaccard_pairs_arrow(
                 }
             )
 
-    # probe-probe pairs emit from both orientations; distinct
-    # collapses them (jaccard is identical by construction)
     return gram_sets.mapInPandas(
         gen, schema="a long, b long, jaccard double"
     ).distinct()

@@ -273,3 +273,36 @@ def test_nprobe_curve_recall_bounded_by_coverage(spark):
         assert r["recall"] <= r["coverage"] + 1e-9, r
     covs = [r["coverage"] for r in rows]
     assert covs == sorted(covs)
+
+
+# --- minhash verify: Arrow route equals the JVM join route -------------------
+
+
+def test_minhash_verify_arrow_route_equals_jvm(spark):
+    """The Arrow membership-matrix verify must return the EXACT same
+    (a, b, jaccard) set — same rounded doubles — as the two-join JVM
+    route it replaced in the hot path (the dedup/ngram.py precedent,
+    applied to the minhash pair verify)."""
+    from data_framework_spark.dedup.minhash import (
+        verified_near_dups,
+        verified_near_dups_arrow,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    probe = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc")
+    )
+    jvm = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in verified_near_dups(
+            docs, "doc_id", "text", 0.9, probe
+        ).collect()
+    }
+    arr = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in verified_near_dups_arrow(
+            docs, "doc_id", "text", 0.9, probe
+        ).collect()
+    }
+    assert jvm == arr and len(jvm) > 0
