@@ -306,3 +306,35 @@ def test_minhash_verify_arrow_route_equals_jvm(spark):
         ).collect()
     }
     assert jvm == arr and len(jvm) > 0
+
+
+# --- rotation window arithmetic ---------------------------------------------
+
+
+def test_r9_verify_window_arithmetic():
+    """The driver verifies the FIRST 50 registry entries; the round-9
+    window must be exactly the 3 never-driver-verified round-8
+    additions followed by the 47-query last-green-r6 block (r6-green
+    minus any later driver row), in registry order, no duplicates."""
+    import json
+
+    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
+
+    here = os.path.dirname(__file__)
+    root = os.path.join(here, "..")
+
+    def load(n):
+        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
+            return set(json.load(f))
+
+    assert len(_VERIFY_FIRST) == 50
+    assert len(set(_VERIFY_FIRST)) == 50
+    assert set(_VERIFY_FIRST) <= set(QUERIES)
+    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
+    assert _VERIFY_FIRST[:3] == [
+        "ivfpq_persist_topk",
+        "ivfpq_recall_contract",
+        "bpe_detok_roundtrip",
+    ]
+    last_green_r6 = load(6) - load(7) - load(8)
+    assert set(_VERIFY_FIRST[3:]) == last_green_r6
