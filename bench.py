@@ -70,27 +70,16 @@ def main() -> None:
         "ann_ivf_topk": "ivf_topk",
     }
 
-    def run_all() -> dict[str, float]:
-        # canonical sorted order, NOT registry insertion order: the
-        # registry front-loads the driver's rotating verify window, so
+    def run_subset(names: list[str]) -> dict[str, float]:
+        # THE timing loop (run_all delegates here — one copy of the
+        # eviction/sink/rounding protocol, round-9 review). Canonical
+        # sorted order, NOT registry insertion order: the registry
+        # front-loads the driver's rotating verify window, so
         # iterating it would re-shuffle which queries absorb the cold
         # codegen/JIT charge every round and make cross-round cold
-        # deltas unreadable (round-4 postmortem). Sorted order is
-        # rotation-independent.
-        t: dict[str, float] = {}
-        for name in sorted(QUERIES):
-            if name in _ROUTE_OF:
-                evict_route(spark, sf_dir, _ROUTE_OF[name])
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            t[name] = round(time.perf_counter() - t0, 4)
-        return t
-
-    def run_subset(names: list[str]) -> dict[str, float]:
-        # same timing loop over a subset; binds `spark` late, so the
-        # cold2/cold3 blocks below reuse it after their session swap
+        # deltas unreadable (round-4 postmortem). Binds `spark` late,
+        # so the cold2/cold3 blocks below reuse it after their
+        # session swap.
         t: dict[str, float] = {}
         for name in sorted(names):
             if name not in QUERIES:
@@ -103,6 +92,9 @@ def main() -> None:
             ).save()
             t[name] = round(time.perf_counter() - t0, 4)
         return t
+
+    def run_all() -> dict[str, float]:
+        return run_subset(list(QUERIES))
 
     timings = run_all()  # cold: the driver-comparable headline
     # Warm protocol (round-5 verdict finding 6: this VM's wall times

@@ -240,9 +240,18 @@ def verified_near_dups_arrow(
     Probe normalization invariant the candidate join relies on: in
     probe mode every candidate pair has at least one probe side, and
     (a, b) = (least, greatest), so `a` is always comparable with the
-    kernel's min/max normalization."""
+    kernel's min/max normalization.
+
+    Doc ids must be integers (the kernel vectorizes them as int64 —
+    the same bound as ngram_jaccard_pairs_arrow); generic-id callers
+    fall back to the JVM join route rather than dying with an
+    executor-side cast error (round-9 review)."""
     if probe is None:
         raise ValueError("verified_near_dups_arrow requires a probe set")
+    if dict(docs.dtypes).get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
+        return verified_near_dups(
+            docs, id_col, text_col, threshold, probe, max_bucket
+        )
     from data_framework_spark.dedup.ngram import membership_jaccard_pairs
 
     pairs = candidate_pairs(

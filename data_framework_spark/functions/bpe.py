@@ -244,10 +244,24 @@ w0 AS (
   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 )""")
         if i < n_merges or with_final_words:
+            # tt{i}: the winner, or a ('','') no-op sentinel when no
+            # pair remains — '{os_}{cs}{os_}{cs}' can never occur in a
+            # wrapped word (symbols are non-empty), so the replace is
+            # the identity and the word table rides through unchanged,
+            # which is EXACTLY Spark's early-break semantics. Without
+            # it an empty t{i} CROSS JOIN annihilates every later CTE
+            # and the tokenize/detok/heldout oracles return a
+            # degenerate row while Spark returns real stats
+            # (round-9 review).
+            ctes.append(f"""tt{i} AS (
+  SELECT l, r FROM t{i}
+  UNION ALL
+  SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM t{i})
+)""")
             ctes.append(f"""w{i} AS (
   SELECT {wcol_w}replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
                  '{os_}' || t.l || t.r || '{cs}') AS w, w.freq
-  FROM w{prev} w CROSS JOIN t{i} t
+  FROM w{prev} w CROSS JOIN tt{i} t
 )""")
     return ctes
 
@@ -522,11 +536,13 @@ def _bpe_heldout_sql(
   FROM wf WHERE {hf} < {frac}
 )""")
     for i in range(1, n_merges + 1):
+        # tt{i}, not t{i}: the no-op sentinel keeps the held-out chain
+        # alive past an early merge exhaustion (see _bpe_ctes)
         ctes.append(f"""h{i} AS (
   SELECT h.word,
          replace(h.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
                  '{os_}' || t.l || t.r || '{cs}') AS w, h.freq
-  FROM h{i - 1} h CROSS JOIN t{i} t
+  FROM h{i - 1} h CROSS JOIN tt{i} t
 )""")
     ctes.append(f"""hs AS (
   SELECT word, freq,

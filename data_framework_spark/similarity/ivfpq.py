@@ -48,6 +48,8 @@ production knobs, and both drop in without touching the contract.
 
 from __future__ import annotations
 
+import math
+
 from typing import Iterator
 
 import numpy as np
@@ -677,6 +679,13 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qid, nid in exact_rows
             if cell_of[nid] in {int(c) for c in order[qid][:n]}
         )
+        # half-away-from-zero at 4dp (the repo convention, matching
+        # SQL round() on both engines) — Python's builtin round is
+        # banker's and would diverge from the oracle the moment
+        # total stops being a power-of-10 divisor (round-9 review)
+        cov_frac = (
+            math.floor(cov / len(exact_rows) * 1e4 + 0.5) / 1e4
+        )
         approx = (
             ivfpq_topk_from_index(spark, path, queries, k=IVFPQ_K, nprobe=n)
             .select("query_id", "neighbor_id")
@@ -690,9 +699,7 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
             )
             .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
-            .withColumn(
-                "coverage", F.lit(round(cov / len(exact_rows), 4))
-            )
+            .withColumn("coverage", F.lit(cov_frac))
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("nprobe")

@@ -65,13 +65,19 @@ _INDEX_DIRS: dict[tuple[str, str, str, tuple], str] = {}
 def _sf_fingerprint(sf_dir: str) -> tuple:
     """Cheap content fingerprint of a data directory: sorted
     (relpath, mtime_ns, size) over its parquet files (one os.walk,
-    no data read)."""
+    no data read). A file that vanishes between the walk and the stat
+    (a concurrent overwrite-mode rewrite — exactly the scenario the
+    fingerprint exists for) is skipped rather than crashing: the
+    changed fingerprint then triggers the rebuild (round-9 review)."""
     out = []
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
-                st = os.stat(p)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
                 out.append(
                     (os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size)
                 )
@@ -81,12 +87,27 @@ def _sf_fingerprint(sf_dir: str) -> tuple:
 def session_index_dir(spark, sf_dir: str, prefix: str, build) -> str:
     """Return the on-disk index dir for (session, sf_dir, prefix),
     invoking `build(path)` exactly once per session per source-data
-    fingerprint to create it."""
+    fingerprint to create it. A fingerprint change EVICTS the
+    superseded entry and deletes its on-disk index (the stale index
+    must not be served, and N mid-session rewrites must not hoard N
+    dead index trees until process exit — round-9 review); a caller
+    holding an unmaterialized frame over the stale index loses it,
+    which is the correct failure for a frame whose source data was
+    rewritten underneath it."""
     app = spark.sparkContext.applicationId
     for key in [k for k in _INDEX_DIRS if k[0] != app]:
         del _INDEX_DIRS[key]
     key = (app, sf_dir, prefix, _sf_fingerprint(sf_dir))
     if key not in _INDEX_DIRS:
+        for old in [
+            k
+            for k in _INDEX_DIRS
+            if k[:3] == (app, sf_dir, prefix) and k != key
+        ]:
+            stale = _INDEX_DIRS.pop(old)
+            shutil.rmtree(stale, ignore_errors=True)
+            if stale in _SCRATCH_DIRS:
+                _SCRATCH_DIRS.remove(stale)
         path = _scratch_dir(prefix)
         build(path)
         _INDEX_DIRS[key] = path

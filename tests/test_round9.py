@@ -338,3 +338,58 @@ def test_r9_verify_window_arithmetic():
     ]
     last_green_r6 = load(6) - load(7) - load(8)
     assert set(_VERIFY_FIRST[3:]) == last_green_r6
+
+
+# --- BPE oracles survive early merge exhaustion ------------------------------
+
+
+def test_bpe_oracles_match_spark_when_merges_exhaust_early(spark, tmp_path):
+    """A corpus whose pair supply runs out before BPE_MERGES merges:
+    Spark's learner breaks early; the SQL chain must ride the no-op
+    sentinel (tt{i}) through the remaining steps instead of
+    annihilating the word table via an empty CROSS JOIN (round-9
+    review). Parity checked for merges, tokenize, detok, and the
+    held-out coverage oracle on the same tiny corpus."""
+    import duckdb
+
+    from data_framework_spark.functions.bpe import (
+        Q_BPE_DETOK_ROUNDTRIP_SQL,
+        Q_BPE_HELDOUT_COVERAGE_SQL,
+        Q_BPE_MERGES_SQL,
+        Q_BPE_TOKENIZE_SQL,
+        q_bpe_detok_roundtrip,
+        q_bpe_heldout_coverage,
+        q_bpe_merges,
+        q_bpe_tokenize,
+    )
+
+    # "ab" supports exactly ONE merge (a,b) -> single symbol; the
+    # single-char words supply none. 1 < BPE_MERGES=6.
+    texts = ["ab ab a b c", "ab a b", "c c ab"]
+    sf = str(tmp_path / "sfe")
+    spark.createDataFrame(
+        [(i, "hand", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+
+    for fn, sql in (
+        (q_bpe_merges, Q_BPE_MERGES_SQL),
+        (q_bpe_tokenize, Q_BPE_TOKENIZE_SQL),
+        (q_bpe_detok_roundtrip, Q_BPE_DETOK_ROUNDTRIP_SQL),
+        (q_bpe_heldout_coverage, Q_BPE_HELDOUT_COVERAGE_SQL),
+    ):
+        srows = sorted(tuple(r) for r in fn(spark, sf).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        norm = lambda rows: [
+            tuple(float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else v for v in r)
+            for r in rows
+        ]
+        assert norm(srows) == norm(drows), (fn.__name__, srows, drows)
+    # sanity: the learner really did stop early on this corpus
+    assert q_bpe_merges(spark, sf).count() < 6
