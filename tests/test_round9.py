@@ -393,3 +393,63 @@ def test_bpe_oracles_match_spark_when_merges_exhaust_early(spark, tmp_path):
         assert norm(srows) == norm(drows), (fn.__name__, srows, drows)
     # sanity: the learner really did stop early on this corpus
     assert q_bpe_merges(spark, sf).count() < 6
+
+
+# --- shared membership kernel: property parity vs pure Python ----------------
+
+
+def test_membership_kernel_property_parity(spark):
+    """membership_jaccard_pairs vs a pure-Python set-Jaccard reference
+    on randomized tiny corpora (hypothesis): same pairs, same 6dp
+    half-away values, for every probe subset."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_framework_spark.dedup.ngram import membership_jaccard_pairs
+
+    @given(st.data())
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(data):
+        n_docs = data.draw(st.integers(2, 8))
+        grams = {
+            d: data.draw(
+                st.lists(
+                    st.integers(-5, 5), min_size=1, max_size=6, unique=True
+                )
+            )
+            for d in range(n_docs)
+        }
+        n_probe = data.draw(st.integers(1, n_docs))
+        threshold = data.draw(st.sampled_from([0.0, 0.2, 0.5, 1.0]))
+        probe_ids = list(range(n_probe))
+        gram_df = spark.createDataFrame(
+            [(d, g) for d, g in grams.items()], "doc long, grams array<long>"
+        )
+        probe_rows = [
+            {"doc": d, "grams": grams[d]} for d in probe_ids
+        ]
+        got = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in membership_jaccard_pairs(
+                gram_df, probe_rows, threshold
+            ).collect()
+        }
+        want = set()
+        for p in probe_ids:
+            for d in range(n_docs):
+                if d == p:
+                    continue
+                inter = len(set(grams[p]) & set(grams[d]))
+                union = len(set(grams[p]) | set(grams[d]))
+                j = math.floor(inter / union * 1e6 + 0.5) / 1e6
+                if j >= threshold:
+                    want.add((min(p, d), max(p, d), j))
+        assert got == want, (grams, probe_ids, threshold)
+
+    run()
