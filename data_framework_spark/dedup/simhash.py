@@ -37,28 +37,36 @@ BAND_WIDTH = BITS // BANDS
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, simhash) — 32-bit SimHash of the token-frequency vector."""
+    """(doc, simhash) — 32-bit SimHash of the token-frequency vector.
+
+    Round-9 shape: ONE shuffle. The old explode → groupBy(doc, tok)
+    → groupBy(doc) pre-aggregated term frequencies and then summed
+    ±cnt per bit — but Σ_occurrences ±1 ≡ Σ_tokens ±cnt over
+    integers, so the per-(doc, tok) exchange bought nothing: folding
+    the ±1 contributions per OCCURRENCE straight into the per-doc
+    aggregate drops one full exchange, and the map-side partial agg
+    compresses each partition to n_docs × 32 longs before the one
+    remaining shuffle. The token hash is projected ONCE per
+    occurrence (not once per bit — 32 md5 calls per token without
+    the explicit projection)."""
     from data_framework_spark.sources.tables import widen_scan
 
     docs = widen_scan(docs)  # token explode at full width on small files
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-        )
-        .groupBy("doc", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("doc", h.alias("h"))
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(BITS)
     ]
-    sums = tf.groupBy("doc").agg(*bit_sums)
+    sums = tok.groupBy("doc").agg(*bit_sums)
     sig = None
     for b in range(BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
