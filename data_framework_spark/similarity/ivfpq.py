@@ -174,26 +174,28 @@ def ivfpq_index_write(
         res.unpersist()
 
 
-def ivfpq_topk_from_index(
-    spark: SparkSession,
-    path: str,
-    queries: list,  # [(query_id, embedding list)] — bounded
-    k: int = IVFPQ_K,
-    nprobe: int = IVFPQ_NPROBE,
-) -> DataFrame:
-    """ADC search against a RELOADED index: per (query, probed cell)
-    the residual lookup table, broadcast into the codes join; the
-    scan reads only the probed cells' code lists."""
+def _load_index_driver_side(spark: SparkSession, path: str):
+    """(cents, books): the two bounded index components every search
+    needs driver-side — ncells centroid rows + PQ_M·PQ_K codebook
+    rows."""
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
-    C = np.asarray(cents, dtype=np.float64)
     book_rows = spark.read.parquet(f"{path}/pq_books").collect()
     books = np.zeros((PQ_M, PQ_K, _SUB), dtype=np.float64)
     for r in book_rows:
         books[r["subspace"], r["code"]] = [float(x) for x in r["vec"]]
+    return cents, books
 
+
+def _adc_lut(cents: list, books: np.ndarray, queries: list, nprobe: int):
+    """Driver-side ADC lookup table over the top-`nprobe` probed cells
+    per query: [(query_id, cell, rank, subspace, code, dlook)] with
+    rank = the cell's 1-based probe position (rounded-cosine order,
+    ties to smallest cid). dlook uses the sequential subspace fold in
+    written order — bitwise the oracle's list_sum."""
+    C = np.asarray(cents, dtype=np.float64)
     cos_matrix = _rounded_centroid_cosines(cents)
     cell_ids = np.arange(len(cents))
     q_ids = [int(q[0]) for q in queries]
@@ -202,7 +204,7 @@ def ivfpq_topk_from_index(
     lut = []
     for qi, qid in enumerate(q_ids):
         probed = np.lexsort((cell_ids, -cos[qi]))[:nprobe]
-        for cell in probed:
+        for rank, cell in enumerate(probed, start=1):
             qres = Q[qi] - C[cell]
             for s in range(PQ_M):
                 qs = qres[s * _SUB : (s + 1) * _SUB]
@@ -214,10 +216,26 @@ def ivfpq_topk_from_index(
                 d = _round9(acc)
                 for code in range(PQ_K):
                     lut.append(
-                        (qid, int(cell), s, code, float(d[code]))
+                        (qid, int(cell), rank, s, code, float(d[code]))
                     )
+    return lut
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: list,  # [(query_id, embedding list)] — bounded
+    k: int = IVFPQ_K,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """ADC search against a RELOADED index: per (query, probed cell)
+    the residual lookup table, broadcast into the codes join; the
+    scan reads only the probed cells' code lists."""
+    cents, books = _load_index_driver_side(spark, path)
+    lut = _adc_lut(cents, books, queries, nprobe)
     lut_df = spark.createDataFrame(
-        lut, "query_id long, cell int, subspace int, code int, dlook double"
+        [(q, c, s, co, d) for q, c, _rank, s, co, d in lut],
+        "query_id long, cell int, subspace int, code int, dlook double",
     )
     # static partition pruning: the probed cell set is known driver-
     # side, so push it as a literal isin — the cell-partitioned codes
@@ -619,7 +637,16 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured flat ADC recall under a rising coverage is the sharp
     form of the refine-floor note — ADC ranking, not coverage, is
     the binding constraint at small nprobe, and the refine route is
-    what converts added coverage into recall."""
+    what converts added coverage into recall.
+
+    Plan shape: the whole sweep is ONE codes-scan job, not one per
+    nprobe (measured 6.3 → ~2 s warm at sf0.1). The LUT carries each
+    probed cell's RANK; dlook depends only on (query, cell), so a
+    joined code row belongs to every swept nprobe ≥ its rank — an
+    `explode(filter(SWEEP, n -> n >= rank))` replicates it to exactly
+    those sweeps, one subspace-ordered fold + one window over
+    (nprobe, query) ranks all four curves together, and the recall
+    join runs once against the exact×sweep grid."""
     from data_framework_spark.sources.formats import session_index_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -644,25 +671,58 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .collect()
     ]
-    exact = spark.createDataFrame(
-        exact_rows, "query_id long, neighbor_id long"
+    max_n = max(IVFPQ_NPROBE_SWEEP)
+    cents, books = _load_index_driver_side(spark, path)
+    lut = _adc_lut(cents, books, queries, max_n)
+    lut_df = spark.createDataFrame(
+        lut,
+        "query_id long, cell int, rank int, subspace int, code int, "
+        "dlook double",
+    )
+    probed_cells = sorted({row[1] for row in lut})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    sweep_arr = F.array(*[F.lit(n) for n in IVFPQ_NPROBE_SWEEP])
+    joined = (
+        codes.join(F.broadcast(lut_df), ["cell", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "subspace",
+            "dlook",
+            F.explode(
+                F.filter(sweep_arr, lambda n: n >= F.col("rank"))
+            ).alias("nprobe"),
+        )
+    )
+    scored = joined.groupBy("nprobe", "query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("dlook")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["dlook"],
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= IVFPQ_K)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("m"))
     )
     # coverage ceiling, driver-side over BOUNDED inputs only: the
-    # per-query probed-cell ranking (same rounded-cosine, ties to
-    # smallest cid, as the search path) and the exact neighbors'
-    # assigned cells read from the persisted code lists
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
-    cos = _rounded_centroid_cosines(cents)(
-        pd.Series([list(q[1]) for q in queries])
-    )
-    cell_ids = np.arange(len(cents))
-    order = {
-        qid: np.lexsort((cell_ids, -cos[i]))
-        for i, (qid, _) in enumerate(queries)
-    }
+    # per-query probed-cell ranking is already in the LUT; the exact
+    # neighbors' assigned cells come from the persisted code lists.
+    # Half-away-from-zero at 4dp (Python round is banker's and would
+    # diverge from the oracle's round() — round-9 review).
+    probe_rank = {(q, c): r for q, c, r, s, co, d in lut if s == 0 and co == 0}
     nids = sorted({nid for _, nid in exact_rows})
     cell_of = {
         r["vec_id"]: int(r["cell"])
@@ -672,37 +732,37 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id").isin(nids))
         .collect()
     }
-    out = None
+    cov_rows = []
     for n in IVFPQ_NPROBE_SWEEP:
         cov = sum(
             1
             for qid, nid in exact_rows
-            if cell_of[nid] in {int(c) for c in order[qid][:n]}
+            if probe_rank.get((qid, cell_of[nid]), max_n + 1) <= n
         )
-        # half-away-from-zero at 4dp (the repo convention, matching
-        # SQL round() on both engines) — Python's builtin round is
-        # banker's and would diverge from the oracle the moment
-        # total stops being a power-of-10 divisor (round-9 review)
-        cov_frac = (
-            math.floor(cov / len(exact_rows) * 1e4 + 0.5) / 1e4
+        cov_rows.append(
+            (n, math.floor(cov / len(exact_rows) * 1e4 + 0.5) / 1e4)
         )
-        approx = (
-            ivfpq_topk_from_index(spark, path, queries, k=IVFPQ_K, nprobe=n)
-            .select("query_id", "neighbor_id")
-            .withColumn("m", F.lit(1))
+    cov_df = spark.createDataFrame(cov_rows, "nprobe int, coverage double")
+    exact_sweep = spark.createDataFrame(
+        [
+            (n, qid, nid)
+            for n in IVFPQ_NPROBE_SWEEP
+            for qid, nid in exact_rows
+        ],
+        "nprobe int, query_id long, neighbor_id long",
+    )
+    return (
+        exact_sweep.join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
         )
-        row = (
-            exact.join(approx, ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.lit(n).alias("nprobe"),
-                F.count(F.lit(1)).alias("total"),
-                F.coalesce(F.sum("m"), F.lit(0)).alias("hits"),
-            )
-            .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
-            .withColumn("coverage", F.lit(cov_frac))
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("nprobe")
+        .withColumn("recall", F.round(F.col("hits") / F.col("total"), 4))
+        .join(F.broadcast(cov_df), "nprobe")
+        .select("nprobe", "total", "hits", "recall", "coverage")
+        .orderBy("nprobe")
+    )
 
 
 def _exact_l2_sql(k: int = IVFPQ_K, nq: int = IVFPQ_NQ, dim: int = 64) -> str:
