@@ -12,10 +12,12 @@ distance tracks cosine similarity of the term-frequency vectors:
    term hash is set else −weight),
 4. signature bit b = 1 iff that sum is positive.
 
-Everything is JVM-side column arithmetic — explode → groupBy(doc,tok)
-→ groupBy(doc) with B sum aggregates; two shuffles keyed by doc, both
-with map-side partial aggregation, output linear in documents. B=32
-keeps the signature in a plain BIGINT on both engines.
+Everything is JVM-side column arithmetic — token explode folding the
+per-occurrence ±1 contributions straight into ONE per-doc aggregate
+with B sums (see simhash() for why the per-(doc, tok) pre-aggregate
+was dropped); one shuffle keyed by doc with map-side partial
+aggregation, output linear in documents. B=32 keeps the signature in
+a plain BIGINT on both engines.
 
 Near-dup pairs use the standard Hamming-band trick: split the B bits
 into `BANDS` contiguous byte bands; signatures within Hamming

@@ -20,8 +20,8 @@ oracle comparison.
 
 from __future__ import annotations
 
+import itertools
 import logging
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -158,16 +158,23 @@ def bucketed_topk(
     `probe_hamming` of it — a near neighbor that lands just across one
     hyperplane differs in exactly one signature bit, so probing the
     n_planes Hamming-1 buckets lifts recall precisely where single-
-    bucket LSH loses it (boundary vectors) at (1 + n_planes)/2^n_planes
-    of the corpus per query instead of 1/2^n_planes.
+    bucket LSH loses it (boundary vectors); radius r probes every
+    XOR mask of popcount ≤ r, Σ_{i≤r} C(n_planes, i) buckets per
+    query out of 2^n_planes.
 
     The join stays an equi-join on bucket id — the query side explodes
-    into its probe set (tiny: |queries| × (1 + n_planes) rows,
+    into its probe set (tiny: |queries| × Σ C(n_planes, i) rows,
     broadcast), the corpus side is untouched; each (query, candidate)
     pair appears at most once because a corpus vector has one bucket
-    and the probe buckets are distinct. probe_hamming=0 recovers
+    and the probe buckets are distinct (distinct XOR masks of one
+    bucket are distinct buckets). probe_hamming=0 recovers
     single-bucket LSH.
     """
+    if not 0 <= probe_hamming <= n_planes:
+        raise ValueError(
+            f"probe_hamming must be in [0, n_planes={n_planes}], "
+            f"got {probe_hamming}"
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -179,12 +186,14 @@ def bucketed_topk(
         signature_bits(F.col(vec_col), n_planes, dim),
     )
     if probe_hamming >= 1:
+        masks = [
+            sum(1 << p for p in combo)
+            for r in range(1, probe_hamming + 1)
+            for combo in itertools.combinations(range(n_planes), r)
+        ]
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(n_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
         )
         q = q.withColumn("bucket", F.explode(probes))
     scored = (
@@ -298,6 +307,10 @@ def blocked_cosine_pairs(
 # different scale factor never sees a stale entry.
 _ROUTE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# One live persisted band-signature frame per session for
+# lsh_bucketed_pairs (see the persist comment there): app -> frame.
+_TAGGED_CACHE: dict[str, DataFrame] = {}
+
 
 def cached_route(
     spark: SparkSession, sf_dir: str, route: str, build
@@ -352,8 +365,6 @@ def signature_bits_arrow(n_planes: int, dim: int):
     same way, so the two engines' different summation orders (pairwise
     BLAS vs sequential list_sum) cannot flip a sign at the boundary.
     Returns a pandas_udf producing the signature as a long."""
-    from pyspark.sql.functions import pandas_udf
-
     P = np.asarray(
         [_hyperplane(p, dim) for p in range(n_planes)], dtype=np.float64
     )
@@ -702,12 +713,29 @@ def lsh_bucketed_pairs(
         F.col(vec_col).alias("vec"),
         F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
     )
+    # The eager stats job below would otherwise run the full band
+    # GEMM once for the counts and AGAIN when the returned pairs
+    # execute (plus a third corpus scan for count()). Persist tagged
+    # so the signature pass runs once; n_total needs no extra scan
+    # because posexplode emits exactly n_bands rows per vector, so
+    # N = Σn / n_bands from the same aggregate. One persisted frame
+    # per session is kept live (the previous invocation's is
+    # unpersisted) so repeated bench invocations don't pin memory.
+    app = corpus.sparkSession.sparkContext.applicationId
+    for k in [k for k in _TAGGED_CACHE if k != app]:
+        _TAGGED_CACHE.pop(k)
+    prev = _TAGGED_CACHE.pop(app, None)
+    if prev is not None:
+        prev.unpersist()
+    tagged = tagged.persist()
+    _TAGGED_CACHE[app] = tagged
 
     sizes = tagged.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
     stats = sizes.agg(
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand")
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand"),
+        (F.sum("n") / n_bands).cast("long").alias("n_total"),
     ).collect()[0]
-    n_total = corpus.count()
+    n_total = int(stats["n_total"] or 0)
     logger.info(
         "lsh_bucketed_pairs: %d candidate pairs across %d bands vs %d "
         "all-pairs (%.1f%%)",

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from data_framework_spark.similarity.ann import cosine, l2_norm
+from data_framework_spark.similarity.ann import cosine
 from data_framework_spark.sources.tables import load_table
 
 

@@ -314,7 +314,24 @@ def exact_l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k baseline for the recall contract —
     JVM-side sequential fold (zip_with + aggregate) matching DuckDB's
-    list_sum order so both engines rank identical 6dp distances."""
+    list_sum order so both engines rank identical 6dp distances.
+
+    Session-cached via ann.cached_route (keyed by k): the three IVFPQ
+    contract queries (recall, refine-recall, nprobe curve) all consume
+    this identical baseline — the most expensive exact scan in the
+    module — so without the cache one session running all three
+    executes the corpus×NQ crossJoin three times."""
+    from data_framework_spark.similarity.ann import cached_route
+
+    return cached_route(
+        spark, sf_dir, f"exact_l2_k{k}",
+        lambda: _exact_l2_topk_build(spark, sf_dir, k),
+    )
+
+
+def _exact_l2_topk_build(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

@@ -79,7 +79,6 @@ def assign_pq_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
     distance accumulation is SEQUENTIAL over the _SUB dims (explicit
     left-to-right adds, not np.sum's pairwise tree) to mirror the
     oracle's list_sum fold."""
-    spark = emb.sparkSession
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

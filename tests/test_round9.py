@@ -453,3 +453,49 @@ def test_membership_kernel_property_parity(spark):
         assert got == want, (grams, probe_ids, threshold)
 
     run()
+
+
+# --- bucketed_topk: multi-probe radius contract ------------------------------
+
+
+def test_bucketed_topk_probe_radius_contract(spark):
+    """probe_hamming=r must probe EVERY bucket within Hamming distance
+    r (review finding: r>1 silently degraded to the radius-1 probe
+    set). Pinned structurally: candidate coverage grows monotonically
+    with the radius, radius=n_planes probes the whole hypercube (every
+    corpus vector is a candidate for every query), and out-of-range
+    radii raise instead of silently clamping."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_framework_spark.similarity.ann import bucketed_topk
+
+    rng = np.random.RandomState(7)
+    n, dim, n_planes = 60, 8, 4
+    rows = [
+        (int(i), [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    corpus = spark.createDataFrame(rows, "vid long, vec array<double>")
+    queries = corpus.filter(F.col("vid") < 3)
+
+    def cands(r):
+        out = bucketed_topk(
+            corpus, queries, "vid", "vec",
+            k=n, n_planes=n_planes, dim=dim, probe_hamming=r,
+        )
+        return {
+            (x["query_id"], x["neighbor_id"]) for x in out.collect()
+        }
+
+    c0, c1, c2, c_all = cands(0), cands(1), cands(2), cands(n_planes)
+    assert c0 <= c1 <= c2 <= c_all
+    # full-radius probing covers the entire hypercube: all (q, c) pairs
+    assert len(c_all) == 3 * (n - 1)
+    # with 60 random vectors over 16 buckets, radius 2 must genuinely
+    # widen coverage beyond radius 1 (C(4,2)=6 extra buckets/query)
+    assert c1 < c2
+
+    with _pytest.raises(ValueError):
+        cands(n_planes + 1)
+    with _pytest.raises(ValueError):
+        cands(-1)
