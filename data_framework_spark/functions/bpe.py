@@ -92,6 +92,26 @@ def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
     return top[0]["l"], top[0]["r"], int(top[0]["cnt"])
 
 
+def _apply_merges(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Chain the learned merges onto the wrapped-word column `w`, in
+    order — one literal replace per merge; every other column rides
+    through (Catalyst prunes unused ones). The SINGLE definition all
+    apply paths (train iteration, tokenize, detok, held-out) share,
+    so a delimiter or ordering change cannot drift between them."""
+    for _, left, right, _cnt in merges:
+        words = words.withColumn(
+            "w",
+            F.replace(
+                F.col("w"),
+                F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
+                F.lit(f"{_OS}{left}{right}{_CS}"),
+            ),
+        )
+    return words
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
@@ -116,14 +136,7 @@ def learn_bpe_merges(
                 break
             left, right, cnt = got
             merges.append((rank, left, right, cnt))
-            words = words.select(
-                F.replace(
-                    F.col("w"),
-                    F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
-                    F.lit(f"{_OS}{left}{right}{_CS}"),
-                ).alias("w"),
-                "freq",
-            )
+            words = _apply_merges(words, merges[-1:])
     finally:
         if own_persist:
             base.unpersist()
@@ -156,18 +169,18 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted vocab frame feeds both the merge learning and the
     # final tokenization accounting
     base = _wrapped_words(docs).persist()
-    base.count()
-    merges = learn_bpe_merges(docs, words=base)
-    words = base
-    for _, left, right, _cnt in merges:
-        words = words.select(
-            F.replace(
-                F.col("w"),
-                F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
-                F.lit(f"{_OS}{left}{right}{_CS}"),
-            ).alias("w"),
-            "freq",
-        )
+    try:
+        base.count()
+        merges = learn_bpe_merges(docs, words=base)
+        words = _apply_merges(base, merges)
+        return _tokenize_accounting(spark, words)
+    finally:
+        base.unpersist()
+
+
+def _tokenize_accounting(
+    spark: SparkSession, words: DataFrame
+) -> DataFrame:
     syms = F.split(
         F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
     )
@@ -195,9 +208,8 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         "vocab_symbols",
     )
-    # materialize before releasing the shared vocab frame
+    # materialize before the caller releases the shared vocab frame
     pdf = out.toPandas()
-    base.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
@@ -318,6 +330,11 @@ FROM tot CROSS JOIN voc
 Q_BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 
 
+# One live persisted vocab frame per session backing the (lazy,
+# corpus-sized) detok-roundtrip result: app -> frame.
+_DETOK_SCRATCH: dict[str, DataFrame] = {}
+
+
 def q_bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECODE integrity audit a tokenizer rollout ships with:
     apply the learned merges, then INVERT the tokenization
@@ -339,19 +356,15 @@ def q_bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one linear pass, the same shape as every per-doc text pass in
     functions/corpus.py."""
     docs = load_table(spark, sf_dir, "documents")
+    app = spark.sparkContext.applicationId
     base = _wrapped_words(docs).persist()
-    base.count()
-    merges = learn_bpe_merges(docs, words=base)
-    words = base
-    for _, left, right, _cnt in merges:
-        words = words.select(
-            "word",
-            F.replace(
-                F.col("w"),
-                F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
-                F.lit(f"{_OS}{left}{right}{_CS}"),
-            ).alias("w"),
-        )
+    try:
+        base.count()
+        merges = learn_bpe_merges(docs, words=base)
+        words = _apply_merges(base, merges)
+    except BaseException:
+        base.unpersist()
+        raise
     syms = F.split(
         F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
     )
@@ -375,10 +388,19 @@ def q_bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    # materialize before releasing the shared vocab frame
-    pdf = out.toPandas()
-    base.unpersist()
-    return spark.createDataFrame(pdf, schema=out.schema)
+    # UNLIKE the 1-row tokenize/heldout outputs, this result is
+    # corpus-sized (one row per document) — materializing it through
+    # the driver to release the vocab frame would be a driver OOM at
+    # the module's 100 TB posture. Instead the (vocab-sized) base
+    # stays persisted and tracked, one live frame per session, the
+    # previous invocation's released here (ann._TAGGED_CACHE pattern).
+    for k in [k for k in _DETOK_SCRATCH if k != app]:
+        del _DETOK_SCRATCH[k]
+    prev = _DETOK_SCRATCH.pop(app, None)
+    if prev is not None:
+        prev.unpersist()
+    _DETOK_SCRATCH[app] = base
+    return out
 
 
 def _bpe_detok_sql(n_merges: int = BPE_MERGES) -> str:
@@ -443,35 +465,46 @@ def q_bpe_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_framework_spark.functions.sampling import hash_fraction
 
     allw = _wrapped_words(docs).persist()
-    allw.count()
-    frac = hash_fraction(F.col("word"))
-    train = allw.filter(frac >= F.lit(BPE_HELDOUT_FRAC))
-    held = allw.filter(frac < F.lit(BPE_HELDOUT_FRAC))
-    merges = learn_bpe_merges(docs, words=train)
+    try:
+        allw.count()
+        frac = hash_fraction(F.col("word"))
+        train = allw.filter(frac >= F.lit(BPE_HELDOUT_FRAC))
+        held = allw.filter(frac < F.lit(BPE_HELDOUT_FRAC))
+        merges = learn_bpe_merges(docs, words=train)
+        return _heldout_accounting(spark, train, held, merges)
+    finally:
+        allw.unpersist()
 
-    def apply_merges(words: DataFrame) -> DataFrame:
-        for _, left, right, _cnt in merges:
-            words = words.select(
-                "word",
-                F.replace(
-                    F.col("w"),
-                    F.lit(f"{_OS}{left}{_CS}{_OS}{right}{_CS}"),
-                    F.lit(f"{_OS}{left}{right}{_CS}"),
-                ).alias("w"),
-                "freq",
-            )
-        return words
 
+def _heldout_accounting(
+    spark: SparkSession,
+    train: DataFrame,
+    held: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
     syms = F.split(
         F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
     )
+    # The known-symbol vocabulary is the REAL BPE vocab: train
+    # initial CHARACTERS ∪ merge OUTPUT symbols. Post-merge surviving
+    # train symbols alone understate it — a symbol consumed by a
+    # later merge everywhere it occurs in train (e.g. 'ab' once every
+    # train 'ab' merged on into 'abc') vanishes from the merged train
+    # word table but IS in the vocab (it is merge 1's output), and a
+    # held-out word can legitimately tokenize to it (round-9 review:
+    # the old form reported false UNKs, contradicting the char-level
+    # UNK-source invariant documented above).
+    tchars = train.select(F.explode(syms).alias("sym"))
+    tmerged = spark.createDataFrame(
+        [(left + right,) for _, left, right, _cnt in merges],
+        "sym string",
+    )
     tsym = (
-        apply_merges(train)
-        .select(F.explode(syms).alias("sym"))
+        tchars.union(tmerged)
         .distinct()
         .withColumn("known", F.lit(1))
     )
-    hs = apply_merges(held).select(
+    hs = _apply_merges(held, merges).select(
         "word",
         "freq",
         syms.alias("syms"),
@@ -488,8 +521,13 @@ def q_bpe_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_heldout_words"),
             F.sum("freq").alias("heldout_occurrences"),
-            F.sum(
-                F.when(F.col("covered"), F.col("freq")).otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("covered"), F.col("freq")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0).cast("long"),
             ).alias("covered_occurrences"),
             F.sum(F.col("freq") * F.col("content_chars")).alias("chars_total"),
             F.sum(F.col("freq") * F.size("syms")).alias("tokens_total"),
@@ -508,9 +546,8 @@ def q_bpe_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
-    # materialize before releasing the shared vocab frame
+    # materialize before the caller releases the shared vocab frame
     pdf = out.toPandas()
-    allw.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
@@ -526,10 +563,23 @@ def _bpe_heldout_sql(
         with_final_words=True,
         w0_where=f"\n  WHERE {hf} >= {frac}",
     )
+    # Known-symbol vocab = train initial characters (w0 is the
+    # train-sliced unmerged table) ∪ merge output symbols — matches
+    # the Spark side's real-BPE-vocab construction; the tt{i}
+    # sentinel rows contribute '' which never equals a (non-empty)
+    # held-out symbol, so they are inert in the coverage join.
+    merge_syms = "\n    UNION ALL\n    ".join(
+        f"SELECT l || r AS sym FROM tt{i}"
+        for i in range(1, n_merges + 1)
+    )
     ctes.append(f"""tsym AS (
-  SELECT DISTINCT unnest(string_split(substring(w, 2, length(w) - 2),
-                                      '{cs}{os_}')) AS sym
-  FROM w{n_merges}
+  SELECT DISTINCT sym FROM (
+    SELECT unnest(string_split(substring(w, 2, length(w) - 2),
+                               '{cs}{os_}')) AS sym
+    FROM w0
+    UNION ALL
+    {merge_syms}
+  )
 )""")
     ctes.append(f"""h0 AS (
   SELECT word, regexp_replace(word, '(.)', '{os_}\\1{cs}', 'g') AS w, freq

@@ -21,7 +21,10 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from data_framework_spark.functions.sampling import hash_fraction
+from data_framework_spark.functions.sampling import (
+    HASH_FRACTION_SQL_TMPL,
+    hash_fraction,
+)
 from data_framework_spark.functions.text import (
     STOPWORDS,
     avg_token_len,
@@ -239,9 +242,12 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the one mandated DuckDB spelling of hash_fraction(doc_id) -- see
+# sampling.HASH_FRACTION_SQL_TMPL's lockstep note
+_HF_DOC = HASH_FRACTION_SQL_TMPL.format(key="doc_id")
+
 Q_SHARD_ASSIGN_SQL = f"""
-SELECT floor((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
-              / 4294967296.0) * {N_SHARDS})::BIGINT AS shard,
+SELECT floor({_HF_DOC} * {N_SHARDS})::BIGINT AS shard,
        count(*) AS n_docs,
        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
 FROM documents
@@ -483,8 +489,7 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_BENCHMARK_DECONTAM_SQL = f"""
 WITH base AS (
   SELECT doc_id, source,
-         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
-          / 4294967296.0) < {DECONTAM_BENCH_FRAC} AS b,
+         {_HF_DOC} < {DECONTAM_BENCH_FRAC} AS b,
          CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE} THEN
            list_distinct(list_transform(
              range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE - 2}),
@@ -738,14 +743,28 @@ def _funnel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (several × the text size) — hence MEMORY_AND_DISK, so an oversized
 # corpus spills instead of evicting other cached data; at 100 TB use
 # the materialized-feature-table variant (q_curation_funnel_mat).
-_FUNNEL_SCRATCH: dict[tuple[str, str], DataFrame] = {}
+_FUNNEL_SCRATCH: dict[tuple[str, str, tuple], DataFrame] = {}
 
 
 def _funnel_base_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
     app = spark.sparkContext.applicationId
-    for k in [k for k in _FUNNEL_SCRATCH if k[0] != app]:
-        del _FUNNEL_SCRATCH[k]
-    key = (app, sf_dir)
+    # keyed on the same source fingerprint as session_index_dir: a
+    # mid-session rewrite of the data under sf_dir must evict the
+    # cached projection (a MEMORY_AND_DISK frame over rewritten files
+    # can even serve an internally inconsistent old/new partition mix
+    # after partial eviction). Stale same-session entries are
+    # unpersisted; other sessions' entries are just dropped.
+    key = (app, sf_dir, _sf_fingerprint(sf_dir))
+    for k in [
+        k
+        for k in _FUNNEL_SCRATCH
+        if k[0] != app or (k[:2] == key[:2] and k != key)
+    ]:
+        stale = _FUNNEL_SCRATCH.pop(k)
+        if k[0] == app:
+            stale.unpersist()
     df = _FUNNEL_SCRATCH.get(key)
     if df is None:
         df = _funnel_base(spark, sf_dir).persist(
@@ -855,10 +874,7 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
 def _funnel_sql() -> str:
     from data_framework_spark.dedup.minhash import K as MH_K
 
-    hashfrac = (
-        "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE"
-        " / 4294967296.0)"
-    )
+    hashfrac = _HF_DOC
     sig_mins = ", ".join(
         f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(MH_K)
     )

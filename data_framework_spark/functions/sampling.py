@@ -89,8 +89,7 @@ SELECT source,
        count(*) AS n_kept,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents
-WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
-       / 4294967296.0)
+WHERE {HASH_FRACTION_SQL_TMPL.format(key="doc_id")}
       < (CASE source {cases} ELSE 0.0 END)
 GROUP BY source
 ORDER BY source

@@ -236,7 +236,10 @@ def test_bpe_heldout_matches_pure_python_reference(spark, tmp_path):
         )
         merges.append((left, right))
         tsyms = {w: merge_once(s, left, right) for w, s in tsyms.items()}
-    vocab = {s for syms in tsyms.values() for s in syms}
+    # the real BPE vocab: train initial characters ∪ merge outputs —
+    # NOT just post-merge surviving train symbols (a symbol consumed
+    # by a later merge everywhere it occurs in train is still vocab)
+    vocab = {c for w in train for c in w} | {l + r for l, r in merges}
     hsyms = {w: list(w) for w in held}
     for left, right in merges:
         hsyms = {w: merge_once(s, left, right) for w, s in hsyms.items()}
