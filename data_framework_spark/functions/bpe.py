@@ -112,6 +112,42 @@ def _apply_merges(
     return words
 
 
+# Learned-merge session cache: the merge table IS the tokenizer —
+# trained once per (session, corpus content, train split) and applied
+# by every downstream query, the same build-once contract as the
+# persisted BM25/IVF indexes (sources.formats.session_index_dir).
+# Re-learning the tokenizer inside every applying query is the 100 TB
+# anti-pattern this cache removes; keying on the source fingerprint
+# makes a mid-session rewrite of sf_dir retrain instead of serving a
+# stale merge list. The value is driver-tiny (n_merges 4-tuples).
+_MERGE_CACHE: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def learned_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    words: DataFrame | None = None,
+    split: str = "all",
+    n_merges: int = BPE_MERGES,
+) -> list[tuple[int, str, str, int]]:
+    """Session-cached `learn_bpe_merges` over the `documents` table at
+    `sf_dir`. `split` names the training slice the caller's `words`
+    frame represents (e.g. "all", "train25") — it is part of the cache
+    key, so merge lists learned from different slices never mix."""
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _sf_fingerprint(sf_dir), split, n_merges)
+    for k in [k for k in _MERGE_CACHE if k[0] != app]:
+        del _MERGE_CACHE[k]
+    got = _MERGE_CACHE.get(key)
+    if got is None:
+        got = learn_bpe_merges(docs, n_merges=n_merges, words=words)
+        _MERGE_CACHE[key] = got
+    return got
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
@@ -147,7 +183,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table for the documents corpus — the
     driver-checkable face of the BPE trainer."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs)
+    merges = learned_merges(spark, sf_dir, docs)
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, "
@@ -171,7 +207,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _wrapped_words(docs).persist()
     try:
         base.count()
-        merges = learn_bpe_merges(docs, words=base)
+        merges = learned_merges(spark, sf_dir, docs, words=base)
         words = _apply_merges(base, merges)
         return _tokenize_accounting(spark, words)
     finally:
@@ -360,7 +396,7 @@ def q_bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _wrapped_words(docs).persist()
     try:
         base.count()
-        merges = learn_bpe_merges(docs, words=base)
+        merges = learned_merges(spark, sf_dir, docs, words=base)
         words = _apply_merges(base, merges)
     except BaseException:
         base.unpersist()
@@ -470,7 +506,10 @@ def q_bpe_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = hash_fraction(F.col("word"))
         train = allw.filter(frac >= F.lit(BPE_HELDOUT_FRAC))
         held = allw.filter(frac < F.lit(BPE_HELDOUT_FRAC))
-        merges = learn_bpe_merges(docs, words=train)
+        merges = learned_merges(
+            spark, sf_dir, docs, words=train,
+            split=f"train{int(BPE_HELDOUT_FRAC * 100)}",
+        )
         return _heldout_accounting(spark, train, held, merges)
     finally:
         allw.unpersist()

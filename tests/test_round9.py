@@ -502,3 +502,59 @@ def test_bucketed_topk_probe_radius_contract(spark):
         cands(n_planes + 1)
     with _pytest.raises(ValueError):
         cands(-1)
+
+
+# --- learned-merge session cache: reuse + fingerprint invalidation ----------
+
+
+def test_bpe_merge_cache_reuses_and_invalidates(spark, tmp_path, monkeypatch):
+    """The merge table is a train-once artifact: within a session the
+    four BPE queries must share one training run per (corpus content,
+    split), and a rewrite of the data under sf_dir must retrain (the
+    same fingerprint-keyed contract as session_index_dir)."""
+    import os
+    import time
+
+    import data_framework_spark.functions.bpe as bpe
+    from data_framework_spark.functions.bpe import q_bpe_merges
+
+    sf = str(tmp_path / "sfc")
+
+    def write(texts):
+        spark.createDataFrame(
+            [(i, "hand", t) for i, t in enumerate(texts)],
+            "doc_id long, source string, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            sf + "/documents.parquet"
+        )
+
+    write(["banana bandana banana", "cabana banana apple"])
+
+    calls = []
+    real = bpe.learn_bpe_merges
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(bpe, "learn_bpe_merges", spy)
+
+    m1 = [tuple(r) for r in q_bpe_merges(spark, sf).collect()]
+    m2 = [tuple(r) for r in q_bpe_merges(spark, sf).collect()]
+    assert len(calls) == 1, "second invocation must reuse the session cache"
+    assert m1 == m2
+
+    # rewrite the corpus: the fingerprint (mtime_ns/size) changes, so
+    # the cache must retrain and reflect the new content
+    time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
+    write(["zebra zebra quartz", "quartz zebra jazz"])
+    m3 = [tuple(r) for r in q_bpe_merges(spark, sf).collect()]
+    assert len(calls) == 2, "rewritten sf_dir must invalidate the cache"
+    assert m3 != m1
+
+    # distinct splits key separately even over identical content
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    bpe.learned_merges(spark, sf, docs, split="train25")
+    assert len(calls) == 3
