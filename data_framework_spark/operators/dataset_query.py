@@ -54,11 +54,25 @@ def _events_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One live cached grid per session backing the (lazy) returned frame:
+# app -> frame. The previous invocation's grid is unpersisted on the
+# next call instead of accumulating for the session's lifetime
+# (round-9 review; same pattern as bpe._DETOK_SCRATCH).
+_GRID_SCRATCH: dict[str, DataFrame] = {}
+
+
 def q_dataset_api_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: bounds() + the variable's timeseries/mesh properties each
     # launch a job over the grid; without this every one re-runs the
     # events groupBy (bounded: one row per (hour, user) cell)
     grid = _events_grid(spark, sf_dir).cache()
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _GRID_SCRATCH if k != app]:
+        del _GRID_SCRATCH[k]
+    prev = _GRID_SCRATCH.pop(app, None)
+    if prev is not None:
+        prev.unpersist()
+    _GRID_SCRATCH[app] = grid
     base = ["t", "i0", "c0"]
     ds = SparkDataset()
     ds.add_var(
@@ -92,9 +106,14 @@ def q_dataset_api_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# epoch_us // 3600e6, not epoch(ts)::BIGINT // 3600: epoch() is
+# DOUBLE and the BIGINT cast ROUNDS, pushing hh:59:59.5+ events into
+# the next hour while Spark floors (round-9 review; latent here only
+# because the misbucketable events fall outside the slice). Integer
+# truncation == floor for positive (post-1970) epochs.
 Q_DATASET_API_EVENTS_SQL = f"""
 WITH cells AS (
-  SELECT (epoch(ts)::BIGINT // 3600)::DOUBLE AS t,
+  SELECT (epoch_us(ts) // 3600000000)::DOUBLE AS t,
          user_id AS i0,
          user_id::DOUBLE AS c0,
          round(avg(value), 6) AS value

@@ -25,8 +25,14 @@ from data_framework_spark.operators.interpolate import (
     _line_samples,
     line_slice,
 )
-from data_framework_spark.sources.tables import load_table
+from data_framework_spark.operators.raster_queries import (
+    grid_cells_sql,
+    lineitem_cells,
+)
 from data_framework_spark.variable import SparkVariable
+
+# the shared lineitem cell derivation, value = summed quantity
+_GRID_CELLS = grid_cells_sql("sum(l_quantity)           AS value")
 
 D0, D1 = 0.5, 0.25
 MESH = [np.arange(16) * D0, np.arange(16) * D1]
@@ -36,22 +42,17 @@ _S_VALS, _POINTS, _UNIT = _line_samples(MESH, SET_PTS)
 
 
 def _grid_variable(spark: SparkSession, sf_dir: str) -> SparkVariable:
-    """16×16 single-timestep field from lineitem (b = Σ quantity)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    grid = (
-        li.groupBy(
-            (F.col("l_orderkey") % 16).cast("long").alias("i0"),
-            (F.col("l_partkey") % 16).cast("long").alias("i1"),
-        )
-        .agg(F.sum("l_quantity").alias("value"))
-        .select(
-            F.lit(0.0).alias("t"),
-            "i0",
-            "i1",
-            (F.col("i0") * D0).alias("c0"),
-            (F.col("i1") * D1).alias("c1"),
-            "value",
-        )
+    """16×16 single-timestep field from lineitem (b = Σ quantity);
+    cell derivation shared with raster_queries.lineitem_cells."""
+    grid = lineitem_cells(
+        spark, sf_dir, F.sum("l_quantity").alias("value")
+    ).select(
+        F.lit(0.0).alias("t"),
+        "i0",
+        "i1",
+        (F.col("i0") * D0).alias("c0"),
+        (F.col("i1") * D1).alias("c1"),
+        "value",
     )
     return SparkVariable("b", grid, 2, np.array([0.0]), MESH)
 
@@ -82,13 +83,7 @@ def _corner_values_sql(method: str) -> str:
         f"({k}, {s!r}, {i0}, {i1}, {w!r})" for k, s, i0, i1, w in rows
     )
     return f"""
-WITH grid AS (
-  SELECT
-    (l_orderkey % 16)::BIGINT AS i0,
-    (l_partkey % 16)::BIGINT  AS i1,
-    sum(l_quantity)           AS value
-  FROM lineitem
-  GROUP BY 1, 2
+WITH grid AS ({_GRID_CELLS}
 ),
 corners(s_idx, s, i0, i1, weight) AS (VALUES {vals})
 SELECT

@@ -37,35 +37,48 @@ from data_framework_spark.sources.tables import load_table
 N = 16  # grid side; keep in sync with the SQL literals below
 
 
-def lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared 16×16 test grid in tile_apply's long schema
-    (t, i0, i1, c0, c1, value)."""
+def lineitem_cells(spark: SparkSession, sf_dir: str, *aggs) -> DataFrame:
+    """The ONE (l_orderkey % N, l_partkey % N) cell derivation behind
+    every lineitem-derived test grid (this module, the line-slice
+    variable, the flux grid) — a single definition so the grid recipe
+    cannot silently desynchronize between its Spark consumers and
+    their oracle pairs (round-9 review)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(
-            (F.col("l_orderkey") % N).cast("long").alias("i0"),
-            (F.col("l_partkey") % N).cast("long").alias("i1"),
-        )
-        .agg(F.sum("l_quantity").alias("value"))
-        .select(
-            F.lit(0.0).alias("t"),
-            "i0",
-            "i1",
-            F.col("i0").cast("double").alias("c0"),
-            F.col("i1").cast("double").alias("c1"),
-            "value",
-        )
-    )
+    return li.groupBy(
+        (F.col("l_orderkey") % N).cast("long").alias("i0"),
+        (F.col("l_partkey") % N).cast("long").alias("i1"),
+    ).agg(*aggs)
 
 
-GRID_SQL = """
+def grid_cells_sql(select_aggs: str) -> str:
+    """The oracle-side spelling of lineitem_cells with the caller's
+    aggregate list — same single-definition rule as the Spark side."""
+    return f"""
   SELECT
-    (l_orderkey % 16)::BIGINT AS i0,
-    (l_partkey % 16)::BIGINT  AS i1,
-    sum(l_quantity)           AS v
+    (l_orderkey % {N})::BIGINT AS i0,
+    (l_partkey % {N})::BIGINT  AS i1,
+    {select_aggs}
   FROM lineitem
   GROUP BY 1, 2
 """
+
+
+def lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 16×16 test grid in tile_apply's long schema
+    (t, i0, i1, c0, c1, value)."""
+    return lineitem_cells(
+        spark, sf_dir, F.sum("l_quantity").alias("value")
+    ).select(
+        F.lit(0.0).alias("t"),
+        "i0",
+        "i1",
+        F.col("i0").cast("double").alias("c0"),
+        F.col("i1").cast("double").alias("c1"),
+        "value",
+    )
+
+
+GRID_SQL = grid_cells_sql("sum(l_quantity)           AS v")
 
 
 def _masked_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,16 +29,29 @@ def interp_at(
     value_col: str,
     grid: DataFrame,
     method: str = "linear",
+    grid_col: str = "s",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Interpolate each series at the sample times in `grid(s)`.
+    """Interpolate each series at the sample times in `grid(grid_col)`.
 
     Samples strictly inside a segment [t0, t1) interpolate between its
     endpoints; times outside a series' span produce no row (matching
     the line slice's clip-to-box semantics, statmeshvar.py:166-183).
+    The grid's sample column is aliased internally, so any `grid_col`
+    name works; `tiebreak_cols` make the lead pairing deterministic
+    when two rows share a time (round-9 review).
     """
     if method not in ("linear", "nearest"):
         raise ValueError(f"method {method!r} not supported (linear|nearest)")
-    w = W.partitionBy(series_col).orderBy(time_col)
+    reserved = {"s", "t0", "v0", "t1", "v1"}
+    if series_col in reserved:
+        raise ValueError(
+            f"series_col {series_col!r} collides with a reserved "
+            f"output/segment column name ({sorted(reserved)})"
+        )
+    w = W.partitionBy(series_col).orderBy(
+        time_col, *(tiebreak_cols or [])
+    )
     seg = (
         df.select(
             series_col,
@@ -49,16 +62,19 @@ def interp_at(
         )
         .filter(F.col("t1").isNotNull())
     )
+    gs = grid.select(F.col(grid_col).alias("__s"))
     j = seg.join(
-        F.broadcast(grid),
-        (F.col("s") >= F.col("t0")) & (F.col("s") < F.col("t1")),
+        F.broadcast(gs),
+        (F.col("__s") >= F.col("t0")) & (F.col("__s") < F.col("t1")),
     )
-    frac = (F.col("s") - F.col("t0")) / (F.col("t1") - F.col("t0"))
+    frac = (F.col("__s") - F.col("t0")) / (F.col("t1") - F.col("t0"))
     if method == "linear":
         val = F.col("v0") + (F.col("v1") - F.col("v0")) * frac
     else:
         val = F.when(frac > 0.5, F.col("v1")).otherwise(F.col("v0"))
-    return j.select(series_col, "s", val.alias("value"))
+    return j.select(
+        series_col, F.col("__s").alias("s"), val.alias("value")
+    )
 
 
 def _hourly_grid(spark: SparkSession, start: str, end: str) -> DataFrame:
@@ -85,7 +101,10 @@ def q_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_epoch", F.col("ts").cast("double")
     )
     grid = _hourly_grid(spark, GRID_START, GRID_END)
-    out = interp_at(ev, "user_id", "t_epoch", "value", grid, "linear")
+    out = interp_at(
+        ev, "user_id", "t_epoch", "value", grid, "linear",
+        tiebreak_cols=["event_id"],
+    )
     return out.select(
         "user_id",
         F.round("s", 1).alias("s"),
@@ -102,7 +121,7 @@ WITH seg AS (
     lead(epoch(ts)::DOUBLE) OVER w AS t1,
     lead(value) OVER w AS v1
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::DOUBLE)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::DOUBLE, event_id)
 ),
 grid AS (
   SELECT epoch(g)::DOUBLE AS s

@@ -49,6 +49,7 @@ def central_gradient(
     coord_col: str,
     partition_cols: list[str],
     out_col: str = "grad",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """np.gradient semantics over an ordered series.
 
@@ -57,8 +58,16 @@ def central_gradient(
         g = (h0²·f1 - (h0²-h1²)·f0 - h1²·f_-1) / (h0·h1·(h0+h1))
     with h1 = x0-x_-1, h0 = x1-x0 (reduces to (f1-f_-1)/(x1-x_-1)
     for uniform spacing). Edges are one-sided differences.
+
+    `tiebreak_cols` make the lag/lead pairing deterministic when two
+    rows share a coordinate — without a unique tiebreak the window
+    order (and hence which row is "previous") is engine- and even
+    run-dependent (round-9 review; the other window ops here already
+    order by (ts, event_id) for exactly this reason).
     """
-    w = W.partitionBy(*partition_cols).orderBy(coord_col)
+    w = W.partitionBy(*partition_cols).orderBy(
+        coord_col, *(tiebreak_cols or [])
+    )
     x = F.col(coord_col)
     v = F.col(value_col)
     x_prev, v_prev = F.lag(x).over(w), F.lag(v).over(w)
@@ -157,7 +166,10 @@ def q_gradient_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "t_epoch", F.col("ts").cast("double")
     )
-    out = central_gradient(ev, "value", "t_epoch", ["user_id"], out_col="dv_dt")
+    out = central_gradient(
+        ev, "value", "t_epoch", ["user_id"],
+        out_col="dv_dt", tiebreak_cols=["event_id"],
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -178,7 +190,7 @@ WITH s AS (
     lag(value)  OVER w AS v_prev,
     lead(value) OVER w AS v_next
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::DOUBLE)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::DOUBLE, event_id)
 )
 SELECT
   event_id,
@@ -208,11 +220,11 @@ def q_fluxfn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hash check pins the two-chained-cumsum semantics
     (vpicdataset.py:286-291).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    grid = li.groupBy(
-        (F.col("l_orderkey") % 16).cast("long").alias("i0"),
-        (F.col("l_partkey") % 16).cast("long").alias("i1"),
-    ).agg(
+    from data_framework_spark.operators.raster_queries import lineitem_cells
+
+    grid = lineitem_cells(
+        spark,
+        sf_dir,
         F.sum("l_quantity").alias("b1"),
         (F.sum("l_extendedprice") / 100000.0).alias("b2"),
     )
@@ -220,15 +232,15 @@ def q_fluxfn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i0", "i1", F.round("psi", 4).alias("psi"))
 
 
-Q_FLUXFN_GRID_SQL = """
-WITH grid AS (
-  SELECT
-    (l_orderkey % 16)::BIGINT AS i0,
-    (l_partkey % 16)::BIGINT  AS i1,
-    sum(l_quantity)           AS b1,
-    sum(l_extendedprice) / 100000.0 AS b2
-  FROM lineitem
-  GROUP BY 1, 2
+def _fluxfn_sql() -> str:
+    from data_framework_spark.operators.raster_queries import grid_cells_sql
+
+    cells = grid_cells_sql(
+        "sum(l_quantity)           AS b1,\n"
+        "    sum(l_extendedprice) / 100000.0 AS b2"
+    )
+    return f"""
+WITH grid AS ({cells}
 ),
 col0 AS (
   SELECT i0,
@@ -245,3 +257,6 @@ rows_int AS (
 SELECT r.i0, r.i1, round(c.psi_col0 - r.row_int, 4) AS psi
 FROM rows_int r JOIN col0 c ON r.i0 = c.i0
 """
+
+
+Q_FLUXFN_GRID_SQL = _fluxfn_sql()

@@ -32,7 +32,6 @@ integer-exact (cnt·U·DEN > total·NUM·... no float boundaries).
 
 from __future__ import annotations
 
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -108,8 +107,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's plain GROUP BY/HAVING — the driver-visible proof that
     the sketch state survives micro-batches AND retains every true
     heavy hitter."""
-    tmp = tempfile.mkdtemp(prefix="stream_hh_")
-    stream = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    stream = chunked_events_source(spark, sf_dir, n_chunks=3)
     keyed = stream.select(
         (F.col("user_id") % STREAM_HH_BUCKETS).alias("bucket"), "user_id"
     )

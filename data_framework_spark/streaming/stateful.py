@@ -81,7 +81,8 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
 
 def chunked_events_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 3
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None,
+    n_chunks: int = 3,
 ) -> DataFrame:
     """Split the events table into time-ordered chunk files and open
     them as a one-file-per-trigger stream — the bounded stand-in for
@@ -94,6 +95,12 @@ def chunked_events_source(
     per chunk so maxFilesPerTrigger=1 yields exactly n_chunks
     micro-batches. Chunk sets are memoized per (sf_dir, n_chunks):
     every streaming query over the same replay reuses one write.
+
+    When `out_dir` is None the chunk directory is an atexit-tracked
+    scratch dir, allocated only on a cache MISS — the previous
+    per-call mkdtemp pattern orphaned one dir (the first holding a
+    full copy of the events table) per query per process
+    (round-9 review; same cleanup hook as sources/formats.py).
     """
     import glob
     import shutil
@@ -107,6 +114,10 @@ def chunked_events_source(
             .parquet(cached)
         )
 
+    if out_dir is None:
+        from data_framework_spark.sources.formats import _scratch_dir
+
+        out_dir = _scratch_dir("events_chunks_")
     ev = load_table(spark, sf_dir, "events")
     os.makedirs(out_dir, exist_ok=True)
     # ONE distributed job: range-partition on ts into n_chunks
@@ -139,7 +150,12 @@ def run_stateful_to_completion(
     shuffle_partitions: int = 8,
 ) -> tuple[DataFrame, list[Any]]:
     """Drive a stateful streaming plan over its bounded source; returns
-    (memory-sink DataFrame of ALL emitted rows, query progress).
+    (DataFrame of ALL emitted rows, query progress). The memory-sink
+    temp view is copied out and DROPPED before returning — each run
+    otherwise pins its full emitted-row set in driver memory for the
+    session's lifetime (round-9 review). The emitted sets here are
+    bounded (per-key updates / distinct pairs / windowed matches), and
+    every caller materializes them to the driver anyway.
 
     Stateful streaming maintains one state store (four for
     stream-stream joins) per shuffle partition per micro-batch; at the
@@ -166,7 +182,10 @@ def run_stateful_to_completion(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name), progress
+    sink = spark.table(name)
+    pdf = sink.toPandas()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(pdf, schema=sink.schema), progress
 
 
 # --- driver-checkable query -------------------------------------------------
@@ -179,10 +198,7 @@ def q_stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes relationally. This is the driver-visible
     proof that custom state survives across micro-batches correctly,
     not just that the plan compiles."""
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="stateful_live_")
-    stream = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    stream = chunked_events_source(spark, sf_dir, n_chunks=3)
     updates, progress = run_stateful_to_completion(
         spark, stateful_user_totals(stream)
     )
@@ -225,10 +241,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades re-emission of duplicates farther apart than the watermark
     gap for eviction — it cannot match a batch oracle and so isn't the
     driver-checked path."""
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    stream = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
+    stream = chunked_events_source(spark, sf_dir, n_chunks=3)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -262,12 +275,8 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/rangejoin.py, same predicate). In production the
     delay is tuned to the source's real disorder bound; correctness
     degrades to 'matches within the watermark' beyond it."""
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="stream_join_")
-    left = chunked_events_source(spark, sf_dir, tmp, n_chunks=3)
-    tmp2 = tempfile.mkdtemp(prefix="stream_join_r_")
-    right = chunked_events_source(spark, sf_dir, tmp2, n_chunks=3)
+    left = chunked_events_source(spark, sf_dir, n_chunks=3)
+    right = chunked_events_source(spark, sf_dir, n_chunks=3)
 
     errors = (
         left.filter(F.col("event_type") == "error")

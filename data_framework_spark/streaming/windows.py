@@ -26,19 +26,10 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     Works identically on a batch DataFrame and a readStream one (add
     `withWatermark` upstream for the streaming case).
     """
-    return (
-        events.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    # a tumbling window IS a sliding window with slide == width
+    # (F.window(ts, w, w) ≡ F.window(ts, w)); delegating keeps the
+    # two aggregation bodies from drifting apart (round-9 review)
+    return sliding_counts(events, width, width)
 
 
 def sliding_counts(
@@ -186,12 +177,17 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # session_window semantics: a session closes 30 min after its last
 # event, so session_end = max(ts) + gap; the lag/gap-flag/cumsum CTE
-# reconstructs the same partitions relationally.
+# reconstructs the same partitions relationally. The split rule is
+# STRICTLY greater than the gap: Spark's session_window merges two
+# events exactly `gap` apart (verified live — 00:00:00 and 00:30:00
+# form ONE session), matching batch sessionize_events' `> 1800`
+# (round-9 review; latent at µs resolution where exact-1800 s gaps
+# don't occur in the shipped data).
 Q_SESSION_WINDOW_EVENTS_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-           OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
