@@ -40,16 +40,28 @@ def _gauss_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return k / k.sum()
 
 
+def _reflect_index(idx: np.ndarray, n: int) -> np.ndarray:
+    """Map arbitrary integer indices into [0, n) under scipy's
+    'reflect' boundary (edge duplicated: c b a | a b c | c b a),
+    with REPEATED reflection — the extension is periodic with period
+    2n, so fold by mod first. The previous single-bounce form
+    silently wrapped (numpy negative indexing) for n <= |offset| < 2n
+    and raised IndexError beyond, i.e. whenever the kernel radius
+    reached the axis length (e.g. sigma=3 -> radius 12 on a <=6-cell
+    zoom slice; round-9 review)."""
+    if n == 1:
+        return np.zeros_like(idx)
+    m = np.mod(idx, 2 * n)
+    return np.where(m >= n, 2 * n - 1 - m, m)
+
+
 def _correlate1d_reflect(a: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
     """1-D correlation along `axis` with scipy's 'reflect' boundary
     (edge value duplicated: c b a | a b c)."""
     r = (len(k) - 1) // 2
     a = np.moveaxis(a, axis, -1)
     n = a.shape[-1]
-    idx = np.arange(-r, n + r)
-    # reflect about -0.5 and n-0.5
-    idx = np.where(idx < 0, -idx - 1, idx)
-    idx = np.where(idx >= n, 2 * n - idx - 1, idx)
+    idx = _reflect_index(np.arange(-r, n + r), n)
     padded = a[..., idx]
     out = np.zeros_like(a, dtype=float)
     for i, kv in enumerate(k):
@@ -77,9 +89,7 @@ def extrema_filter(a: np.ndarray, size: tuple[int, int], op: str) -> np.ndarray:
     off0 = [o - (size[0] // 2) for o in range(size[0])]
     off1 = [o - (size[1] // 2) for o in range(size[1])]
 
-    def reflect(idx, n):
-        idx = np.where(idx < 0, -idx - 1, idx)
-        return np.where(idx >= n, 2 * n - idx - 1, idx)
+    reflect = _reflect_index  # repeated reflection: any window size
 
     i0 = np.arange(n0)[:, None]
     i1 = np.arange(n1)[None, :]
@@ -343,9 +353,17 @@ def find_contours(field: np.ndarray, level: float) -> list[np.ndarray]:
         segs.append((pa[i], k1, pb[i], k2))
 
     adj: dict = {}
+    # exact endpoint per stitch key: the quantized key merges
+    # coincident points, but a traced path must START from the exact
+    # interpolated endpoint, not the 9dp-rounded key (round-9 review:
+    # previously the first vertex of every open contour was the key
+    # tuple, off by up to 5e-10 while all other vertices were exact)
+    exact_pt: dict = {}
     for sid, (a, k1, b, k2) in enumerate(segs):
         adj.setdefault(k1, []).append((sid, b, k2))
         adj.setdefault(k2, []).append((sid, a, k1))
+        exact_pt.setdefault(k1, a)
+        exact_pt.setdefault(k2, b)
 
     used = [False] * len(segs)
 
@@ -364,7 +382,7 @@ def find_contours(field: np.ndarray, level: float) -> list[np.ndarray]:
     for start_key in open_starts:
         if all(used[sid] for sid, _, _ in adj[start_key]):
             continue
-        contours.append(np.array(trace(start_key, start_key)))
+        contours.append(np.array(trace(start_key, exact_pt[start_key])))
     for sid, (a, _k1, b, k2) in enumerate(segs):
         if not used[sid]:
             used[sid] = True

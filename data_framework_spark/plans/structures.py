@@ -37,7 +37,12 @@ from data_framework_spark.kernels.structures import (
     find_nulls,
     separatrices_and_o_structures,
 )
-from data_framework_spark.plans.tile_kernel import tile_apply, tile_apply_halo
+from data_framework_spark.plans.tile_kernel import (
+    scatter_tile,
+    tile_apply,
+    tile_apply_halo,
+    tile_ranks,
+)
 from data_framework_spark.variable import SparkVariable
 
 # Above this many cells per timestep, smoothing runs through the
@@ -53,9 +58,16 @@ def _smooth_gaussian(v: SparkVariable, s0: float, s1: float):
     """Per-timestep Gaussian smoothing, routed by grid size: whole-grid
     tile for small timesteps, halo-tiled (bit-identical — pinned by the
     tiled_gaussian_grid differential query) above _HALO_CELLS."""
+    if s0 <= 0 and s1 <= 0:
+        # smoothing=0 is a legitimate "no smoothing" spec: the kernel
+        # would be the identity, so skip the densify + Arrow round
+        # trip entirely — on a timestep above _HALO_CELLS that round
+        # trip is exactly the single-task blowup the halo path exists
+        # to avoid (round-9 review)
+        return v.df
     kern = lambda a: gaussian_filter(a, (s0, s1))
     n_cells = len(v.mesh[0]) * len(v.mesh[1])
-    if n_cells > _HALO_CELLS and max(s0, s1) > 0:
+    if n_cells > _HALO_CELLS:
         radius = int(4.0 * max(s0, s1) + 0.5)  # _gauss_kernel1d truncate
         return tile_apply_halo(v.df, kern, radius=radius, tile=_HALO_TILE)
     return tile_apply(v.df, kern)
@@ -93,8 +105,18 @@ def calc_fluxfn(
     w_col = (
         W.partitionBy("t").orderBy("i0").rowsBetween(W.unboundedPreceding, 0)
     )
+    # boundary column = the variable's FIRST dim-1 column per timestep,
+    # i.e. min(i1), NOT the literal 0: zoom slicing preserves original
+    # index values, so a zoomed variable whose i1 range starts above 0
+    # would match nothing and the inner join below would silently empty
+    # the whole flux function (round-9 review). On unzoomed grids
+    # min(i1) == 0 — same plan, same oracle. The 1-row-per-t aggregate
+    # is map-side combined and broadcast.
+    i1min = b2.df.groupBy("t").agg(F.min("i1").alias("__i1min"))
     col0 = (
-        b2.df.filter(F.col("i1") == 0)
+        b2.df.join(F.broadcast(i1min), "t")
+        .filter(F.col("i1") == F.col("__i1min"))
+        .drop("__i1min")
         .withColumn("psi0", F.sum(F.col("value") * F.lit(d0)).over(w_col))
         .select("t", "i0", "psi0")
     )
@@ -159,6 +181,16 @@ def find_structures(
             " pass multi_t=True for the relaxed per-timestep mode"
         )
     sig = _norm_smoothing(smoothing)
+    if sig[0] != 0.0:
+        # every kernel here partitions by t (the embarrassingly-
+        # parallel axis); a time-axis Gaussian couples timesteps and
+        # needs a halo exchange along t. Refusing beats the previous
+        # behavior of silently DROPPING sig[0] and returning
+        # spatially-smoothed-only fields (round-9 review).
+        raise NotImplementedError(
+            "temporal smoothing (sigma[0] != 0) is not supported; "
+            "kernels are partitioned per timestep"
+        )
     mesh0, mesh1 = b1.mesh
     d0 = float(mesh0[1] - mesh0[0])
     d1 = float(mesh1[1] - mesh1[0])
@@ -218,18 +250,21 @@ def find_structures(
     m0 = mesh0.copy()
     m1 = mesh1.copy()
 
-    def densify(pdf: pd.DataFrame, col: str) -> tuple:
-        u0 = np.unique(pdf["i0"].to_numpy())
-        u1 = np.unique(pdf["i1"].to_numpy())
-        r0 = np.searchsorted(u0, pdf["i0"].to_numpy())
-        r1 = np.searchsorted(u1, pdf["i1"].to_numpy())
-        tile = np.full((len(u0), len(u1)), np.nan)
-        tile[r0, r1] = pdf[col].to_numpy()
-        return tile, r0, r1
+    def densify_all(pdf: pd.DataFrame, cols: list[str]) -> tuple:
+        """Rank-compact the group's indices ONCE (tile_kernel.tile_ranks
+        — round-9 review: the per-column form redid unique+searchsorted
+        for every field) and scatter each value column with the shared
+        ranks."""
+        shape, r0, r1 = tile_ranks(
+            pdf["i0"].to_numpy(), pdf["i1"].to_numpy()
+        )
+        tiles = [
+            scatter_tile(shape, r0, r1, pdf[c].to_numpy()) for c in cols
+        ]
+        return tiles, r0, r1
 
     def hess_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        sb1, r0, r1 = densify(pdf, "sb1")
-        sb2, _, _ = densify(pdf, "sb2")
+        (sb1, sb2), r0, r1 = densify_all(pdf, ["sb1", "sb2"])
         db1_d1, db1_d2 = np.gradient(sb1, m0, m1)
         db2_d1, db2_d2 = np.gradient(sb2, m0, m1)
         det = db1_d2 * (-db2_d1) - (-db2_d2) * db1_d1
@@ -253,9 +288,7 @@ def find_structures(
     )
 
     def nulls_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        sb1, _, _ = densify(pdf, "sb1")
-        sb2, _, _ = densify(pdf, "sb2")
-        hs, _, _ = densify(pdf, "hess")
+        (sb1, sb2, hs), _, _ = densify_all(pdf, ["sb1", "sb2", "hess"])
         nulls = find_nulls(sb2, sb1)  # b2=0 contours × b1=0 contours
         xpts, opts = classify_nulls(hs, nulls)
         t = pdf["t"].iloc[0]
@@ -315,8 +348,7 @@ def find_structures(
     x_idx_local = {t: v.copy() for t, v in x_idx_by_t.items()}
 
     def masks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        psi, r0, r1 = densify(pdf, "psi")
-        jys, _, _ = densify(pdf, "jys")
+        (psi, jys), r0, r1 = densify_all(pdf, ["psi", "jys"])
         t_key = float(pdf["t"].iloc[0])
         x_idx_t = x_idx_local.get(t_key, np.zeros((0, 2)))
         sep, o_mask = separatrices_and_o_structures(

@@ -43,20 +43,46 @@ def tile_apply(
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        i0 = pdf["i0"].to_numpy()
-        i1 = pdf["i1"].to_numpy()
-        u0 = np.unique(i0)
-        u1 = np.unique(i1)
-        r0 = np.searchsorted(u0, i0)
-        r1 = np.searchsorted(u1, i1)
-        tile = np.full((len(u0), len(u1)), np.nan)
-        tile[r0, r1] = pdf[value_col].to_numpy()
+        shape, r0, r1 = tile_ranks(
+            pdf["i0"].to_numpy(), pdf["i1"].to_numpy()
+        )
+        tile = scatter_tile(shape, r0, r1, pdf[value_col].to_numpy())
         out = kernel(tile)
         res = pdf.copy()
         res[out_col] = np.asarray(out, dtype=float)[r0, r1]
         return res
 
     return df.groupBy("t").applyInPandas(run, schema=df.schema)
+
+
+def tile_ranks(
+    i0: np.ndarray, i1: np.ndarray
+) -> tuple[tuple[int, int], np.ndarray, np.ndarray]:
+    """Rank-compaction of (i0, i1) index columns into dense tile
+    coordinates — the ONE long-frame → ndarray bridge shared by
+    tile_apply and the structures kernels (round-9 review: previously
+    re-implemented there and recomputed per value column). Returns
+    (tile shape, row ranks, col ranks)."""
+    u0 = np.unique(i0)
+    u1 = np.unique(i1)
+    return (
+        (len(u0), len(u1)),
+        np.searchsorted(u0, i0),
+        np.searchsorted(u1, i1),
+    )
+
+
+def scatter_tile(
+    shape: tuple[int, int],
+    r0: np.ndarray,
+    r1: np.ndarray,
+    vals: np.ndarray,
+) -> np.ndarray:
+    """Scatter a long-frame value column into a NaN-initialized dense
+    tile at the tile_ranks coordinates."""
+    tile = np.full(shape, np.nan)
+    tile[r0, r1] = vals
+    return tile
 
 
 def tile_apply_halo(

@@ -558,3 +558,101 @@ def test_bpe_merge_cache_reuses_and_invalidates(spark, tmp_path, monkeypatch):
     docs = load_table(spark, sf, "documents")
     bpe.learned_merges(spark, sf, docs, split="train25")
     assert len(calls) == 3
+
+
+# --- kernels/plans review fixes: reflect radius, zoomed flux boundary -------
+
+
+def test_gaussian_reflect_handles_radius_beyond_axis():
+    """sigma=3 -> kernel radius 12: on a <=6-cell axis the old
+    single-bounce reflect indexing raised IndexError, and on 7-12-cell
+    axes it silently wrapped (numpy negative indexing) instead of
+    re-reflecting. Pin scipy-'reflect' semantics via the
+    np.pad(mode='symmetric') reference, which applies repeated
+    reflection natively."""
+    import numpy as np
+
+    from data_framework_spark.kernels.ndimage import (
+        _gauss_kernel1d,
+        extrema_filter,
+        gaussian_filter,
+    )
+
+    def ref_gauss(a, sig):
+        out = a.astype(float)
+        for ax, s in enumerate(
+            np.broadcast_to(np.asarray(sig, float), (a.ndim,))
+        ):
+            if s <= 0:
+                continue
+            k = _gauss_kernel1d(s)
+            r = (len(k) - 1) // 2
+            m = np.moveaxis(out, ax, -1)
+            n = m.shape[-1]
+            padded, pw = m, r
+            while pw > 0:  # np.pad symmetric pads at most n per bounce
+                step = min(pw, padded.shape[-1])
+                padded = np.pad(
+                    padded,
+                    [(0, 0)] * (padded.ndim - 1) + [(step, step)],
+                    mode="symmetric",
+                )
+                pw -= step
+            res = np.zeros_like(m)
+            for i, kv in enumerate(k):
+                res += kv * padded[..., i : i + n]
+            out = np.moveaxis(res, -1, ax)
+        return out
+
+    rng = np.random.RandomState(0)
+    for shape, sig in [
+        ((5, 5), (0, 3.0)),    # radius 12 >= 2n: used to crash
+        ((9, 9), (3.0, 3.0)),  # n <= radius < 2n: used to wrap silently
+        ((2, 4), (5.0, 5.0)),  # extreme: radius 20 on tiny axes
+        ((16, 16), (3.0, 3.0)),  # regression: in-range case unchanged
+    ]:
+        a = rng.randn(*shape)
+        got = gaussian_filter(a, sig)
+        want = ref_gauss(a, sig)
+        assert np.array_equal(got, want), (shape, sig)
+
+    # extrema window larger than the tile: every cell sees the whole
+    # (reflected) tile, so the max filter returns the global max
+    a = rng.randn(3, 3)
+    assert np.allclose(extrema_filter(a, (10, 10), "max"), a.max())
+
+
+def test_fluxfn_boundary_follows_zoomed_origin(spark):
+    """calc_fluxfn on a ZOOMED variable whose i1 range no longer
+    includes 0 must integrate from the slice's first column (min i1),
+    not silently return an empty flux function (the old literal
+    `i1 == 0` filter matched nothing after a zoom)."""
+    import numpy as np
+
+    from data_framework_spark.dataset import SparkDataset
+    from data_framework_spark.plans.structures import calc_fluxfn
+    from data_framework_spark.variable import SparkVariable
+
+    z = np.linspace(0.0, 7.0, 8)
+    x = np.linspace(0.0, 11.0, 12)
+    rng = np.random.RandomState(3)
+    b1 = rng.randn(1, 8, 12)
+    b2 = rng.randn(1, 8, 12)
+    ds = SparkDataset()
+    ds.add_var(SparkVariable.from_numpy(spark, "b1", np.array([0.0]), [z, x], b1))
+    ds.add_var(SparkVariable.from_numpy(spark, "b2", np.array([0.0]), [z, x], b2))
+
+    # zoom dim-1 to coordinates [4, 9] -> original i1 in 4..9 (6 cols)
+    sliced = ds.ndslice(zooms=[[0.0, 7.0], [4.0, 9.0]])
+    calc_fluxfn(sliced, "b1", "b2")
+    flux = sliced.variables["flux_fn"].to_numpy()[0]
+    assert flux.shape == (8, 6)
+    assert np.isfinite(flux).all()
+
+    # reference: psi[i, j] = cumsum_i(b2[:, FIRST]) * d0
+    #                        - cumsum_j(b1[i, :]) * d1 over the slice
+    sl1, sl2 = b1[0][:, 4:10], b2[0][:, 4:10]
+    d0 = z[1] - z[0]
+    d1 = x[1] - x[0]
+    want = np.cumsum(sl2[:, 0] * d0)[:, None] - np.cumsum(sl1 * d1, axis=1)
+    assert np.allclose(flux, want)
