@@ -110,17 +110,34 @@ class SparkDataset:
         per_var = [v.bounds(time, space) for v in self.variables.values()]
         if not per_var:
             return []
-        arr = np.array(per_var)  # (n_vars, n_bounds, 2)
-        return np.stack(
-            [arr[:, :, 0].min(axis=0), arr[:, :, 1].max(axis=0)], axis=1
-        ).tolist()
+        # positional min/max WITHOUT np.array: variables of different
+        # ndim (legitimate after per-grid ingest) return bound lists of
+        # different lengths, and a ragged np.array raises on numpy
+        # >= 1.24 (round-9 review); shorter variables simply don't
+        # constrain the higher axes
+        n = max(len(b) for b in per_var)
+        return [
+            [
+                min(b[i][0] for b in per_var if i < len(b)),
+                max(b[i][1] for b in per_var if i < len(b)),
+            ]
+            for i in range(n)
+        ]
 
     # -- persistence (reference TODO: dataset.py:69, :191-193) ---------------
 
     def export(self, path: str) -> None:
+        from urllib.parse import quote
+
         meta = {"params": self.params, "variables": {}}
         for label, v in self.variables.items():
-            safe = label.replace("/", "_")
+            # percent-encode: an injective, filesystem-safe mapping.
+            # The old replace('/', '_') collided distinct labels (e.g.
+            # 'a/b' and 'a_b') onto one directory, silently
+            # overwriting one variable's data with the other's
+            # (round-9 review); restore() reads the dir name from the
+            # json either way.
+            safe = quote(label, safe="")
             v.df.write.mode("overwrite").parquet(os.path.join(path, f"var_{safe}"))
             meta["variables"][label] = {"ndim": v.ndim, "dir": f"var_{safe}"}
         with open(os.path.join(path, "_dataset.json"), "w") as f:

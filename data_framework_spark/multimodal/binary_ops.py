@@ -168,14 +168,16 @@ def resize_meta(df: DataFrame, max_side: int) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:
     """Video frame-sampling plan: explode target frame indices from
-    metadata (n_frames) — the shuffle-free prelude to a decode kernel."""
-    return df.select(
+    metadata (n_frames) — the shuffle-free prelude to a decode kernel.
+    Assets with no decodable frames (n_frames <= 0 or NULL) produce NO
+    samples — the old greatest(n-1, 0) fabricated frame index 0 for a
+    frame that does not exist, which a decode kernel would read out of
+    bounds (round-9 review)."""
+    return df.filter(F.col("meta.n_frames") >= 1).select(
         "asset_id",
         F.explode(
             F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
-                F.lit(every_n),
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
             )
         ).alias("frame_idx"),
     )

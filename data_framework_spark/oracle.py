@@ -55,12 +55,17 @@ def _norm(v):
 
 def _digest(rows: list[tuple], colnames: list[str]) -> int:
     """Order-insensitive digest: hash each row (columns sorted by
-    name), XOR-combine so row order is irrelevant."""
+    name), SUM-combine mod 2^64 so row order is irrelevant. Sum, not
+    XOR: XOR cancels PAIRED duplicates, so [A, A, B] vs [B, C, C]
+    (a wrongly duplicated row plus a dropped one) XOR to the same
+    value at equal row counts — a false green (round-9 review).
+    Under summation a multiset collision requires equal row-hash
+    sums, not mere pairing."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     acc = 0
     for row in rows:
         key = "|".join(_norm(row[i]) for i in order)
-        acc ^= hash(key)
+        acc = (acc + hash(key)) % (1 << 64)
     return acc
 
 
@@ -80,7 +85,9 @@ def compare(spark: SparkSession, sf_dir: str, name: str) -> dict:
     }
     if q.oracle is None:
         report["mode"] = "rows_only"
-        report["ok"] = len(spark_rows) >= 0
+        # the old `>= 0` was vacuously true; a 0-row rows-only result
+        # verifies nothing, so require non-empty (round-9 review)
+        report["ok"] = len(spark_rows) > 0
         return report
 
     con = duckdb_connection(sf_dir)
@@ -107,6 +114,10 @@ def diff_sample(spark: SparkSession, sf_dir: str, name: str, limit: int = 5):
     from data_framework_spark.registry import QUERIES
 
     q = QUERIES[name]
+    if q.oracle is None:
+        raise ValueError(
+            f"{name} is a rows-only query (no oracle SQL to diff against)"
+        )
     sdf = q.fn(spark, sf_dir)
     cols = list(sdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])

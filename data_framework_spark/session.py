@@ -38,6 +38,24 @@ RUNTIME_CONVENTIONS: dict[str, str] = {
 }
 
 
+def _pin_process_utc() -> None:
+    """Pin the PYTHON process timezone to UTC (POSIX tzset).
+
+    `spark.sql.session.timeZone` does NOT govern `collect()`:
+    TimestampType.fromInternal uses `datetime.fromtimestamp`, i.e. the
+    process-local zone, so on a non-UTC machine every collected
+    timestamp is local wall time while the DuckDB oracle returns UTC —
+    a false hash red on every timestamp query despite the session pin
+    (round-9 review). One process-global set, same spirit as the
+    session conventions; no-op where TZ is already UTC (this
+    container) or tzset is unavailable (non-POSIX)."""
+    import time
+
+    if os.environ.get("TZ") != "UTC" and hasattr(time, "tzset"):
+        os.environ["TZ"] = "UTC"
+        time.tzset()
+
+
 def ensure_session_conventions(spark: SparkSession) -> SparkSession:
     """Pin the engine's runtime session conventions on `spark`.
 
@@ -48,6 +66,7 @@ def ensure_session_conventions(spark: SparkSession) -> SparkSession:
     sessions (the correctness driver's) this is the single sanctioned
     place that mutates session-global conf.
     """
+    _pin_process_utc()
     for k, v in RUNTIME_CONVENTIONS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
@@ -80,6 +99,7 @@ def get_spark(app_name: str = "data_framework_spark") -> SparkSession:
     # paths that never hit an entry-point wrapper or load_table
     for k, v in RUNTIME_CONVENTIONS.items():
         builder = builder.config(k, v)
+    _pin_process_utc()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -130,10 +130,18 @@ def ingest_arrays(
         if same:
             var_mesh = default_mesh
         else:
+            # drop the VARIABLE'S OWN length-1 axes, matching the
+            # np.squeeze below — filtering by the DATASET's empty_dims
+            # (the reference's literal form) mismatches when the
+            # variable's degeneracy pattern differs from the default
+            # grid's (e.g. dataset (z=12, y=1, x=10) but variable
+            # (z=1, y=8, x=10)): the mesh would keep the len-1 axis
+            # and drop a real one, and from_numpy raises on the
+            # mesh/data shape mismatch (round-9 review)
             var_mesh = [
                 np.asarray(m, dtype=float)
-                for i, m in enumerate(var_full_mesh)
-                if i not in empty_dims
+                for m in var_full_mesh
+                if len(m) > 1
             ]
         data = np.squeeze(source[name])  # drop all len-1 dims (:229)
         if data.ndim == len(var_mesh):  # single-timestep source

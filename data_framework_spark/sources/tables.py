@@ -68,6 +68,13 @@ def load_table(
     # NTZ-branch-only pin made results encoding-dependent on non-UTC
     # vanilla sessions).
     ensure_session_conventions(spark)
+    if ts_between is not None and name != "events":
+        # refuse rather than silently returning the UNFILTERED table —
+        # a caller relying on the range predicate would get a superset
+        # with no warning (round-9 review)
+        raise ValueError(
+            f"ts_between is only supported for the events table, not {name!r}"
+        )
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_ts(spark, df, ts_between=ts_between)
@@ -185,11 +192,20 @@ def normalize_ts(
 
 
 def _utc_ns(bound: str) -> int:
-    """'YYYY-MM-DD HH:MM:SS' (UTC) → integer epoch nanoseconds."""
+    """'YYYY-MM-DD HH:MM:SS[.ffffff]' (UTC) → integer epoch
+    nanoseconds, EXACT: computed by timedelta arithmetic, never
+    `int(d.timestamp())`, which truncated fractional seconds and made
+    the coarse ns prefilter EXCLUDE rows the caller's exact predicate
+    admits (e.g. an upper bound of ...:15.75 cut off at ...:15.000 —
+    silent row loss violating the documented superset guarantee;
+    round-9 review)."""
     import datetime as _dt
 
-    d = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
-    return int(d.timestamp()) * 1_000_000_000
+    d = _dt.datetime.fromisoformat(bound)
+    if d.tzinfo is not None:
+        raise ValueError(f"ts_between bounds must be naive UTC: {bound!r}")
+    delta = d - _dt.datetime(1970, 1, 1)
+    return (delta // _dt.timedelta(microseconds=1)) * 1_000
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -150,13 +150,29 @@ class SparkVariable:
         the plan — never the distinct-collect the timeseries/mesh
         properties do (an extremum over 100 TB is an aggregate, not a
         driver-side array build)."""
-        if self._timeseries is not None and (not space or self._mesh is not None):
+        # cached path: only the REQUESTED coordinate arrays need to be
+        # cached (round-9 review: requiring _timeseries even for
+        # time=False forced a cluster aggregate although every needed
+        # value was already in _mesh)
+        t_ok = not time or self._timeseries is not None
+        s_ok = not space or self._mesh is not None
+        if t_ok and s_ok:
             out = []
             if time:
                 ts = self._timeseries
+                if len(ts) == 0:
+                    raise ValueError(
+                        f"variable {self.label!r} has an empty timeseries"
+                        " — no time bounds exist"
+                    )
                 out.append([float(ts.min()), float(ts.max())])
             if space:
-                for m in self._mesh:
+                for d, m in enumerate(self._mesh):
+                    if len(m) == 0:
+                        raise ValueError(
+                            f"variable {self.label!r} mesh dim {d} is empty"
+                            " (zoomed to nothing?) — no bounds exist"
+                        )
                     out.append([float(m.min()), float(m.max())])
             return out
         aggs = []
