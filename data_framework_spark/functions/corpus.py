@@ -49,6 +49,36 @@ REP_THRESHOLD = 0.2
 N_SHARDS = 64
 
 
+def top_token_ratio(toks: F.Column) -> F.Column:
+    """Per-row top-token ratio: frequency of the single most common
+    token over all tokens, computed as the longest equal-run in the
+    SORTED token array (max count == max run after sorting — the same
+    exact integers as the relational groupBy(doc, tok) → max/sum form
+    every oracle uses). One JVM fold over the array, ZERO exchanges —
+    vs the explode → two shuffles → join-back shape this replaced in
+    the repetition filter and the funnel's stage 2a (round-9 profile:
+    the funnel's dominant warm cost)."""
+    long1 = F.lit(1).cast("long")
+    run_of = lambda acc, t: F.when(
+        t == acc["prev"], acc["run"] + long1
+    ).otherwise(long1)
+    rep_max = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run_of(acc, t).alias("run"),
+            F.greatest(acc["best"], run_of(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return rep_max.cast("double") / F.size(toks)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filter: per source, how many documents pass
     ALL of (token count in range, mean token length in range,
@@ -106,20 +136,16 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition detection (the Gopher/Dolma 'repetitious text'
     family): per document, the frequency of its single most common
     token as a fraction of all tokens; per source, how many documents
-    exceed REP_THRESHOLD and the mean ratio. Token counting explodes
-    once and aggregates by (doc, token) — partial aggregation absorbs
-    the fan-out map-side, and the per-doc max rides the same
-    partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_tok = (
-        docs.select(
-            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
-        )
-        .groupBy("doc_id", "source", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_doc = per_tok.groupBy("doc_id", "source").agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio")
+    exceed REP_THRESHOLD and the mean ratio. The per-doc ratio is the
+    shared sorted-run fold (top_token_ratio) — a per-row array
+    expression, so the only shuffle is the final per-source rollup."""
+    from data_framework_spark.sources.tables import widen_scan
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        top_token_ratio(tokens(F.col("text"))).alias("rep_ratio"),
     )
     return (
         per_doc.groupBy("source")
@@ -786,16 +812,12 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
     """Stages 1-5 of the funnel over a materialized base projection."""
     train = base.filter(~F.col("b")).drop("b")
 
-    # stage 2a: per-doc top-token ratio (explode → two-stage agg, one
-    # shuffle keyed by doc_id with map-side partial aggregation)
-    rep = (
-        train.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"))
-    )
-    flags = train.join(rep, "doc_id").withColumn(
+    # stage 2a: per-doc top-token ratio via the shared sorted-run fold
+    # (top_token_ratio) — zero exchanges vs the old explode → two
+    # groupBys → join-back, the funnel's dominant warm cost
+    flags = train.withColumn(
+        "rep_ratio", top_token_ratio(F.col("toks"))
+    ).withColumn(
         "q_ok",
         F.col("n_tok").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
         & F.col("mean_len").between(QF_MIN_MEAN_LEN, QF_MAX_MEAN_LEN)
@@ -808,20 +830,30 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
         & (F.col("dup_frac") <= DUPNG_FLAG),
     )
 
-    # stage 3: minhash-signature group reps among clean survivors
+    # stage 3: minhash-signature group reps among clean survivors.
+    # Each component h_k = min over distinct shingles of
+    # md5(shingle#k) — a PER-ROW array_min(transform(...)) (string min
+    # is lexicographic on both engines, identical to the relational
+    # min aggregate), so the signature build needs no explode and no
+    # doc-keyed shuffle; the only exchange left in this stage is the
+    # unavoidable signature-keyed group-rep election.
     from data_framework_spark.dedup.minhash import K as MH_K
 
-    sh = flags.filter("clean_ok").select(
+    def _component(k: int):
+        # single-ARG lambda via factory: a 2-parameter lambda (e.g. a
+        # k=k default) would make F.transform pass (element, INDEX)
+        # and silently bind k to the array index
+        tag = F.lit(f"#{k}")
+        return lambda s: F.md5(F.concat(s, tag))
+
+    sig = flags.filter("clean_ok").select(
         F.col("doc_id").alias("doc"),
-        F.explode(F.array_distinct("toks")).alias("shingle"),
-    )
-    sig = sh.groupBy("doc").agg(
         *[
-            F.min(
-                F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))
+            F.array_min(
+                F.transform(F.array_distinct("toks"), _component(k))
             ).alias(f"h{k}")
             for k in range(MH_K)
-        ]
+        ],
     )
     keepers = (
         sig.groupBy(*[f"h{k}" for k in range(MH_K)])
