@@ -656,3 +656,56 @@ def test_fluxfn_boundary_follows_zoomed_origin(spark):
     d1 = x[1] - x[0]
     want = np.cumsum(sl2[:, 0] * d0)[:, None] - np.cumsum(sl1 * d1, axis=1)
     assert np.allclose(flux, want)
+
+
+# --- per-row fold rewrites: property parity + boundary pins ------------------
+
+
+def test_top_token_ratio_matches_counter_reference(spark):
+    """The sorted-run fold must equal Counter-based max-count/total on
+    arbitrary token arrays (including leading empty strings, ties, and
+    single-token docs) — it replaced the relational groupBy form in
+    the funnel and repetition filter."""
+    import random
+    from collections import Counter
+
+    from data_framework_spark.functions.corpus import top_token_ratio
+
+    rng = random.Random(11)
+    vocab = ["", "a", "b", "ab", "ba", "aa", "token"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        rows.append((i, [rng.choice(vocab) for _ in range(n)]))
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", top_token_ratio(F.col("toks")).alias("ratio")
+        ).collect()
+    }
+    for doc_id, toks in rows:
+        want = max(Counter(toks).values()) / len(toks)
+        assert got[doc_id] == want, (doc_id, toks)
+
+
+def test_session_window_merges_exact_gap_boundary(spark):
+    """Two events exactly the session gap apart form ONE Spark
+    session_window session — the behavior the oracle's strictly-
+    greater-than split rule (streaming/windows.py round-9 fix)
+    encodes. If a Spark release ever flips this to half-open, this
+    test fails before the oracle silently diverges."""
+    from data_framework_spark.streaming.windows import session_window_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:30:00", 2.0),  # exactly the 30-min gap
+            (1, "2024-01-01 01:00:01", 3.0),  # 1 s past the gap
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_window_agg(df, "30 minutes").collect()
+    assert len(out) == 2
+    by_n = sorted(r["n_events"] for r in out)
+    assert by_n == [1, 2]
