@@ -60,10 +60,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).alias("cum_s"),
         F.sum("c").over(W.partitionBy("source")).alias("n_s"),
     )
-    # total cumulative per bucket from the per-source cumulative frame:
-    # sum across sources at the same bucket
+    # total cumulative per bucket — aggregated from the SPARSE counts
+    # frame (grid zeros contribute nothing and counts' distinct bucket
+    # set IS the grid's bucket set, so the result is identical; the
+    # densified frame is only needed for the per-source ECDF —
+    # round-9 review)
     tot = (
-        dense.groupBy("bucket")
+        counts.groupBy("bucket")
         .agg(F.sum("c").alias("cb"))
         .select(
             "bucket",
@@ -127,7 +130,7 @@ tot AS (
   SELECT bucket,
          sum(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_all,
          sum(cb) OVER () AS n_all
-  FROM (SELECT bucket, sum(c) AS cb FROM dense GROUP BY bucket)
+  FROM (SELECT bucket, sum(c) AS cb FROM counts GROUP BY bucket)
 )
 SELECT source,
        any_value(n_s)::BIGINT AS n_docs,

@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from data_framework_spark.functions.numeric import stable_round
+from data_framework_spark.functions.numeric import (
+    stable_round,
+    stable_round_sql,
+)
 from data_framework_spark.functions.text import tokens
 from data_framework_spark.sources.tables import load_table
 
@@ -67,13 +70,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+            # stable_round: avg(logp) <= 0 approaches zero from
+            # below, so a bare round yields +0.0 on Spark (BigDecimal
+            # has no signed zero) vs -0.0 on DuckDB — the round-6
+            # heaps_fit digest-red class (round-9 review)
+            stable_round(F.avg("logp"), 4).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
 
 
-Q_UNIGRAM_LOGPROB_SQL = """
+Q_UNIGRAM_LOGPROB_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
@@ -86,7 +93,8 @@ tot AS (
 lm AS (
   SELECT tok, ln(c) - ln(t) AS logp FROM vocab CROSS JOIN tot
 )
-SELECT doc_id, count(*) AS n_tok, round(avg(logp), 4) AS avg_logprob
+SELECT doc_id, count(*) AS n_tok,
+       {stable_round_sql('avg(logp)', 4)} AS avg_logprob
 FROM tok JOIN lm USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -142,8 +150,8 @@ topn AS (
 ),
 fit AS (
   SELECT count(*) AS n_terms,
-         round(regr_slope(ln(c), ln(rank)), 4) + 0.0 AS slope,
-         round(regr_r2(ln(c), ln(rank)), 4) + 0.0 AS r2
+         {stable_round_sql('regr_slope(ln(c), ln(rank))', 4)} AS slope,
+         {stable_round_sql('regr_r2(ln(c), ln(rank))', 4)} AS r2
   FROM topn
 ),
 totals AS (
@@ -248,7 +256,7 @@ per_thr AS (
   FROM v_band FULL OUTER JOIN n_band USING (i)
 )
 SELECT count(*) AS n_points,
-       round(regr_slope(ln(v), ln(n)), 4) + 0.0 AS beta,
+       {stable_round_sql('regr_slope(ln(v), ln(n))', 4)} AS beta,
        min(v)::BIGINT AS v_first,
        max(v)::BIGINT AS vocab_full,
        max(n)::BIGINT AS tokens_full

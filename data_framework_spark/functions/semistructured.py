@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_framework_spark.functions.numeric import (
+    stable_round,
+    stable_round_sql,
+)
 from data_framework_spark.sources.tables import load_table
 
 
@@ -28,18 +32,32 @@ def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # stable_round: value is an unconstrained measure — a
+            # bucket mean that lands just below zero would round to
+            # +0.0 on Spark vs -0.0 on DuckDB (round-9 review)
+            stable_round(F.avg("value"), 6).alias("avg_value"),
         )
     )
 
 
-Q_JSON_PROPS_EVENTS_SQL = """
+# The int extraction mirrors Spark's LENIENT string->int cast (trim,
+# optional sign, digits only; anything else -> NULL). A bare ::INT
+# would ABORT DuckDB on 'abc' (ConversionException) and ROUND '3.7'
+# to 4 where Spark yields NULL — latent on the integer-only generator,
+# guaranteed divergence on free-form JSON (round-9 review).
+_K_INT = (
+    "CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),"
+    " '^[+-]?[0-9]+$')"
+    " THEN trim(json_extract_string(props, '$.k'))::INT END"
+)
+
+Q_JSON_PROPS_EVENTS_SQL = f"""
 SELECT
-  (json_extract_string(props, '$.k')::INT % 10) AS k_bucket,
+  ({_K_INT} % 10) AS k_bucket,
   count(*) AS n_events,
-  min(json_extract_string(props, '$.k')::INT) AS min_k,
-  max(json_extract_string(props, '$.k')::INT) AS max_k,
-  round(avg(value), 6) AS avg_value
+  min({_K_INT}) AS min_k,
+  max({_K_INT}) AS max_k,
+  {stable_round_sql('avg(value)', 6)} AS avg_value
 FROM events
 GROUP BY 1
 """
