@@ -961,82 +961,87 @@ QUERIES: dict[str, Query] = {
 # The driver's correctness harness verifies only the FIRST 50 registry
 # entries in insertion order. To keep cumulative hard-signal coverage
 # fresh, the least-recently-driver-verified entries are hoisted to the
-# front each round. Round-9 rotation (exactly the plan the round-8
-# comment recorded and the r8 VERDICT endorsed): (a) the 3
-# never-driver-verified round-8 additions first (ivfpq_persist_topk,
-# ivfpq_recall_contract, bpe_detok_roundtrip — all strict-replica-green
-# in r8's 329-test run), then (b) the full 47-query last-green-r6 block
-# in registry order (timeslice_events .. rolling_zscore, recomputed
-# from CORRECTNESS_r0{6,7,8}.json as r6-green minus any later row);
-# 3 + 47 = exactly 50 with no deferrals. The block contains the four
-# round-7 re-pins (funnel_stages, zipf_fit, ks_drift, pagerank_neardup)
-# and, importantly, ngram_jaccard_pairs — whose kernel changed in
-# round 8 (JVM array_intersect -> Arrow membership matrix) with bitwise
-# equality test-pinned (test_round8b); this window buys it the fresh
-# driver hash. `find_structures_island` (rows-only by contract) stays
-# excluded so every slot buys a hash-green signal. After r9, no
-# query's driver row is older than two rounds. Round 10 must hoist:
-# (a) the 5 never-driver-verified round-9 additions
-# (ivfpq_refine_topk, ivfpq_refine_recall, bm25_adhoc_topk,
-# bpe_heldout_coverage, ivfpq_nprobe_curve — all strict-replica-green
-# in r9), then (b) the FIRST 45 of the 50-query last-green-r7 block
-# in registry order; 5 + 45 = exactly 50, leaving a 5-query r7 TAIL
-# that must lead round 11's window (the registry outgrew 150, so one
-# round can no longer drain a whole block — the tail is named debt,
-# not a deferral that silently ages).
+# front each round. STALENESS BUDGET (r9 verdict ask 7): no query's
+# driver row may be older than 3 rounds, and net registry additions
+# stay <= 3-4/round so the 50-slot window can service the budget; each
+# round's window arithmetic below is derived from that budget.
+#
+# Round-10 rotation is TOUCH-priority, not just age-priority (the r9
+# verdict's #1 ask): round 9's review passes changed kernels or oracles
+# AFTER several queries' last driver rows, and the touched set outranks
+# untouched-but-older rows. Window = (a) the 5 never-driver-verified
+# round-9 additions (ivfpq_refine_topk, ivfpq_refine_recall,
+# bm25_adhoc_topk, bpe_heldout_coverage, ivfpq_nprobe_curve — all
+# strict-replica-green in r9's 352-test run), then (b) the 6 last-
+# green-r8 queries whose code or oracle changed in r9
+# (minhash_near_dup_pairs, dedup_clusters, bpe_tokenize,
+# bm25_postings_topk, skew_salted_agg, halo_smooth_multi_t), then
+# (c) the 9 r9-touched members of the 50-query last-green-r7 block
+# (gaussian_smooth_grid .. json_props_events), then (d) the first 30
+# untouched r7-block queries in registry order. 5+6+9+30 = exactly 50.
+# The 11-query untouched-r7 TAIL (ann_recall_contract, orc_roundtrip,
+# rolling_median_events, hll_union_contract_events, benchmark_decontam,
+# dup_ngram_fraction, heaps_fit, pq_codes, pq_adc_topk, bpe_merges,
+# pagerank_neardup_lsh) is named debt that must LEAD round 11's window
+# — at r11 those rows are 4 rounds old, one past budget, so r11 may
+# not defer them again. Any query whose kernel or oracle r10 itself
+# touches gets hoisted into this window before round end, displacing
+# untouched-r7 fills into the named tail (touch outranks age).
 _VERIFY_FIRST: list[str] = [
-    # -- never driver-verified round-8 additions (all 3) --
-    "ivfpq_persist_topk",
-    "ivfpq_recall_contract",
-    "bpe_detok_roundtrip",
-    # -- last driver row round 6 (drain ALL 47, registry order) --
-    "timeslice_events",
-    "zoom_lineitem",
-    "select_vars_substring",
-    "array_ingest_roundtrip",
-    "dataset_api_events",
-    "bounds_events",
-    "sigma_threshold_lineitem",
-    "label_extrema_events",
-    "lang_id",
-    "dedup_simhash",
-    "simhash_near_dups",
-    "ngram_jaccard_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "cosine_topk",
-    "partitioned_prune_roundtrip",
-    "quality_filter",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "shard_assign",
-    "contamination_check",
-    "bigram_topk",
-    "label_centroids",
-    "find_structures_contract",
-    "curation_funnel",
-    "curation_funnel_mat",
-    "find_structures_multi8",
-    "heavy_hitters",
-    "chunk_documents",
-    "chunk_dedup",
-    "stratified_split",
-    "unigram_logprob",
-    "zipf_fit",
-    "semantic_dedup",
-    "domain_mix",
-    "ks_drift",
-    "cluster_purity",
-    "cdc_chunks",
-    "snapshot_diff",
-    "k_anonymity",
-    "streaming_heavy_hitters",
-    "pagerank_neardup",
-    "multimodal_embed_topk",
-    "text_normalize",
-    "incremental_agg_refresh",
-    "funnel_stages",
-    "rolling_zscore",
+    # -- (a) never driver-verified round-9 additions (all 5) --
+    "ivfpq_refine_topk",
+    "ivfpq_refine_recall",
+    "bm25_adhoc_topk",
+    "bpe_heldout_coverage",
+    "ivfpq_nprobe_curve",
+    # -- (b) last-green-r8, kernel/oracle touched in r9 --
+    "minhash_near_dup_pairs",
+    "dedup_clusters",
+    "bpe_tokenize",
+    "bm25_postings_topk",
+    "skew_salted_agg",
+    "halo_smooth_multi_t",
+    # -- (c) last-green-r7, kernel/oracle touched in r9 --
+    "gaussian_smooth_grid",
+    "extrema_filter_grid",
+    "tiled_gaussian_grid",
+    "fluxfn_grid",
+    "contours_grid",
+    "gradient_events",
+    "interp_events",
+    "session_window_events",
+    "json_props_events",
+    # -- (d) untouched last-green-r7 block, registry order --
+    "bounds_lineitem",
+    "label_extrema_lineitem",
+    "gap_fill_grid",
+    "dilate_grid",
+    "flood_label_grid",
+    "flood_region_grid",
+    "running_sum_events",
+    "line_slice_linear",
+    "line_slice_nearest",
+    "multimodal_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "stateful_user_totals_live",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "format_roundtrip",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_orders",
+    "group_rollup",
+    "tpch_q4_semijoin",
+    "tpch_q7_volume",
+    "pack_sequences",
+    "ivf_persist_roundtrip",
+    "embedding_near_dups",
+    "embedding_dedup_lsh",
 ]
 
 QUERIES = {
