@@ -76,7 +76,14 @@ def top_token_ratio(toks: F.Column) -> F.Column:
         ),
         lambda acc: acc["best"],
     )
-    return rep_max.cast("double") / F.size(toks)
+    # empty-array guard: 0/0 would yield NaN where the explode-based
+    # relational form (and every oracle) simply has no row for the doc.
+    # Unreachable today (F.split always yields >= 1 element) but a
+    # future tokenizer change must diverge to NULL, not NaN (round-10
+    # advisory).
+    return F.when(
+        F.size(toks) > 0, rep_max.cast("double") / F.size(toks)
+    )
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

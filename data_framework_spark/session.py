@@ -46,11 +46,20 @@ def _pin_process_utc() -> None:
     process-local zone, so on a non-UTC machine every collected
     timestamp is local wall time while the DuckDB oracle returns UTC —
     a false hash red on every timestamp query despite the session pin
-    (round-9 review). One process-global set, same spirit as the
-    session conventions; no-op where TZ is already UTC (this
-    container) or tzset is unavailable (non-POSIX)."""
+    (round-9 review). No-op where TZ is already UTC (this container)
+    or tzset is unavailable (non-POSIX).
+
+    CAUTION — PROCESS-GLOBAL MUTATION: this sets ``os.environ["TZ"]``
+    and calls ``time.tzset()``, switching datetime behavior for the
+    WHOLE host process, not just this library. A host application
+    embedding the engine that relies on local-time semantics can opt
+    out by setting ``SPARK_GRAFT_NO_TZSET=1`` (any non-empty value);
+    collected timestamps then carry the host's local zone and the
+    caller owns reconciling them (round-10 advisory)."""
     import time
 
+    if os.environ.get("SPARK_GRAFT_NO_TZSET"):
+        return
     if os.environ.get("TZ") != "UTC" and hasattr(time, "tzset"):
         os.environ["TZ"] = "UTC"
         time.tzset()
@@ -65,6 +74,10 @@ def ensure_session_conventions(spark: SparkSession) -> SparkSession:
     Sessions built by `get_spark()` already satisfy these; for vanilla
     sessions (the correctness driver's) this is the single sanctioned
     place that mutates session-global conf.
+
+    Side effect: also pins the host PROCESS timezone to UTC via
+    `_pin_process_utc` (required for collect() parity); embedders can
+    opt out with ``SPARK_GRAFT_NO_TZSET=1`` — see that docstring.
     """
     _pin_process_utc()
     for k, v in RUNTIME_CONVENTIONS.items():

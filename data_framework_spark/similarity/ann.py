@@ -303,9 +303,12 @@ def blocked_cosine_pairs(
 # re-executing all three route plans inline in one mega-query
 # (round-4 verdict: contract cold 9.25 s vs 4.3 s for the three routes
 # run separately — the overhead was whole-plan codegen, not data).
-# Keyed by (applicationId, sf_dir, route) so a new session or a
-# different scale factor never sees a stale entry.
-_ROUTE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Keyed by (applicationId, sf_dir, source-fingerprint, route) so a new
+# session, a different scale factor, OR a mid-session rewrite of the
+# same sf_dir (the fingerprint covers file paths/sizes/mtimes, same as
+# session_index_dir and the funnel scratch) never sees a stale entry
+# (round-10 advisory).
+_ROUTE_CACHE: dict[tuple[str, str, tuple, str], DataFrame] = {}
 
 # One live persisted band-signature frame per session for
 # lsh_bucketed_pairs (see the persist comment there): app -> frame.
@@ -315,13 +318,21 @@ _TAGGED_CACHE: dict[str, DataFrame] = {}
 def cached_route(
     spark: SparkSession, sf_dir: str, route: str, build
 ) -> DataFrame:
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
     app = spark.sparkContext.applicationId
-    # prune entries from previous sessions: their DataFrames are
+    fp = _sf_fingerprint(sf_dir)
+    # prune entries from previous sessions (their DataFrames are
     # unusable against the live session and would pin memory forever
-    # in a long-lived process
-    for k in [k for k in _ROUTE_CACHE if k[0] != app]:
-        del _ROUTE_CACHE[k]
-    key = (app, sf_dir, route)
+    # in a long-lived process) AND superseded fingerprints of this
+    # sf_dir (a mid-session rewrite must not serve stale results —
+    # unpersist so the old blocks free immediately)
+    for k in list(_ROUTE_CACHE):
+        if k[0] != app or (k[1] == sf_dir and k[2] != fp):
+            stale = _ROUTE_CACHE.pop(k)
+            if k[0] == app:
+                stale.unpersist()
+    key = (app, sf_dir, fp, route)
     df = _ROUTE_CACHE.get(key)
     if df is None:
         df = build().persist()
@@ -336,7 +347,10 @@ def evict_route(spark: SparkSession, sf_dir: str, route: str) -> None:
     a dict lookup (round-5 verdict finding 2), while entries built by
     the OTHER route queries stay for the recall contracts' internal
     reuse."""
-    key = (spark.sparkContext.applicationId, sf_dir, route)
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _sf_fingerprint(sf_dir), route)
     df = _ROUTE_CACHE.pop(key, None)
     if df is not None:
         df.unpersist()

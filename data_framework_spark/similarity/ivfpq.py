@@ -749,6 +749,17 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id").isin(nids))
         .collect()
     }
+    # a partially-written/corrupt index can miss an exact neighbor's
+    # assignment row; fail with a diagnostic, not a bare KeyError
+    # (round-10 advisory)
+    missing = [nid for _, nid in exact_rows if cell_of.get(nid) is None]
+    if missing:
+        raise ValueError(
+            f"IVFPQ index at {path}/codes has no cell assignment for "
+            f"vec_id(s) {sorted(set(missing))[:5]} — the index is "
+            "incomplete; rebuild it (delete the directory) before "
+            "running the nprobe curve"
+        )
     cov_rows = []
     for n in IVFPQ_NPROBE_SWEEP:
         cov = sum(

@@ -112,11 +112,19 @@ def widen_scan(df: DataFrame) -> DataFrame:
     no-op, never a double execution."""
     import re
 
-    allowed = ("Project", "Filter", "Relation", "LogicalRelation", "SubqueryAlias")
+    # exact node names, not prefixes: a future Relation*/Project*
+    # wrapper node that DOES introduce an exchange must fail the
+    # allowlist, so the extracted name is compared whole (round-10
+    # advisory), with the name cut at the first space/bracket/paren
+    # ("Relation[...]" and "Project [...]" both extract cleanly)
+    allowed = {"Project", "Filter", "Relation", "LogicalRelation", "SubqueryAlias"}
     analyzed = df._jdf.queryExecution().analyzed().toString()
     for line in analyzed.splitlines():
         node = re.sub(r"^[:+\-| ]*", "", line)
-        if node and not node.startswith(allowed):
+        if not node:
+            continue
+        name = re.split(r"[\s\[\(]", node, maxsplit=1)[0]
+        if name not in allowed:
             return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism

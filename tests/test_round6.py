@@ -132,8 +132,15 @@ def test_evict_route_forces_reexecution(spark, sf_dir):
         q_cosine_topk,
     )
 
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
     df1 = q_cosine_topk(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "cosine_topk")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _sf_fingerprint(sf_dir),
+        "cosine_topk",
+    )
     assert key in _ROUTE_CACHE
     evict_route(spark, sf_dir, "cosine_topk")
     assert key not in _ROUTE_CACHE
