@@ -58,27 +58,14 @@ def main() -> None:
     # The ANN route queries memoize their (tiny) results in a session
     # cache so the recall contracts can compose them cheaply. Timing a
     # memoized route would measure a dict lookup (round-5 verdict
-    # finding 2), so the bench evicts each route's OWN entry right
-    # before timing that route — entries built by other queries stay,
-    # preserving the contracts' internal reuse.
+    # finding 2, reintroduced twice by later additions), so the bench
+    # evicts each route's OWN entries right before timing that route —
+    # entries built by other queries stay, preserving the contracts'
+    # internal reuse. Which routes belong to which query is declared
+    # ON the registry entry (Query.cached_routes) so a new shared-plan
+    # query cannot silently skip eviction (r9 verdict ask 6); a test
+    # asserts every cached_route key in the codebase is declared.
     from data_framework_spark.similarity.ann import evict_route
-
-    _ROUTE_OF = {
-        "cosine_topk": "cosine_topk",
-        "ann_lsh_topk": "lsh_topk",
-        "ann_hamming_rerank": "hamming_rerank",
-        "ann_ivf_topk": "ivf_topk",
-        # round-9 review: the IVFPQ recall contracts persist these two
-        # queries' IDENTICAL plans via cached_route, and Spark's
-        # CacheManager substitutes any matching plan with the
-        # InMemoryRelation — without eviction the refine query's COLD
-        # headline (refine_recall sorts before refine_topk) and both
-        # queries' warm figures timed a ~100-row cache scan instead of
-        # the real index search (the round-5 memoized-route bug,
-        # reintroduced by round-8/9 additions).
-        "ivfpq_persist_topk": "ivfpq_topk",
-        "ivfpq_refine_topk": "ivfpq_refine_topk",
-    }
 
     def run_subset(names: list[str]) -> dict[str, float]:
         # THE timing loop (run_all delegates here — one copy of the
@@ -94,8 +81,8 @@ def main() -> None:
         for name in sorted(names):
             if name not in QUERIES:
                 continue
-            if name in _ROUTE_OF:
-                evict_route(spark, sf_dir, _ROUTE_OF[name])
+            for route in QUERIES[name].cached_routes:
+                evict_route(spark, sf_dir, route)
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

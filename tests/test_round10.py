@@ -146,3 +146,52 @@ def test_top_token_ratio_null_on_empty_array(spark):
     assert vals[0] == pytest.approx(2 / 3)
     assert vals[1] is None  # NULL, not NaN
     assert not any(v is not None and math.isnan(v) for v in vals)
+
+
+# --- structural bench route-eviction (r9 verdict ask 6) ----------------------
+
+
+def test_every_cached_route_key_is_declared():
+    """Every `cached_route(spark, sf_dir, KEY, ...)` call site in the
+    codebase must have KEY declared either by some registry entry's
+    `cached_routes` (bench evicts it before timing that query) or in
+    `COMPOSITION_ROUTES` (internal baseline, not any standalone query's
+    plan). A new shared-plan query that forgets the declaration fails
+    here — the memoized-route bug is impossible by construction."""
+    import pathlib
+    import re
+
+    from data_framework_spark.registry import COMPOSITION_ROUTES, QUERIES
+    from data_framework_spark.similarity.ivfpq import IVFPQ_K
+
+    pkg = pathlib.Path("data_framework_spark")
+    keys = set()
+    pat = re.compile(
+        r"cached_route\(\s*spark,\s*(?:sf_dir|path),\s*(f?)\"([^\"]+)\"",
+        re.S,
+    )
+    for py in pkg.rglob("*.py"):
+        for is_f, key in pat.findall(py.read_text()):
+            if is_f:
+                key = key.format(k=IVFPQ_K)
+            keys.add(key)
+    assert keys, "regex found no cached_route call sites — update the pattern"
+    declared = {r for q in QUERIES.values() for r in q.cached_routes}
+    declared |= set(COMPOSITION_ROUTES)
+    undeclared = keys - declared
+    assert not undeclared, (
+        f"cached_route keys {sorted(undeclared)} are not declared by any "
+        "registry entry's cached_routes nor COMPOSITION_ROUTES — bench "
+        "eviction would silently skip them"
+    )
+    # and nothing dangling: every declared route exists in the code
+    dangling = declared - keys
+    assert not dangling, f"declared routes {sorted(dangling)} have no call site"
+
+
+def test_bench_consumes_registry_route_annotations():
+    import pathlib
+
+    src = pathlib.Path("bench.py").read_text()
+    assert "_ROUTE_OF" not in src  # the hand map is gone for good
+    assert ".cached_routes" in src  # and the annotation is what runs
