@@ -1001,17 +1001,21 @@ QUERIES: dict[str, Query] = {
 # green-r8 queries whose code or oracle changed in r9
 # (minhash_near_dup_pairs, dedup_clusters, bpe_tokenize,
 # bm25_postings_topk, skew_salted_agg, halo_smooth_multi_t), then
-# (c) the 9 r9-touched members of the 50-query last-green-r7 block
-# (gaussian_smooth_grid .. json_props_events), then (d) the first 30
-# untouched r7-block queries in registry order. 5+6+9+30 = exactly 50.
-# The 11-query untouched-r7 TAIL (ann_recall_contract, orc_roundtrip,
+# (c) the 4 queries round 10 ITSELF touched (touch outranks age: the
+# Lloyd-trained quantizer/codebooks changed the IVFPQ and PQ kernels
+# AND oracles, so ivfpq_persist_topk + ivfpq_recall_contract (r9-green
+# rows now stale) and pq_codes + pq_adc_topk (r7 rows now stale) need
+# fresh driver hashes this round), then (d) the 9 r9-touched members
+# of the 50-query last-green-r7 block (gaussian_smooth_grid ..
+# json_props_events), then (e) the first 26 untouched r7-block queries
+# in registry order. 5+6+4+9+26 = exactly 50. The 13-query
+# untouched-r7 TAIL (ann_recall_contract, orc_roundtrip,
 # rolling_median_events, hll_union_contract_events, benchmark_decontam,
-# dup_ngram_fraction, heaps_fit, pq_codes, pq_adc_topk, bpe_merges,
-# pagerank_neardup_lsh) is named debt that must LEAD round 11's window
+# dup_ngram_fraction, heaps_fit, bpe_merges, pagerank_neardup_lsh,
+# pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
+# embedding_dedup_lsh) is named debt that must LEAD round 11's window
 # — at r11 those rows are 4 rounds old, one past budget, so r11 may
-# not defer them again. Any query whose kernel or oracle r10 itself
-# touches gets hoisted into this window before round end, displacing
-# untouched-r7 fills into the named tail (touch outranks age).
+# not defer them again.
 _VERIFY_FIRST: list[str] = [
     # -- (a) never driver-verified round-9 additions (all 5) --
     "ivfpq_refine_topk",
@@ -1019,6 +1023,11 @@ _VERIFY_FIRST: list[str] = [
     "bm25_adhoc_topk",
     "bpe_heldout_coverage",
     "ivfpq_nprobe_curve",
+    # -- (c) kernel/oracle touched by round 10's trained quantizers --
+    "ivfpq_persist_topk",
+    "ivfpq_recall_contract",
+    "pq_codes",
+    "pq_adc_topk",
     # -- (b) last-green-r8, kernel/oracle touched in r9 --
     "minhash_near_dup_pairs",
     "dedup_clusters",
@@ -1063,10 +1072,6 @@ _VERIFY_FIRST: list[str] = [
     "group_rollup",
     "tpch_q4_semijoin",
     "tpch_q7_volume",
-    "pack_sequences",
-    "ivf_persist_roundtrip",
-    "embedding_near_dups",
-    "embedding_dedup_lsh",
 ]
 
 QUERIES = {

@@ -9,13 +9,16 @@ own PQ_K-centroid codebook, and store only the m code bytes (here
 At 100 TB this is what makes a billion-vector index fit in memory;
 search then proxies distances through per-subspace lookup tables.
 
-Codebook choice mirrors ivf.py: deterministic sampled centroids (the
-first PQ_K vectors' sub-slices) rather than trained k-means — the PQ
-*structure* (subspace split, per-subspace argmin assignment, code
-accounting, quantization error) is identical, the codebooks are
-bit-reproducible in the DuckDB oracle, and a trained codebook (one
-`semantic.lloyd_refine` round per subspace) drops in without touching
-the contract.
+Codebooks are Lloyd-TRAINED since round 10 (r9 verdict ask 3): seeds
+are the first PQ_K vectors' sub-slices (the old deterministic
+stand-in), refined by BOOK_ROUNDS of per-subspace k-means via
+similarity/train.py — whose fixed-point integer-sum design keeps the
+training bit-reproducible in the DuckDB oracle (the oracle re-derives
+the trained codebooks from scratch, so a training drift flips the
+hash). Measured mean quantization error, sampled seeds → trained: 0.0940 →
+0.0719 (sf0.001), 0.0947 → 0.0717 (sf0.01), 0.0969 → 0.0757 (sf0.1)
+— a 22-24% drop; all 128 codes live in both regimes on this corpus
+(per-code stats in q_pq_codes; SURVEY §8 records the deltas).
 
 Assignment determinism (the ivf.assign_cells convention): squared L2
 distances are rounded half-away-from-zero to 9 decimals (matching
@@ -48,7 +51,7 @@ _SUB = PQ_DIM // PQ_M
 
 
 def _codebooks(emb: DataFrame) -> np.ndarray:
-    """(PQ_M, PQ_K, _SUB) deterministic codebooks: the first PQ_K
+    """(PQ_M, PQ_K, _SUB) deterministic codebook SEEDS: the first PQ_K
     vectors' subspace slices — a bounded PQ_K-row collect, same as
     ivf._centroid_rows."""
     rows = (
@@ -65,6 +68,15 @@ def _codebooks(emb: DataFrame) -> np.ndarray:
     return np.stack(
         [full[:, s * _SUB : (s + 1) * _SUB] for s in range(PQ_M)]
     )
+
+
+def trained_codebooks(emb: DataFrame) -> np.ndarray:
+    """Lloyd-trained codebooks: the sampled seeds refined by
+    train.BOOK_ROUNDS of per-subspace fixed-point k-means over the raw
+    corpus (bit-identical to the oracle's unrolled CTEs)."""
+    from data_framework_spark.similarity.train import lloyd_subspace_books
+
+    return lloyd_subspace_books(emb, "embedding", _codebooks(emb))
 
 
 def _round9(x: np.ndarray) -> np.ndarray:
@@ -118,9 +130,11 @@ def assign_pq_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook-health audit: per-(subspace, code) assignment count
-    and mean quantization error over the embeddings corpus."""
+    and mean quantization error over the embeddings corpus, computed
+    against the TRAINED codebooks (the training is part of what the
+    oracle hash certifies)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = _codebooks(emb)
+    books = trained_codebooks(emb)
     return (
         assign_pq_codes(emb, books)
         .groupBy("subspace", "code")
@@ -164,7 +178,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract here is the ADC *plan* (codes-only scan, broadcast
     LUTs), not a recall claim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = _codebooks(emb)
+    books = trained_codebooks(emb)
     q_rows = (
         emb.filter(F.col("vec_id") < 20)
         .select("vec_id", "embedding")
@@ -220,16 +234,22 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_ASSIGN_CTES = f"""parts AS (
+def _pq_assign_ctes() -> str:
+    """The shared CTE block: subspace split, TRAINED codebooks (the
+    unrolled train.lloyd_books_cte rounds, seeded from the first PQ_K
+    vectors' slices), and the per-(vec, subspace) code assignment."""
+    from data_framework_spark.similarity.train import lloyd_books_cte
+
+    seed = f"""  SELECT vec_id::INTEGER AS cid, subspace,
+         list_transform(sub, x -> x::DOUBLE) AS csub
+  FROM parts WHERE vec_id < {PQ_K}"""
+    return f"""parts AS (
   SELECT vec_id, s.s::INTEGER AS subspace,
          list_slice(embedding, s.s * {_SUB} + 1,
                     s.s * {_SUB} + {_SUB}) AS sub
   FROM embeddings, range(0, {PQ_M}) s(s)
 ),
-cents AS (
-  SELECT vec_id::INTEGER AS cid, subspace, sub AS csub
-  FROM parts WHERE vec_id < {PQ_K}
-),
+{lloyd_books_cte(seed, "parts", _SUB, out="cents")},
 dist AS (
   SELECT p.vec_id, p.subspace, c.cid,
          round(list_sum(list_transform(range(1, {_SUB} + 1),
@@ -246,6 +266,9 @@ assigned AS (
   )
   WHERE rn = 1
 )"""
+
+
+_PQ_ASSIGN_CTES = _pq_assign_ctes()
 
 
 Q_PQ_ADC_TOPK_SQL = f"""
@@ -281,32 +304,7 @@ ORDER BY query_id, rank
 
 
 Q_PQ_CODES_SQL = f"""
-WITH parts AS (
-  SELECT vec_id, s.s::INTEGER AS subspace,
-         list_slice(embedding, s.s * {_SUB} + 1,
-                    s.s * {_SUB} + {_SUB}) AS sub
-  FROM embeddings, range(0, {PQ_M}) s(s)
-),
-cents AS (
-  SELECT vec_id::INTEGER AS cid, subspace, sub AS csub
-  FROM parts WHERE vec_id < {PQ_K}
-),
-dist AS (
-  SELECT p.vec_id, p.subspace, c.cid,
-         round(list_sum(list_transform(range(1, {_SUB} + 1),
-               i -> (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE)
-                    * (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE))), 9) AS d
-  FROM parts p JOIN cents c USING (subspace)
-),
-assigned AS (
-  SELECT vec_id, subspace, cid AS code, d
-  FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id, subspace ORDER BY d ASC, cid ASC) AS rn
-    FROM dist
-  )
-  WHERE rn = 1
-)
+WITH {_PQ_ASSIGN_CTES}
 SELECT subspace, code, count(*) AS n_assigned,
        round(avg(d), 6) AS avg_sq_err
 FROM assigned

@@ -195,3 +195,87 @@ def test_bench_consumes_registry_route_annotations():
     src = pathlib.Path("bench.py").read_text()
     assert "_ROUTE_OF" not in src  # the hand map is gone for good
     assert ".cached_routes" in src  # and the annotation is what runs
+
+
+# --- Lloyd-trained quantizers (r9 verdict asks 2+3) --------------------------
+
+
+def test_lloyd_coarse_bitwise_matches_oracle(spark, sf_dir):
+    """The Spark fixed-point Lloyd trainer and the unrolled DuckDB CTE
+    chain must produce BIT-IDENTICAL centroids — the property the whole
+    trained-index oracle story rests on."""
+    import duckdb
+    import numpy as np
+
+    from data_framework_spark.similarity.ivf import _centroid_rows
+    from data_framework_spark.similarity.train import (
+        lloyd_cents_cte,
+        lloyd_coarse_centroids,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_coarse_centroids(emb, _centroid_rows(emb, 16), rounds=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    sql = f"""WITH nrm AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+      FROM embeddings
+    ),
+    {lloyd_cents_cte(16, rounds=2)}
+    SELECT cid, embedding FROM cent ORDER BY cid"""
+    for cid, cent_sql in con.execute(sql).fetchall():
+        assert np.array_equal(np.asarray(cents[cid]), np.asarray(cent_sql)), cid
+    # and training actually moved every centroid off its seed
+    seed = _centroid_rows(emb, 16)
+    assert all(
+        not np.array_equal(np.asarray(cents[i]), np.asarray(seed[i], dtype=np.float64))
+        for i in range(16)
+    )
+
+
+def test_lloyd_empty_cluster_keeps_centroid(spark):
+    """A cluster that attracts no members must keep its previous
+    centroid (the k-means convention the oracle mirrors via LEFT JOIN
+    + coalesce)."""
+    import numpy as np
+
+    from data_framework_spark.similarity.train import lloyd_coarse_centroids
+
+    # vec 0 and 1 seed two cells; every corpus vector (including the
+    # seeds' own rows) lies on vec 0's ray, so cell 1 goes empty
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 0.0, 0.0, 0.0]) for i in range(2, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    cents = lloyd_coarse_centroids(emb, seed, rounds=1)
+    assert cents[1] == seed[1]  # empty cell: unchanged
+    assert cents[0] != seed[0]  # populated cell: moved to the mean
+
+
+def test_trained_codebooks_cut_quantization_error(spark, sf_dir):
+    """The r9 verdict's ask-3 'Done' criterion: trained codebooks must
+    measurably cut mean quantization error vs the sampled seeds."""
+    from pyspark.sql import functions as F
+
+    from data_framework_spark.similarity.pq import (
+        _codebooks,
+        assign_pq_codes,
+        trained_codebooks,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_err = (
+        assign_pq_codes(emb, _codebooks(emb)).agg(F.avg("err")).collect()[0][0]
+    )
+    trained_err = (
+        assign_pq_codes(emb, trained_codebooks(emb))
+        .agg(F.avg("err"))
+        .collect()[0][0]
+    )
+    assert trained_err < seed_err * 0.9  # >=10% improvement, measured ~24%
