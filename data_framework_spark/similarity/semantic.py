@@ -44,6 +44,14 @@ from pyspark.sql import functions as F
 from data_framework_spark.similarity.ann import cosine, dot, l2_norm
 from data_framework_spark.sources.tables import load_table
 
+# SCALING POLICY (r10 measurement, SURVEY §8): SemDeDup's
+# within-cluster pairwise step is quadratic in CLUSTER SIZE by design,
+# so with K fixed, 10× rows = 100× pair work (measured 9.4× wall at
+# 10× rows — the only op near the linear ceiling). At scale grow
+# K ~ N/const (SemDeDup's own recipe: cluster size, and therefore the
+# pairwise term per cluster, stays bounded; assignment stays one
+# broadcast-K GEMM pass). K is pinned at 32 here because the oracle
+# contract pins SEMANTICS at a fixed K, not the scaling policy.
 K_CLUSTERS = 32
 # the synthetic embeddings are isotropic-random (pairwise-cosine tail
 # ~0.5, see q_embedding_near_dups) — 0.40 is the same "near" bar used
