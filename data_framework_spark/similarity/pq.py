@@ -70,13 +70,46 @@ def _codebooks(emb: DataFrame) -> np.ndarray:
     )
 
 
+# Trained-codebook session cache: one training run per (session,
+# corpus content) shared by q_pq_codes and q_pq_adc_topk — the BPE
+# _MERGE_CACHE contract (the tokenizer/codebook IS a build artifact;
+# retraining it inside every consuming query is the anti-pattern the
+# cache removes). Keyed on the source fingerprint so a mid-session
+# rewrite retrains. The value is a driver-tiny (8, 16, 8) ndarray.
+_BOOKS_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def trained_codebooks(emb: DataFrame) -> np.ndarray:
     """Lloyd-trained codebooks: the sampled seeds refined by
     train.BOOK_ROUNDS of per-subspace fixed-point k-means over the raw
-    corpus (bit-identical to the oracle's unrolled CTEs)."""
+    corpus (bit-identical to the oracle's unrolled CTEs).
+    Session-cached per corpus fingerprint when the frame is a plain
+    `load_table` scan; ad-hoc frames (tests, synthetic corpora)
+    retrain every call."""
+    import os
+    from urllib.parse import urlparse
+
     from data_framework_spark.similarity.train import lloyd_subspace_books
 
-    return lloyd_subspace_books(emb, "embedding", _codebooks(emb))
+    spark = emb.sparkSession
+    files = emb.inputFiles()
+    if len(files) != 1:
+        return lloyd_subspace_books(emb, "embedding", _codebooks(emb))
+    local = urlparse(files[0]).path or files[0]
+    try:
+        st = os.stat(local)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return lloyd_subspace_books(emb, "embedding", _codebooks(emb))
+    app = spark.sparkContext.applicationId
+    key = (app, local, stamp)
+    for k in [k for k in _BOOKS_CACHE if k[0] != app]:
+        del _BOOKS_CACHE[k]
+    got = _BOOKS_CACHE.get(key)
+    if got is None:
+        got = lloyd_subspace_books(emb, "embedding", _codebooks(emb))
+        _BOOKS_CACHE[key] = got
+    return got
 
 
 def _round9(x: np.ndarray) -> np.ndarray:
