@@ -913,20 +913,44 @@ LEFT JOIN approx a USING (query_id, neighbor_id)
 
 
 def _nprobe_curve_sql(
-    ncells: int = IVFPQ_NCELLS, nq: int = IVFPQ_NQ, dim: int = 64
+    ncells: int = IVFPQ_NCELLS,
+    nq: int = IVFPQ_NQ,
+    k: int = IVFPQ_K,
+    dim: int = 64,
 ) -> str:
-    """Per swept nprobe: the ADC recall (full IVFADC SQL as a shadowed
-    subquery) and the coverage ceiling, re-derived from scratch — the
-    TRAINED coarse quantizer (same unrolled Lloyd CTEs as _ivfpq_sql)
-    gives each query's probed set and each exact neighbor's assigned
-    cell."""
-    from data_framework_spark.similarity.train import lloyd_cents_cte
+    """Per swept nprobe: the ADC recall and the coverage ceiling,
+    re-derived from scratch with the TRAINED quantizer/codebooks.
+    Round-10 rewrite mirroring the Spark route's single-scan shape:
+    ONE shared CTE block computes the training, the code assignment,
+    and the per-(query, probed-cell) LUT at max(nprobe); each code row
+    then belongs to every swept nprobe ≥ its cell's probe rank (a
+    sweep join, the SQL analog of Spark's explode(filter(SWEEP))), so
+    the 4-point curve costs one training derivation instead of four
+    full _ivfpq_sql embeddings (oracle wall 26.6 → ~5 s at sf0.01)."""
+    from data_framework_spark.similarity.train import (
+        lloyd_books_cte,
+        lloyd_cents_cte,
+    )
 
+    sub = _SUB
+    max_n = max(IVFPQ_NPROBE_SWEEP)
+    sweep_list = ", ".join(str(n) for n in IVFPQ_NPROBE_SWEEP)
     dot = (
         f"list_sum(list_transform(range(1, {dim + 1}),"
         f" i -> e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
     )
-    coarse = f"""nrm AS (
+    sqd = (
+        f"round(list_sum(list_transform(range(1, {sub} + 1),"
+        f" i -> (p.sub[i] - c.csub[i]) * (p.sub[i] - c.csub[i]))), 9)"
+    )
+    qsqd = (
+        f"round(list_sum(list_transform(range(1, {sub} + 1),"
+        f" i -> (q.sub[i] - c.csub[i]) * (q.sub[i] - c.csub[i]))), 9)"
+    )
+    book_seed = f"""  SELECT (vec_id - {ncells})::INTEGER AS cid, subspace, sub AS csub
+  FROM pparts WHERE vec_id >= {ncells} AND vec_id < {ncells + PQ_K}"""
+    return f"""
+WITH nrm AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
   FROM embeddings
@@ -942,34 +966,100 @@ ranked AS (
   FROM cc
 ),
 assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cell, r FROM ranked
+           WHERE r <= {max_n} AND vec_id < {nq}),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dim + 1}),
+           i -> e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+  FROM assigned a
+  JOIN embeddings e USING (vec_id)
+  JOIN cent c ON c.cid = a.cell
+),
+pparts AS (
+  SELECT vec_id, cell, s.s::INTEGER AS subspace,
+         list_slice(r, s.s * {sub} + 1, s.s * {sub} + {sub}) AS sub
+  FROM res, range(0, {PQ_M}) s(s)
+),
+{lloyd_books_cte(book_seed, "pparts", sub)},
+pdist AS (
+  SELECT p.vec_id, p.cell, p.subspace, c.cid, {sqd} AS d
+  FROM pparts p JOIN pcents c USING (subspace)
+),
+codes AS (
+  SELECT vec_id, cell, subspace, cid AS code
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, subspace ORDER BY d ASC, cid ASC) AS rn
+    FROM pdist
+  )
+  WHERE rn = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell, p.r,
+         list_transform(range(1, {dim + 1}),
+           i -> e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS rv
+  FROM probes p
+  JOIN embeddings e ON e.vec_id = p.query_id
+  JOIN cent c ON c.cid = p.cell
+),
+qparts AS (
+  SELECT query_id, cell, r, s.s::INTEGER AS subspace,
+         list_slice(rv, s.s * {sub} + 1, s.s * {sub} + {sub}) AS sub
+  FROM qres, range(0, {PQ_M}) s(s)
+),
+lut AS (
+  SELECT q.query_id, q.cell, q.r, q.subspace, c.cid AS code, {qsqd} AS dlook
+  FROM qparts q JOIN pcents c USING (subspace)
+),
+sweep AS (SELECT unnest([{sweep_list}]) AS nprobe),
+scored AS (
+  -- written-order fold in subspace order (the _ivfpq_sql convention);
+  -- a joined code row belongs to every swept nprobe >= its cell's
+  -- probe rank — the sweep join replicates it to exactly those curves
+  SELECT s.nprobe, l.query_id, a.vec_id AS neighbor_id,
+         round(list_reduce([0.0::DOUBLE] || list(l.dlook ORDER BY l.subspace),
+                           (acc, x) -> acc + x), 6) AS adc_dist
+  FROM codes a
+  JOIN lut l ON l.cell = a.cell AND l.subspace = a.subspace
+            AND l.code = a.code
+  JOIN sweep s ON s.nprobe >= l.r
+  WHERE a.vec_id <> l.query_id
+  GROUP BY s.nprobe, l.query_id, a.vec_id
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id, 1 AS m
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY nprobe, query_id
+      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+  )
+  WHERE rank <= {k}
+),
 exact_pairs AS (
   SELECT query_id, neighbor_id FROM ({_exact_l2_sql()})
-)"""
-    parts = []
-    for n in IVFPQ_NPROBE_SWEEP:
-        parts.append(f"""SELECT {n} AS nprobe,
+)
+SELECT s.nprobe,
        count(*)::BIGINT AS total,
        coalesce(sum(a.m), 0)::BIGINT AS hits,
        round(coalesce(sum(a.m), 0)::DOUBLE / count(*), 4) AS recall,
-       round(count(*) FILTER (WHERE cv.covered)::DOUBLE / count(*), 4)
+       round(count(*) FILTER (WHERE rk.r IS NOT NULL)::DOUBLE / count(*), 4)
          AS coverage
 FROM exact_pairs e
-LEFT JOIN (SELECT query_id, neighbor_id, 1 AS m
-           FROM ({_ivfpq_sql(nprobe=n)})) a
-  USING (query_id, neighbor_id)
-LEFT JOIN (SELECT e2.query_id, e2.neighbor_id, TRUE AS covered
+CROSS JOIN sweep s
+LEFT JOIN approx a
+  ON a.nprobe = s.nprobe AND a.query_id = e.query_id
+ AND a.neighbor_id = e.neighbor_id
+LEFT JOIN (SELECT e2.query_id, e2.neighbor_id, rk2.r
            FROM exact_pairs e2
            JOIN assigned asg ON asg.vec_id = e2.neighbor_id
-           JOIN ranked rk ON rk.vec_id = e2.query_id
-                         AND rk.cid = asg.cell AND rk.r <= {n}) cv
-  USING (query_id, neighbor_id)""")
-    return (
-        "WITH "
-        + coarse
-        + "\n"
-        + "\nUNION ALL\n".join(parts)
-        + "\nORDER BY nprobe"
-    )
+           JOIN ranked rk2 ON rk2.vec_id = e2.query_id
+                          AND rk2.cid = asg.cell) rk
+  ON rk.query_id = e.query_id AND rk.neighbor_id = e.neighbor_id
+ AND rk.r <= s.nprobe
+GROUP BY s.nprobe
+ORDER BY s.nprobe"""
 
 
 Q_IVFPQ_NPROBE_CURVE_SQL = _nprobe_curve_sql()
