@@ -150,14 +150,20 @@ def ivfpq_index_write(
     stand-ins in round 10: the r9 nprobe curve hash-pinned cell
     coverage as the binding recall constraint, and trained cells are
     the coverage lever (measured deltas in SURVEY §8)."""
+    # both round counts read at CALL time from the train module so an
+    # experiment overriding one cannot silently leave the other at its
+    # def-time default (a mixed 2-coarse/1-book build measures ADC
+    # 0.13 at sf0.1 — caught in the round-10 rounds ablation)
+    from data_framework_spark.similarity import train
     from data_framework_spark.similarity.train import (
-        BOOK_ROUNDS,
         lloyd_coarse_centroids,
         lloyd_subspace_books,
     )
 
     spark = emb.sparkSession
-    cents = lloyd_coarse_centroids(emb, _centroid_rows(emb, ncells))
+    cents = lloyd_coarse_centroids(
+        emb, _centroid_rows(emb, ncells), train.COARSE_ROUNDS
+    )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, embedding array<double>",
@@ -169,7 +175,7 @@ def ivfpq_index_write(
             res.select(F.col("residual").alias("v")),
             "v",
             _residual_codebooks(res, ncells),
-            BOOK_ROUNDS,
+            train.BOOK_ROUNDS,
         )
         spark.createDataFrame(
             [
