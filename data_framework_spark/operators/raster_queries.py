@@ -24,6 +24,8 @@ Kernel↔reference parity citations live in kernels/ndimage.py.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -356,9 +358,14 @@ def q_contours_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ].to_numpy()
         lvl = float(pdf["lvl"].iloc[0])
         pts = set()
+        # half-away-from-zero 6dp (coords are >= 0 here): the oracle's
+        # SQL round(); Python's builtin round is banker's and diverges
+        # on an exactly-representable .0000005 crossing (round-10
+        # review, the recurring rounding class)
+        r6 = lambda x: math.floor(float(x) * 1e6 + 0.5) / 1e6
         for poly in ndimage.find_contours(tile, lvl):
             for r, c in poly:
-                pts.add((round(float(r), 6), round(float(c), 6)))
+                pts.add((r6(r), r6(c)))
         return pd.DataFrame(sorted(pts), columns=["r", "c"])
 
     return (

@@ -57,17 +57,26 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         (user_id,) = key
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # half-away-from-zero: the oracle's SQL round(); Python's
+        # builtin round is banker's and diverges on an exactly-
+        # representable .xx5 total (round-10 review, the recurring
+        # rounding class)
+        r2 = math.copysign(
+            math.floor(abs(total) * 100 + 0.5) / 100, total
+        ) + 0.0
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [r2],
             }
         )
 
