@@ -1023,7 +1023,11 @@ QUERIES: dict[str, Query] = {
 # pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
 # embedding_dedup_lsh) is named debt that must LEAD round 11's window
 # — at r11 those rows are 4 rounds old, one past budget, so r11 may
-# not defer them again.
+# not defer them again. Round 11's window therefore starts: the 13
+# tail queries, then the round-10 addition `bpe_batched_merges`
+# (never driver-verified; replica-green), then any r10-touched
+# last-green-r8/r9 rows, filled from the last-green-r8 block in
+# registry order.
 _VERIFY_FIRST: list[str] = [
     # -- (a) never driver-verified round-9 additions (all 5) --
     "ivfpq_refine_topk",
