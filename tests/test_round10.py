@@ -344,3 +344,41 @@ def test_trained_codebooks_session_cache(spark, sf_dir, tmp_path):
     b3 = trained_codebooks(load_table(spark, str(work), "embeddings"))
     assert b3 is not b1  # stamp changed -> retrained
     assert np.array_equal(b3, b1)  # same content, same training
+
+
+def test_lloyd_books_bitwise_matches_oracle(spark, sf_dir):
+    """The subspace-codebook trainer must be bit-identical to its
+    unrolled CTE chain, same as the coarse trainer — here on RAW
+    subspace slices (the pq.py route; the residual route composes the
+    two pinned pieces and is parity-covered by the IVFPQ oracles)."""
+    import duckdb
+    import numpy as np
+
+    from data_framework_spark.similarity.pq import PQ_K, PQ_M, _SUB, _codebooks
+    from data_framework_spark.similarity.train import (
+        lloyd_books_cte,
+        lloyd_subspace_books,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = lloyd_subspace_books(emb, "embedding", _codebooks(emb), rounds=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    seed = f"""  SELECT vec_id::INTEGER AS cid, subspace,
+         list_transform(sub, x -> x::DOUBLE) AS csub
+  FROM parts WHERE vec_id < {PQ_K}"""
+    sql = f"""WITH parts AS (
+      SELECT vec_id, s.s::INTEGER AS subspace,
+             list_slice(embedding, s.s * {_SUB} + 1,
+                        s.s * {_SUB} + {_SUB}) AS sub
+      FROM embeddings, range(0, {PQ_M}) s(s)
+    ),
+    {lloyd_books_cte(seed, "parts", _SUB, rounds=2, out="cents")}
+    SELECT subspace, cid, csub FROM cents ORDER BY subspace, cid"""
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == PQ_M * PQ_K
+    for s, k, csub in rows:
+        assert np.array_equal(books[s][k], np.asarray(csub)), (s, k)
