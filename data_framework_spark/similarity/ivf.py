@@ -13,7 +13,15 @@ corpus vectors) rather than Lloyd-iterated k-means. That is k-means
 with zero refinement steps — the IVF *structure* (cell assignment,
 inverted lists, nprobe search) is identical, the centroids are
 bit-reproducible in the DuckDB oracle, and a trained quantizer is a
-drop-in replacement that changes recall, not the plan. Cell
+drop-in replacement that changes recall, not the plan. Since round 10
+the drop-in is PROVEN, not promised: `similarity/train.py`'s
+fixed-point Lloyd (bit-identical across engines, oracle re-derives
+the training) ships as the default in the composed IVFADC index
+(`ivfpq.py`), where it lifted coverage/recall as measured in SURVEY
+§8. This plain-IVF module deliberately keeps the zero-round sampled
+quantizer as the minimal pedagogical form; swapping in
+`train.lloyd_coarse_centroids` + `train.lloyd_cents_cte` is the same
+two-line change ivfpq.py made. Cell
 assignment is one Arrow-batched GEMM (batch-embedding-matrix ×
 centroid-matrix in a pandas UDF): measured ~5× faster than the
 equivalent constant-folded JVM array expressions (higher-order
