@@ -39,9 +39,14 @@ from data_framework_spark.sources.tables import load_table
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n bigint, total double"
 
-# (sf_dir, n_chunks) -> chunk directory, so multiple streaming queries
-# over the same bounded replay don't re-split the table
-_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+# (sf_dir, source-fingerprint, n_chunks) -> chunk directory, so
+# multiple streaming queries over the same bounded replay don't
+# re-split the table. The fingerprint (file paths/sizes/mtimes, the
+# session_index_dir convention) means a mid-session rewrite of sf_dir
+# re-splits instead of replaying stale chunks — the same stale-cache
+# class the round-9/10 advisories closed for the index, funnel,
+# merge, and route caches (round-10 review).
+_CHUNK_CACHE: dict[tuple[str, tuple, int], str] = {}
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
@@ -114,7 +119,10 @@ def chunked_events_source(
     import glob
     import shutil
 
-    cached = _CHUNK_CACHE.get((sf_dir, n_chunks))
+    from data_framework_spark.sources.formats import _sf_fingerprint
+
+    cache_key = (sf_dir, _sf_fingerprint(sf_dir), n_chunks)
+    cached = _CHUNK_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(cached):
         ev = load_table(spark, sf_dir, "events")
         return (
@@ -144,7 +152,7 @@ def chunked_events_source(
         os.rename(part, p)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
     shutil.rmtree(stage)
-    _CHUNK_CACHE[(sf_dir, n_chunks)] = out_dir
+    _CHUNK_CACHE[cache_key] = out_dir
     return (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
