@@ -382,3 +382,50 @@ def test_lloyd_books_bitwise_matches_oracle(spark, sf_dir):
     assert len(rows) == PQ_M * PQ_K
     for s, k, csub in rows:
         assert np.array_equal(books[s][k], np.asarray(csub)), (s, k)
+
+
+# --- property: the fixed-point bridge matches DuckDB on hostile floats -------
+
+
+def test_fixed_point_matches_duckdb_round_property():
+    """`_fixed_point` (Spark side) must equal
+    `CAST(round(x * 1048576.0, 0) AS BIGINT)` (oracle side) on
+    adversarial doubles — exact .5 boundaries, negatives, tiny and
+    large magnitudes. This single equivalence is what makes the whole
+    Lloyd training bit-identical across engines."""
+    import duckdb
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_framework_spark.similarity.train import FP_SCALE, _fixed_point
+
+    con = duckdb.connect()
+
+    # exact half-boundary cases first (deterministic)
+    edge = [0.0, -0.0, 0.5 / FP_SCALE, -0.5 / FP_SCALE, 1.5 / FP_SCALE,
+            -2.5 / FP_SCALE, 1.0, -1.0, 3.0000004768371582]
+    xs = np.asarray(edge, dtype=np.float64)
+    got = _fixed_point(xs)
+    for x, g in zip(xs, got):
+        (want,) = con.execute(
+            "SELECT CAST(round(? * 1048576.0, 0) AS BIGINT)", [float(x)]
+        ).fetchone()
+        assert int(g) == int(want), (x, int(g), want)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        )
+    )
+    def check(x):
+        (want,) = con.execute(
+            "SELECT CAST(round(? * 1048576.0, 0) AS BIGINT)", [x]
+        ).fetchone()
+        got = int(_fixed_point(np.asarray([x], dtype=np.float64))[0])
+        assert got == int(want), (x, got, want)
+
+    check()
