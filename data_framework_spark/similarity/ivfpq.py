@@ -704,13 +704,17 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     what converts added coverage into recall.
 
     Plan shape: the whole sweep is ONE codes-scan job, not one per
-    nprobe (measured 6.3 → ~2 s warm at sf0.1). The LUT carries each
-    probed cell's RANK; dlook depends only on (query, cell), so a
-    joined code row belongs to every swept nprobe ≥ its rank — an
-    `explode(filter(SWEEP, n -> n >= rank))` replicates it to exactly
-    those sweeps, one subspace-ordered fold + one window over
-    (nprobe, query) ranks all four curves together, and the recall
-    join runs once against the exact×sweep grid."""
+    nprobe (measured 6.3 → ~2 s warm at sf0.1 when introduced in r9;
+    ~3.4 s under the r10 trained quantizer, whose balanced cells make
+    the nprobe=8 probe genuinely touch more of the corpus). The LUT
+    carries each probed cell's RANK; dlook depends only on (query,
+    cell), so a joined code row belongs to every swept nprobe ≥ its
+    rank — an `explode(filter(SWEEP, n -> n >= rank))` replicates it
+    to exactly those sweeps, one subspace-ordered fold + one window
+    over (nprobe, query) ranks all four curves together, and the
+    recall join runs once against the exact×sweep grid. Since r10 the
+    ORACLE shares the same single-derivation shape (see
+    _nprobe_curve_sql)."""
     from data_framework_spark.sources.formats import session_index_dir
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,5 +1,6 @@
-"""Round-10 behaviors: the five round-9 ADVICE closures.
+"""Round-10 behaviors.
 
+The five round-9 ADVICE closures:
 - tzset opt-out (`SPARK_GRAFT_NO_TZSET`)
 - `_ROUTE_CACHE` keyed on the source fingerprint (mid-session rewrite
   cannot serve a stale route result)
@@ -7,6 +8,17 @@
 - `top_token_ratio` yields NULL (not NaN) on an empty token array
 - the IVFPQ nprobe curve raises a diagnostic ValueError on a corrupt
   index instead of a bare KeyError
+
+The round-10 features:
+- structural bench route-eviction (every cached_route key declared on
+  a registry entry or in COMPOSITION_ROUTES)
+- the deterministic fixed-point Lloyd trainers: bitwise Spark-vs-
+  DuckDB equality for both the coarse quantizer and the subspace
+  codebooks, the empty-cluster convention, the measured quantization-
+  error cut, the trained-books session cache, and a hypothesis
+  property pinning the fixed-point bridge itself
+- the batched BPE trainer's selection/disjointness/order-independence
+  properties
 """
 
 from __future__ import annotations
