@@ -989,6 +989,14 @@ QUERIES: dict[str, Query] = {
         "count selects up to 4 symbol-disjoint merges applied "
         "together — the job-count recipe for real 32k vocabularies",
     ),
+    "pq_train_gain": Query(
+        pq_mod.q_pq_train_gain,
+        pq_mod.Q_PQ_TRAIN_GAIN_SQL,
+        "training-gain contract: mean quantization error of the "
+        "sampled seed codebooks vs the Lloyd-trained ones, plus the "
+        "beats_seed boolean — both regimes re-derived from scratch "
+        "in the oracle (r9 verdict ask 3 as a permanent pin)",
+    ),
 }
 
 # The driver's correctness harness verifies only the FIRST 50 registry
@@ -1024,10 +1032,10 @@ QUERIES: dict[str, Query] = {
 # embedding_dedup_lsh) is named debt that must LEAD round 11's window
 # — at r11 those rows are 4 rounds old, one past budget, so r11 may
 # not defer them again. Round 11's window therefore starts: the 13
-# tail queries, then the round-10 addition `bpe_batched_merges`
-# (never driver-verified; replica-green), then any r10-touched
-# last-green-r8/r9 rows, filled from the last-green-r8 block in
-# registry order.
+# tail queries, then the round-10 additions `bpe_batched_merges` and
+# `pq_train_gain` (never driver-verified; replica-green at all 3
+# SFs), then any r10-touched last-green-r8/r9 rows, filled from the
+# last-green-r8 block in registry order.
 _VERIFY_FIRST: list[str] = [
     # -- (a) never driver-verified round-9 additions (all 5) --
     "ivfpq_refine_topk",

@@ -304,6 +304,69 @@ assigned AS (
 _PQ_ASSIGN_CTES = _pq_assign_ctes()
 
 
+def q_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-gain CONTRACT: mean quantization error of the
+    sampled SEED codebooks vs the Lloyd-TRAINED ones over the same
+    corpus, plus the boolean that training actually helps — the
+    round-10 headline claim as a permanent hash-pinned row pair
+    instead of a changelog sentence. Two corpus-linear assignment
+    passes (the trained books come from the session cache shared with
+    q_pq_codes); the oracle re-derives BOTH regimes from scratch, so
+    a silent training regression flips `beats_seed` and the hash.
+
+    Mean error = avg over (vec, subspace) of the assigned (= minimum)
+    9dp-rounded squared distance, rounded 6dp — the q_pq_codes
+    convention; the 24% measured gap dwarfs fold-order ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = {}
+    for regime, books in (
+        ("seed", _codebooks(emb)),
+        ("trained", trained_codebooks(emb)),
+    ):
+        val = (
+            assign_pq_codes(emb, books)
+            .agg(F.round(F.avg("err"), 6).alias("m"))
+            .collect()[0]["m"]
+        )
+        means[regime] = float(val)
+    beats = means["trained"] < means["seed"]
+    return spark.createDataFrame(
+        [
+            ("seed", means["seed"], beats),
+            ("trained", means["trained"], beats),
+        ],
+        "regime string, mean_sq_err double, beats_seed boolean",
+    ).orderBy("regime")
+
+
+Q_PQ_TRAIN_GAIN_SQL = f"""
+WITH {_PQ_ASSIGN_CTES},
+seed_dist AS (
+  SELECT p.vec_id, p.subspace,
+         round(list_sum(list_transform(range(1, {_SUB} + 1),
+               i -> (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE)
+                    * (p.sub[i]::DOUBLE - c.csub[i]::DOUBLE))), 9) AS d
+  FROM parts p JOIN tb0 c USING (subspace)
+),
+per_regime AS (
+  SELECT 'seed' AS regime, round(avg(md), 6) AS mean_sq_err
+  FROM (SELECT vec_id, subspace, min(d) AS md
+        FROM seed_dist GROUP BY vec_id, subspace)
+  UNION ALL
+  SELECT 'trained' AS regime, round(avg(d), 6) AS mean_sq_err
+  FROM assigned
+),
+gain AS (
+  SELECT (SELECT mean_sq_err FROM per_regime WHERE regime = 'trained')
+       < (SELECT mean_sq_err FROM per_regime WHERE regime = 'seed')
+       AS beats_seed
+)
+SELECT regime, mean_sq_err, beats_seed
+FROM per_regime CROSS JOIN gain
+ORDER BY regime
+"""
+
+
 Q_PQ_ADC_TOPK_SQL = f"""
 WITH {_PQ_ASSIGN_CTES},
 lut AS (
