@@ -441,3 +441,31 @@ def test_fixed_point_matches_duckdb_round_property():
         assert got == int(want), (x, got, want)
 
     check()
+
+
+def test_lloyd_training_partition_invariant(spark, sf_dir):
+    """The fixed-point design's core claim: training results are
+    independent of input partitioning (exact integer sums commute),
+    so two builds over differently-partitioned inputs are BITWISE
+    equal — the property that makes the trained index reproducible on
+    any cluster layout."""
+    import numpy as np
+
+    from data_framework_spark.similarity.ivf import _centroid_rows
+    from data_framework_spark.similarity.pq import _codebooks
+    from data_framework_spark.similarity.train import (
+        lloyd_coarse_centroids,
+        lloyd_subspace_books,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = _centroid_rows(emb, 16)
+    narrow = emb.repartition(3)
+    wide = emb.repartition(29)
+    c1 = lloyd_coarse_centroids(narrow, seed, rounds=2)
+    c2 = lloyd_coarse_centroids(wide, seed, rounds=2)
+    assert c1 == c2  # exact float equality, not approx
+    b1 = lloyd_subspace_books(narrow, "embedding", _codebooks(emb), 2)
+    b2 = lloyd_subspace_books(wide, "embedding", _codebooks(emb), 2)
+    assert np.array_equal(b1, b2)
