@@ -152,7 +152,16 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("value").over(w).alias("sd"),
         "value",
     ).filter(
-        (F.col("n_prior") >= ZS_MIN_PRIOR) & (F.col("sd") > 0)
+        # guard at 9dp, not against exact 0: stddev_pop of a
+        # degenerate all-identical window is an engine-dependent
+        # cancellation residue (exactly 0 on one engine, ~1e-15 on
+        # the other flips the scored-row set — the heaps_fit class);
+        # rounding the GUARD only (z still divides the raw sd, whose
+        # ulp noise the 6dp z-rounding absorbs) drops the window on
+        # both engines identically. Unreachable on this corpus
+        # (verified value-identical at all 3 SFs) — hardened for the
+        # data that would hit it (round-10 review).
+        (F.col("n_prior") >= ZS_MIN_PRIOR) & (F.round(F.col("sd"), 9) > 0)
     )
     z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 6)
     return (
@@ -185,7 +194,7 @@ flagged AS (
          CASE WHEN round(abs(value - mu) / sd, 6) > {ZS_SIGMA}
               THEN 1 ELSE 0 END AS anom
   FROM scored
-  WHERE n_prior >= {ZS_MIN_PRIOR} AND sd > 0
+  WHERE n_prior >= {ZS_MIN_PRIOR} AND round(sd, 9) > 0
 )
 SELECT event_type,
        count(*) AS n_scored,

@@ -1017,21 +1017,24 @@ QUERIES: dict[str, Query] = {
 # green-r8 queries whose code or oracle changed in r9
 # (minhash_near_dup_pairs, dedup_clusters, bpe_tokenize,
 # bm25_postings_topk, skew_salted_agg, halo_smooth_multi_t), then
-# (c) the 4 queries round 10 ITSELF touched (touch outranks age: the
+# (c) the 5 queries round 10 ITSELF touched (touch outranks age: the
 # Lloyd-trained quantizer/codebooks changed the IVFPQ and PQ kernels
 # AND oracles, so ivfpq_persist_topk + ivfpq_recall_contract (r9-green
 # rows now stale) and pq_codes + pq_adc_topk (r7 rows now stale) need
-# fresh driver hashes this round), then (d) the 9 r9-touched members
-# of the 50-query last-green-r7 block (gaussian_smooth_grid ..
-# json_props_events), then (e) the first 26 untouched r7-block queries
-# in registry order. 5+6+4+9+26 = exactly 50. The 13-query
-# untouched-r7 TAIL (ann_recall_contract, orc_roundtrip,
-# rolling_median_events, hll_union_contract_events, benchmark_decontam,
-# dup_ngram_fraction, heaps_fit, bpe_merges, pagerank_neardup_lsh,
-# pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
-# embedding_dedup_lsh) is named debt that must LEAD round 11's window
+# fresh driver hashes this round, and rolling_zscore's degenerate-
+# window guard was hardened — value-identical on this corpus, but the
+# kernel AND oracle changed, so the conservative standard applies),
+# then (d) the 9 r9-touched members of the 50-query last-green-r7
+# block (gaussian_smooth_grid .. json_props_events), then (e) the
+# first 25 untouched r7-block queries in registry order.
+# 5+6+5+9+25 = exactly 50. The 14-query untouched-r7 TAIL
+# (ann_recall_contract, orc_roundtrip, rolling_median_events,
+# hll_union_contract_events, benchmark_decontam, dup_ngram_fraction,
+# heaps_fit, bpe_merges, pagerank_neardup_lsh, pack_sequences,
+# ivf_persist_roundtrip, embedding_near_dups, embedding_dedup_lsh,
+# tpch_q7_volume) is named debt that must LEAD round 11's window
 # — at r11 those rows are 4 rounds old, one past budget, so r11 may
-# not defer them again. Round 11's window therefore starts: the 13
+# not defer them again. Round 11's window therefore starts: the 14
 # tail queries, then the round-10 additions `bpe_batched_merges` and
 # `pq_train_gain` (never driver-verified; replica-green at all 3
 # SFs), then any r10-touched last-green-r8/r9 rows, filled from the
@@ -1043,11 +1046,12 @@ _VERIFY_FIRST: list[str] = [
     "bm25_adhoc_topk",
     "bpe_heldout_coverage",
     "ivfpq_nprobe_curve",
-    # -- (c) kernel/oracle touched by round 10's trained quantizers --
+    # -- (c) kernel/oracle touched by round 10 itself --
     "ivfpq_persist_topk",
     "ivfpq_recall_contract",
     "pq_codes",
     "pq_adc_topk",
+    "rolling_zscore",
     # -- (b) last-green-r8, kernel/oracle touched in r9 --
     "minhash_near_dup_pairs",
     "dedup_clusters",
@@ -1091,7 +1095,6 @@ _VERIFY_FIRST: list[str] = [
     "top_k_orders",
     "group_rollup",
     "tpch_q4_semijoin",
-    "tpch_q7_volume",
 ]
 
 QUERIES = {

@@ -349,6 +349,7 @@ def test_r10_verify_window_arithmetic():
         "ivfpq_recall_contract",
         "pq_codes",
         "pq_adc_topk",
+        "rolling_zscore",
     ]
     touched_r9_in_r8 = [
         "minhash_near_dup_pairs",
@@ -369,10 +370,12 @@ def test_r10_verify_window_arithmetic():
         "session_window_events",
         "json_props_events",
     ]
-    assert _VERIFY_FIRST[:24] == (
+    assert _VERIFY_FIRST[:25] == (
         never_r9 + touched_r10 + touched_r9_in_r8 + touched_r9_in_r7
     )
-    # fill = first 26 of the untouched last-green-r7 block, registry order
+    # fill = first 25 of the untouched last-green-r7 block, registry
+    # order (rolling_zscore is r9-green but r10-touched, hence in the
+    # touched set above rather than here)
     last_green_r7 = load(7) - load(8) - load(9)
     untouched_r7 = [
         q
@@ -381,12 +384,12 @@ def test_r10_verify_window_arithmetic():
         and q not in touched_r9_in_r7
         and q not in touched_r10
     ]
-    fill = _VERIFY_FIRST[24:]
+    fill = _VERIFY_FIRST[25:]
     assert set(fill) <= set(untouched_r7)
-    assert len(fill) == 26
-    # the named 13-query tail = the untouched-r7 rows deferred to r11
+    assert len(fill) == 25
+    # the named 14-query tail = the untouched-r7 rows deferred to r11
     tail = [q for q in untouched_r7 if q not in fill]
-    assert len(tail) == 13
+    assert len(tail) == 14
 
 
 # --- BPE oracles survive early merge exhaustion ------------------------------
