@@ -106,8 +106,16 @@ def q_scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a") / nrm, 6).alias("unit_0"),
             F.round(F.col("s") / nrm, 6).alias("unit_1"),
             F.signum(F.col("a") - F.col("g_avg")).alias("sign_vs_global"),
-            # spacing of an hour grid with every hour occupied is 1
-            (F.col("hour_span") / (F.col("n_hours") - 1)).alias("spacing"),
+            # spacing of an hour grid with every hour occupied is 1.
+            # A type with a SINGLE distinct hour makes this 0/0:
+            # Spark division yields NULL but DuckDB yields NaN, so the
+            # degenerate case is guarded to NULL explicitly on BOTH
+            # engines (round-10 review item 5; divergence reachable on
+            # any corpus slice with a one-hour event type).
+            F.when(
+                F.col("n_hours") > 1,
+                F.col("hour_span") / (F.col("n_hours") - 1),
+            ).alias("spacing"),
             (F.col("hour_span") == F.col("n_hours") - 1).alias("uniform"),
         )
         .orderBy("event_type")
@@ -137,7 +145,9 @@ SELECT event_type,
        round(a / sqrt(a*a + s*s), 6) AS unit_0,
        round(s / sqrt(a*a + s*s), 6) AS unit_1,
        sign(a - g_avg)::DOUBLE AS sign_vs_global,
-       (hour_span / (n_hours - 1))::DOUBLE AS spacing,
+       CASE WHEN n_hours > 1
+            THEN (hour_span / (n_hours - 1))::DOUBLE
+       END AS spacing,
        (hour_span = n_hours - 1) AS uniform
 FROM per_type CROSS JOIN g
 ORDER BY event_type

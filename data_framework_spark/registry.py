@@ -770,6 +770,13 @@ QUERIES: dict[str, Query] = {
         "SemDeDup-style semantic dedup: deterministic centroid "
         "clustering + within-cluster cosine dup accounting",
     ),
+    "semantic_dedup_scaled": Query(
+        semantic_mod.q_semantic_dedup_scaled,
+        semantic_mod.Q_SEMANTIC_DEDUP_SCALED_SQL,
+        "semantic dedup under the K~N/const scaling policy "
+        "(K=ceil(N/64), oracle re-derives K from its own count) — "
+        "the linear-scale path the fixed-K contract documents",
+    ),
     "domain_mix": Query(
         sampling_mod.q_domain_mix,
         sampling_mod.Q_DOMAIN_MIX_SQL,
@@ -1007,94 +1014,86 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-10 rotation is TOUCH-priority, not just age-priority (the r9
-# verdict's #1 ask): round 9's review passes changed kernels or oracles
-# AFTER several queries' last driver rows, and the touched set outranks
-# untouched-but-older rows. Window = (a) the 5 never-driver-verified
-# round-9 additions (ivfpq_refine_topk, ivfpq_refine_recall,
-# bm25_adhoc_topk, bpe_heldout_coverage, ivfpq_nprobe_curve — all
-# strict-replica-green in r9's 352-test run), then (b) the 6 last-
-# green-r8 queries whose code or oracle changed in r9
-# (minhash_near_dup_pairs, dedup_clusters, bpe_tokenize,
-# bm25_postings_topk, skew_salted_agg, halo_smooth_multi_t), then
-# (c) the 5 queries round 10 ITSELF touched (touch outranks age: the
-# Lloyd-trained quantizer/codebooks changed the IVFPQ and PQ kernels
-# AND oracles, so ivfpq_persist_topk + ivfpq_recall_contract (r9-green
-# rows now stale) and pq_codes + pq_adc_topk (r7 rows now stale) need
-# fresh driver hashes this round, and rolling_zscore's degenerate-
-# window guard was hardened — value-identical on this corpus, but the
-# kernel AND oracle changed, so the conservative standard applies),
-# then (d) the 9 r9-touched members of the 50-query last-green-r7
-# block (gaussian_smooth_grid .. json_props_events), then (e) the
-# first 25 untouched r7-block queries in registry order.
-# 5+6+5+9+25 = exactly 50. The 14-query untouched-r7 TAIL
-# (ann_recall_contract, orc_roundtrip, rolling_median_events,
-# hll_union_contract_events, benchmark_decontam, dup_ngram_fraction,
-# heaps_fit, bpe_merges, pagerank_neardup_lsh, pack_sequences,
-# ivf_persist_roundtrip, embedding_near_dups, embedding_dedup_lsh,
-# tpch_q7_volume) is named debt that must LEAD round 11's window
-# — at r11 those rows are 4 rounds old, one past budget, so r11 may
-# not defer them again. Round 11's window therefore starts: the 14
-# tail queries, then the round-10 additions `bpe_batched_merges` and
-# `pq_train_gain` (never driver-verified; replica-green at all 3
-# SFs), then any r10-touched last-green-r8/r9 rows, filled from the
-# last-green-r8 block in registry order.
+# Round-11 rotation, executed exactly as round 10's comment bound it
+# (and as the r10 verdict's #1 ask re-affirmed): (a) the 14-query
+# untouched-r7 TAIL leads — at r11 those rows are 4 rounds old, one
+# past the budget, and may not be deferred again; then (b) the 2
+# never-driver-verified round-10 additions (bpe_batched_merges,
+# pq_train_gain — both strict-replica-green in r10's 370-test run);
+# then (c) the queries round 11 ITSELF touched or added:
+# scalar_fns_events (the single-hour 0/0 spacing guard changed the
+# kernel AND oracle — the one named latent divergence, r10 verdict #2)
+# and semantic_dedup_scaled (new, the K~N/const scale-path variant,
+# r10 verdict #3); then (d) the first 32 of the 43-query
+# last-green-r8 block in registry order. 14+2+2+32 = exactly 50.
+# The 11-query r8 remainder (dedup_exact, dedup_minhash,
+# ann_hamming_rerank, weighted_sample, pii_scrub,
+# compaction_roundtrip, dedup_incremental, ivf_recall_contract,
+# bm25_topk, dup_span_extract, sq8_quantize) is named debt that must
+# LEAD round 12's window — at r12 those rows are 4 rounds old, one
+# past budget. Round 12's window therefore starts: the 11 r8-tail
+# queries, then any r11-touched rows, filled from the 47-query
+# last-green-r9 block in registry order (r9 rows are exactly AT the
+# 3-round budget at r12; the ~8 r9 rows that don't fit r12's window
+# become r13's lead debt — the 158-query registry cycles in ~3.2
+# windows, so a ≤4-round worst case is structural until the window
+# grows or the registry shrinks; net additions stay ≤ 3-4/round to
+# keep it from getting worse).
 _VERIFY_FIRST: list[str] = [
-    # -- (a) never driver-verified round-9 additions (all 5) --
-    "ivfpq_refine_topk",
-    "ivfpq_refine_recall",
-    "bm25_adhoc_topk",
-    "bpe_heldout_coverage",
-    "ivfpq_nprobe_curve",
-    # -- (c) kernel/oracle touched by round 10 itself --
-    "ivfpq_persist_topk",
-    "ivfpq_recall_contract",
-    "pq_codes",
-    "pq_adc_topk",
-    "rolling_zscore",
-    # -- (b) last-green-r8, kernel/oracle touched in r9 --
-    "minhash_near_dup_pairs",
-    "dedup_clusters",
-    "bpe_tokenize",
-    "bm25_postings_topk",
-    "skew_salted_agg",
-    "halo_smooth_multi_t",
-    # -- (c) last-green-r7, kernel/oracle touched in r9 --
-    "gaussian_smooth_grid",
-    "extrema_filter_grid",
-    "tiled_gaussian_grid",
-    "fluxfn_grid",
-    "contours_grid",
-    "gradient_events",
-    "interp_events",
-    "session_window_events",
-    "json_props_events",
-    # -- (d) untouched last-green-r7 block, registry order --
-    "bounds_lineitem",
-    "label_extrema_lineitem",
-    "gap_fill_grid",
-    "dilate_grid",
-    "flood_label_grid",
-    "flood_region_grid",
-    "running_sum_events",
-    "line_slice_linear",
-    "line_slice_nearest",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "stateful_user_totals_live",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    "format_roundtrip",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_k_orders",
-    "group_rollup",
-    "tpch_q4_semijoin",
+    # -- (a) the untouched-r7 tail, one past budget, registry order --
+    "tpch_q7_volume",
+    "pack_sequences",
+    "ivf_persist_roundtrip",
+    "embedding_near_dups",
+    "embedding_dedup_lsh",
+    "ann_recall_contract",
+    "orc_roundtrip",
+    "rolling_median_events",
+    "hll_union_contract_events",
+    "benchmark_decontam",
+    "dup_ngram_fraction",
+    "heaps_fit",
+    "bpe_merges",
+    "pagerank_neardup_lsh",
+    # -- (b) never driver-verified round-10 additions --
+    "bpe_batched_merges",
+    "pq_train_gain",
+    # -- (c) round-11 touched/added --
+    "scalar_fns_events",
+    "semantic_dedup_scaled",
+    # -- (d) first 32 of the last-green-r8 block, registry order --
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "tpch_q11_important_parts",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_suppliers",
+    "distinct_suppliers_by_brand",
+    "set_ops_customers",
+    "bucketed_join_lineitem",
+    "sketch_accuracy_events",
+    "profile_percentiles",
+    "moving_average_events",
+    "cube_orders",
+    "pivot_events",
+    "asof_attribution",
+    "range_join_clicks",
+    "sessionize_events",
+    "text_stats",
+    "lang_profile",
+    "winnow_fingerprint",
+    "token_regex_profile",
+    "corpus_mix",
 ]
 
 QUERIES = {

@@ -1,0 +1,119 @@
+"""Round-11 tests: the scalar_fns single-hour 0/0 guard, ADVICE-item
+closures, and the r11 rotation window arithmetic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+# --- scalar_fns_events: single-distinct-hour spacing guard -------------------
+
+
+def test_scalar_fns_single_hour_type_matches_oracle(spark, tmp_path):
+    """An event type whose rows all fall in ONE distinct hour makes the
+    hour-grid spacing 0/0: unguarded, Spark division returns NULL while
+    DuckDB returns NaN — a real hash divergence (round-10 review item
+    5). The n_hours > 1 CASE must yield NULL on BOTH engines; verified
+    by running the actual query and its oracle on a corpus built to
+    hit the edge, digest-compared like the driver."""
+    import duckdb
+
+    from data_framework_spark.operators.skew import (
+        Q_SCALAR_FNS_EVENTS_SQL,
+        q_scalar_fns_events,
+    )
+    from data_framework_spark.oracle import _digest
+
+    base = dt.datetime(2024, 3, 1, 12, 10)
+    rows = []
+    # type "burst": 5 events inside the same hour -> n_hours == 1
+    for i in range(5):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "burst", 2.0 + i, "{}"))
+    # type "steady": spans 4 distinct hours -> normal spacing path
+    for i in range(8):
+        rows.append(
+            (100 + i, base + dt.timedelta(minutes=30 * i), 2, "steady", 1.0 + i, "{}")
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "onehour"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    sdf = q_scalar_fns_events(spark, str(d))
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    by_type = {r[0]: r for r in srows}
+    assert by_type["burst"][scols.index("spacing")] is None
+    assert by_type["burst"][scols.index("uniform")] is True  # 0 == 1-1
+    assert by_type["steady"][scols.index("spacing")] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d / 'events.parquet'}')"
+    )
+    res = con.execute(Q_SCALAR_FNS_EVENTS_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert _digest(srows, scols) == _digest(drows, dcols)
+
+
+# --- rotation window arithmetic (r11) ----------------------------------------
+
+
+def test_r11_verify_window_arithmetic():
+    """The driver verifies the FIRST 50 registry entries. Round 11's
+    window, exactly as the r10 rotation comment bound it: the 14-query
+    untouched-r7 tail (one past the 3-round staleness budget) LEADS,
+    then the 2 never-driver-verified round-10 additions, then the
+    queries round 11 itself touched or added, filled from the
+    last-green-r8 block in REGISTRY ORDER (the fill is pinned as the
+    exact prefix, not a subset — r10 advice). The r8 remainder is the
+    named tail that must lead r12."""
+    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
+
+    here = os.path.dirname(__file__)
+    root = os.path.join(here, "..")
+
+    def load(n):
+        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
+            return set(json.load(f))
+
+    assert len(_VERIFY_FIRST) == 50
+    assert len(set(_VERIFY_FIRST)) == 50
+    assert set(_VERIFY_FIRST) <= set(QUERIES)
+    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
+
+    last_green_r7 = load(7) - load(8) - load(9) - load(10)
+    last_green_r8 = load(8) - load(9) - load(10)
+    # (a) the whole untouched-r7 tail, registry order
+    tail_r7 = [q for q in QUERIES if q in last_green_r7]
+    assert len(tail_r7) == 14
+    assert _VERIFY_FIRST[:14] == tail_r7
+    # (b) the never-driver-verified round-10 additions
+    never_r10 = ["bpe_batched_merges", "pq_train_gain"]
+    assert _VERIFY_FIRST[14:16] == never_r10
+    # (c) round-11 touched/added: the single-hour spacing guard changed
+    # scalar_fns_events' kernel AND oracle; semantic_dedup_scaled is a
+    # round-11 addition (never driver-verified)
+    touched_r11 = ["scalar_fns_events", "semantic_dedup_scaled"]
+    assert _VERIFY_FIRST[16:18] == touched_r11
+    # (d) fill = the FIRST 32 of the remaining last-green-r8 block in
+    # registry order (pinned exactly, not as a subset)
+    r8_block = [
+        q for q in QUERIES if q in last_green_r8 and q not in touched_r11
+    ]
+    assert _VERIFY_FIRST[18:] == r8_block[:32]
+    # the named r12 tail: the 11-query r8 remainder
+    tail_r12 = r8_block[32:]
+    assert len(tail_r12) == 11

@@ -311,87 +311,6 @@ def test_minhash_verify_arrow_route_equals_jvm(spark):
     assert jvm == arr and len(jvm) > 0
 
 
-# --- rotation window arithmetic ---------------------------------------------
-
-
-def test_r10_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries; the round-10
-    window is TOUCH-priority (r9 verdict ask 1): the 5 never-driver-
-    verified r9 additions, the 4 queries whose kernels/oracles round
-    10 itself changed (trained quantizers), the 6 r8-green and 9
-    r7-green queries r9's review passes touched, then the first 26
-    untouched last-green-r7 queries in registry order; the 13-query
-    untouched-r7 remainder is the named tail that must lead r11."""
-    import json
-
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-    never_r9 = [
-        "ivfpq_refine_topk",
-        "ivfpq_refine_recall",
-        "bm25_adhoc_topk",
-        "bpe_heldout_coverage",
-        "ivfpq_nprobe_curve",
-    ]
-    touched_r10 = [
-        "ivfpq_persist_topk",
-        "ivfpq_recall_contract",
-        "pq_codes",
-        "pq_adc_topk",
-        "rolling_zscore",
-    ]
-    touched_r9_in_r8 = [
-        "minhash_near_dup_pairs",
-        "dedup_clusters",
-        "bpe_tokenize",
-        "bm25_postings_topk",
-        "skew_salted_agg",
-        "halo_smooth_multi_t",
-    ]
-    touched_r9_in_r7 = [
-        "gaussian_smooth_grid",
-        "extrema_filter_grid",
-        "tiled_gaussian_grid",
-        "fluxfn_grid",
-        "contours_grid",
-        "gradient_events",
-        "interp_events",
-        "session_window_events",
-        "json_props_events",
-    ]
-    assert _VERIFY_FIRST[:25] == (
-        never_r9 + touched_r10 + touched_r9_in_r8 + touched_r9_in_r7
-    )
-    # fill = first 25 of the untouched last-green-r7 block, registry
-    # order (rolling_zscore is r9-green but r10-touched, hence in the
-    # touched set above rather than here)
-    last_green_r7 = load(7) - load(8) - load(9)
-    untouched_r7 = [
-        q
-        for q in QUERIES
-        if q in last_green_r7
-        and q not in touched_r9_in_r7
-        and q not in touched_r10
-    ]
-    fill = _VERIFY_FIRST[25:]
-    assert set(fill) <= set(untouched_r7)
-    assert len(fill) == 25
-    # the named 14-query tail = the untouched-r7 rows deferred to r11
-    tail = [q for q in untouched_r7 if q not in fill]
-    assert len(tail) == 14
-
-
 # --- BPE oracles survive early merge exhaustion ------------------------------
 
 
