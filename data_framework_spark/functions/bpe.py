@@ -167,9 +167,12 @@ def learn_bpe_merges(
     is a ~32k-job serialization (2+ h of pure job latency at that
     rate, worse on a busy cluster scheduler). The production recipe is
     `learn_bpe_merges_batched` below: top-P symbol-disjoint merges
-    per pass cut the job count by ~P× with classic-BPE-identical
-    results whenever the selected pairs share no symbols (the
-    SentencePiece/HF-tokenizers batching idea); beyond that, real
+    per pass cut the job count by ~P× (the SentencePiece/
+    HF-tokenizers batching idea); disjointness buys order-
+    independence WITHIN a pass, not classic-sequence equivalence —
+    classic BPE recounts after each merge and a newly created pair
+    can outrank the batch's later picks (see the batched-trainer
+    comment below); beyond that, real
     trainers move pair counting incremental (only words containing
     the merged pair recount — a delta, not a rescan), which is the
     documented next step, not implemented here."""
@@ -201,8 +204,14 @@ def learn_bpe_merges(
 # a candidate SURVIVES iff no higher-ranked candidate (selected or
 # not) shares a symbol with it; take the first P survivors. Disjoint
 # symbols mean the batch's replaces cannot interact, so applying them
-# in one chained pass is order-independent and exactly equals running
-# them as sequential classic merges.
+# in one chained pass is ORDER-INDEPENDENT WITHIN THE PASS. That is
+# weaker than classic-sequence equivalence: classic BPE recounts
+# after every merge, and a pair CREATED by the pass's first merge
+# (e.g. (x, ab) after (a,b)→ab) can outrank the pass's remaining
+# picks — only the top-ranked merge of each pass is guaranteed
+# classic-identical (r10 advisory; the vocab differs in merge ORDER
+# and possibly membership beyond rank 1, the accepted trade of the
+# batching idea).
 BPE_BATCH_PASSES = 2
 BPE_BATCH_PER_PASS = 4
 BPE_BATCH_CAND = 64  # candidate window both engines rank over

@@ -83,9 +83,13 @@ def trained_codebooks(emb: DataFrame) -> np.ndarray:
     """Lloyd-trained codebooks: the sampled seeds refined by
     train.BOOK_ROUNDS of per-subspace fixed-point k-means over the raw
     corpus (bit-identical to the oracle's unrolled CTEs).
-    Session-cached per corpus fingerprint when the frame is a plain
-    `load_table` scan; ad-hoc frames (tests, synthetic corpora)
-    retrain every call."""
+    Session-cached per (corpus fingerprint, analyzed-plan semantic
+    hash): inputFiles() alone is identical for ANY frame derived from
+    the same file, so a filtered/projected view would silently serve —
+    or poison — full-corpus codebooks (round-10 advisory). The
+    semanticHash term makes derived frames distinct cache entries
+    while the registry's identical `load_table` plans still share one
+    training run; multi-file and non-file frames retrain every call."""
     import os
     from urllib.parse import urlparse
 
@@ -102,7 +106,7 @@ def trained_codebooks(emb: DataFrame) -> np.ndarray:
     except OSError:
         return lloyd_subspace_books(emb, "embedding", _codebooks(emb))
     app = spark.sparkContext.applicationId
-    key = (app, local, stamp)
+    key = (app, local, stamp, emb.semanticHash())
     for k in [k for k in _BOOKS_CACHE if k[0] != app]:
         del _BOOKS_CACHE[k]
     got = _BOOKS_CACHE.get(key)

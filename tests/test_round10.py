@@ -178,16 +178,33 @@ def test_every_cached_route_key_is_declared():
 
     pkg = pathlib.Path("data_framework_spark")
     keys = set()
+    # ANY directory variable as the second argument and only a literal
+    # (or f-string) third argument — and the hit count must equal the
+    # raw call-site count, so a call through another variable name or
+    # a NON-literal key fails loudly instead of silently escaping both
+    # the undeclared and dangling checks (r10 advisory)
     pat = re.compile(
-        r"cached_route\(\s*spark,\s*(?:sf_dir|path),\s*(f?)\"([^\"]+)\"",
+        r"cached_route\(\s*spark,\s*\w+,\s*(f?)\"([^\"]+)\"",
         re.S,
     )
+    n_sites = 0
+    n_matched = 0
     for py in pkg.rglob("*.py"):
-        for is_f, key in pat.findall(py.read_text()):
+        src = py.read_text()
+        n_sites += src.count("cached_route(") - src.count("def cached_route(")
+        hits = pat.findall(src)
+        n_matched += len(hits)
+        for is_f, key in hits:
             if is_f:
                 key = key.format(k=IVFPQ_K)
             keys.add(key)
     assert keys, "regex found no cached_route call sites — update the pattern"
+    assert n_matched == n_sites, (
+        f"{n_sites - n_matched} cached_route call site(s) don't match the "
+        "audited shape cached_route(spark, <dir>, \"literal-key\", ...) — "
+        "rewrite them to it (or extend this test) so the key audit stays "
+        "complete"
+    )
     declared = {r for q in QUERIES.values() for r in q.cached_routes}
     declared |= set(COMPOSITION_ROUTES)
     undeclared = keys - declared
