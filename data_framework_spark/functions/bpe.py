@@ -267,7 +267,18 @@ def learn_bpe_merges_batched(
 ) -> list[tuple[int, int, str, str, int]]:
     """[(batch_pass, merge_rank, left, right, count)] — the batched
     trainer: `passes` rounds of (one vocab aggregate, up to `per_pass`
-    symbol-disjoint merges applied together)."""
+    symbol-disjoint merges applied together).
+
+    MEASURED at a realistic merge count (r10 verdict ask 6;
+    scripts/measure_bpe_batched.py on the 10× corpus, 16 passes ×
+    per_pass=4): 59 merges learned, batch utilization 0.92 (3.69
+    accepted/pass — the disjointness filter rejects ~8% of picks),
+    8.83 s wall vs the classic trainer's measured 0.248 s/merge ⇒
+    15.9 s extrapolated at 64 merges (1.8×). A batched pass costs
+    ~2.2 classic jobs (aggregate + bounded collect + a longer replace
+    chain), so the job-count recipe's effective speedup is
+    ~0.92·per_pass/2.2; the 32k-merge projection scales per_pass, not
+    passes."""
     words = _wrapped_words(docs).persist()
     words.count()
     base = words

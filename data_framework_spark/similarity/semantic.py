@@ -38,6 +38,9 @@ driver.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -247,26 +250,70 @@ def scaled_k(n: int) -> int:
     return max(1, -(-n // TARGET_CLUSTER_SIZE))
 
 
+def _assign_clusters_arrow(emb: DataFrame, cents_rows: list) -> DataFrame:
+    """(vec_id, embedding, cluster) via ONE Arrow GEMM pass — the
+    ivf.assign_cells shape. The crossJoin-of-HOF-cosines form of
+    `_assign_clusters` is N·K Catalyst expression evaluations; fine at
+    the contract's fixed K, but under the K~N/const policy assignment
+    IS the dominant term (first 10× measurement of the scaled variant:
+    127 s, 58× — worse than the fixed-K 22 s it was meant to fix) and
+    must be a batched matrix product. Same arithmetic contract as the
+    HOF form: cosine rounded half-away to 6dp, argmax ties to the
+    smallest cent_id (np.argmax takes the first max; centroids arrive
+    sorted by cent_id). The K-row centroid collect is bounded
+    (K = N/64 of a sampled id range; at the scale where K itself
+    outgrows the driver, assignment goes hierarchical — coarse-cells
+    over centroids, the IVF route — which changes cost, not these
+    semantics)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([int(r[0]) for r in cents_rows], dtype=np.int64)
+    C = np.asarray(
+        [[float(x) for x in r[1]] for r in cents_rows], dtype=np.float64
+    )
+    assert (np.diff(cids) > 0).all(), "centroids must be cent_id-sorted"
+    Cn = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("long")
+    def cluster_of(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        n = np.sqrt((X * X).sum(axis=1))
+        cos = (X @ C.T) / (n[:, None] * Cn[None, :])
+        r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        return pd.Series(cids[r6.argmax(axis=1)])
+
+    return emb.withColumn("cluster", cluster_of(F.col("embedding")))
+
+
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_semantic_dedup with the documented K-growth policy DEMONSTRATED
     instead of only documented (round-10 verdict ask 3): K = ceil(N/64)
     so mean cluster size — and the quadratic within-cluster pairwise
     term — stays bounded as the corpus grows. Same deterministic
-    smallest-vec_id centroids, same argmax assignment, same
-    within-cluster duplicate accounting as the fixed-K contract; the
-    ONLY difference is the centroid count. N is read once as a scalar
-    (a parquet-metadata count, no data scan); everything downstream is
-    the same broadcast-K assignment + one cluster-keyed shuffle.
+    smallest-vec_id centroids, same argmax/rounding conventions, same
+    within-cluster duplicate accounting as the fixed-K contract; what
+    changes is the centroid count and the assignment ENGINE — one
+    Arrow GEMM pass instead of a K-wide crossJoin (see
+    `_assign_clusters_arrow`: at K~N/const the crossJoin form made
+    assignment the new quadratic term). N is read once as a scalar
+    (a parquet-metadata count, no data scan).
 
-    At the driver SFs K is small (8/8/32); the point is the 10×
-    measurement (SURVEY §8): at 20k vectors K=313 keeps wall-clock
-    near-linear where the fixed-K contract measured 9.4× for 10× rows."""
+    Honest cost shape: within-cluster pairwise is O(N·64), assignment
+    is O(N·K) = O(N²/64) FLOPs — still formally quadratic, but as a
+    batched GEMM its constant is ~10³ smaller than the pair-join's,
+    and the measured 10× ratio is what SURVEY §8 records. The
+    assignment-bound regime's standard fix (hierarchical / IVF-style
+    centroid probing, or K~√N balancing both terms at N^1.5) is
+    documented, not demonstrated."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = scaled_k(emb.count())
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    cents_rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    assigned = _assign_clusters(emb, cents)
+    assigned = _assign_clusters_arrow(emb, cents_rows)
     with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
     a = with_norm.select(
         F.col("cluster"),

@@ -28,6 +28,9 @@ OPS = [
     "ivfpq_refine_topk",
     "bm25_postings_topk",
     "semantic_dedup",
+    # the K~N/const scale-path variant next to the fixed-K contract it
+    # fixes: the before/after pair for the r10 verdict's ask 3
+    "semantic_dedup_scaled",
 ]
 
 
