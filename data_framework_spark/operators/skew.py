@@ -103,8 +103,16 @@ def q_scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.round(nrm, 6).alias("norm"),
-            F.round(F.col("a") / nrm, 6).alias("unit_0"),
-            F.round(F.col("s") / nrm, 6).alias("unit_1"),
+            # all-zero values make v = (0, 0) exactly on BOTH engines
+            # (sums/deviations of exact zeros), so the unit vector is
+            # 0/0: Spark NULL vs DuckDB NaN — guarded to NULL on both
+            # (round-11 sweep; same class as the single-hour spacing).
+            # The exact-0 comparison is engine-stable here because a
+            # zero norm requires every value to be exactly 0 — a
+            # cancellation residue (mixed ±x) leaves s > 0 and
+            # nrm ≈ s, never a near-zero denominator.
+            F.when(nrm > 0, F.round(F.col("a") / nrm, 6)).alias("unit_0"),
+            F.when(nrm > 0, F.round(F.col("s") / nrm, 6)).alias("unit_1"),
             F.signum(F.col("a") - F.col("g_avg")).alias("sign_vs_global"),
             # spacing of an hour grid with every hour occupied is 1.
             # A type with a SINGLE distinct hour makes this 0/0:
@@ -142,8 +150,12 @@ WITH per_type AS (
 g AS (SELECT avg(a) AS g_avg FROM per_type)
 SELECT event_type,
        round(sqrt(a*a + s*s), 6) AS norm,
-       round(a / sqrt(a*a + s*s), 6) AS unit_0,
-       round(s / sqrt(a*a + s*s), 6) AS unit_1,
+       CASE WHEN sqrt(a*a + s*s) > 0
+            THEN round(a / sqrt(a*a + s*s), 6)
+       END AS unit_0,
+       CASE WHEN sqrt(a*a + s*s) > 0
+            THEN round(s / sqrt(a*a + s*s), 6)
+       END AS unit_1,
        sign(a - g_avg)::DOUBLE AS sign_vs_global,
        CASE WHEN n_hours > 1
             THEN (hour_span / (n_hours - 1))::DOUBLE

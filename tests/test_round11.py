@@ -39,6 +39,13 @@ def test_scalar_fns_single_hour_type_matches_oracle(spark, tmp_path):
         rows.append(
             (100 + i, base + dt.timedelta(minutes=30 * i), 2, "steady", 1.0 + i, "{}")
         )
+    # type "zeroed": every value exactly 0 -> v = (0, 0), nrm = 0, so
+    # the unit vector is 0/0 (Spark NULL vs DuckDB NaN unguarded —
+    # the round-11 sweep's second scalar_fns edge)
+    for i in range(4):
+        rows.append(
+            (200 + i, base + dt.timedelta(hours=i), 3, "zeroed", 0.0, "{}")
+        )
     pdf = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -54,6 +61,9 @@ def test_scalar_fns_single_hour_type_matches_oracle(spark, tmp_path):
     assert by_type["burst"][scols.index("spacing")] is None
     assert by_type["burst"][scols.index("uniform")] is True  # 0 == 1-1
     assert by_type["steady"][scols.index("spacing")] == 1.0
+    assert by_type["zeroed"][scols.index("norm")] == 0.0
+    assert by_type["zeroed"][scols.index("unit_0")] is None
+    assert by_type["zeroed"][scols.index("unit_1")] is None
 
     con = duckdb.connect()
     con.execute(
