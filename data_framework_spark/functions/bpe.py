@@ -276,9 +276,19 @@ def learn_bpe_merges_batched(
     8.83 s wall vs the classic trainer's measured 0.248 s/merge ⇒
     15.9 s extrapolated at 64 merges (1.8×). A batched pass costs
     ~2.2 classic jobs (aggregate + bounded collect + a longer replace
-    chain), so the job-count recipe's effective speedup is
-    ~0.92·per_pass/2.2; the 32k-merge projection scales per_pass, not
-    passes."""
+    chain), so the effective speedup is ~util·per_pass/2.2.
+
+    UTILIZATION SATURATES — wider batches don't help (measured, same
+    corpus): per_pass=4 → util 0.92; per_pass=8 (cand=128) → 0.56;
+    per_pass=16 (cand=256) → 0.25. ACCEPTED merges/pass stays ~3-7 at
+    every P because the head of the pair-count distribution shares
+    symbols heavily, and disjointness is what the one-chained-replace
+    application requires. So the job-count recipe's asymptote on this
+    vocabulary shape is ~4-7 merges/pass (~1.8-3× over classic), NOT
+    per_pass/2.2 scaled arbitrarily; getting to 32k merges in few
+    jobs needs the incremental-recount trainer (only words containing
+    a merged pair recount), which remains the documented next step
+    rather than a wider batch."""
     words = _wrapped_words(docs).persist()
     words.count()
     base = words
