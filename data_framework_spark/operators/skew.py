@@ -105,8 +105,10 @@ def q_scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nrm, 6).alias("norm"),
             # all-zero values make v = (0, 0) exactly on BOTH engines
             # (sums/deviations of exact zeros), so the unit vector is
-            # 0/0: Spark NULL vs DuckDB NaN — guarded to NULL on both
-            # (round-11 sweep; same class as the single-hour spacing).
+            # 0/0 — guarded to NULL on both engines; NULL vs NaN is
+            # DuckDB-version-dependent (see the spacing note above),
+            # the guard pins it (round-11 sweep; same class as the
+            # single-hour spacing).
             # The exact-0 comparison is engine-stable here because a
             # zero norm requires every value to be exactly 0 — a
             # cancellation residue (mixed ±x) leaves s > 0 and
@@ -115,11 +117,13 @@ def q_scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nrm > 0, F.round(F.col("s") / nrm, 6)).alias("unit_1"),
             F.signum(F.col("a") - F.col("g_avg")).alias("sign_vs_global"),
             # spacing of an hour grid with every hour occupied is 1.
-            # A type with a SINGLE distinct hour makes this 0/0:
-            # Spark division yields NULL but DuckDB yields NaN, so the
-            # degenerate case is guarded to NULL explicitly on BOTH
-            # engines (round-10 review item 5; divergence reachable on
-            # any corpus slice with a one-hour event type).
+            # A type with a SINGLE distinct hour makes this 0/0.
+            # Spark division yields NULL; DuckDB's depends on version
+            # (1.0.0: NULL for any x/0; 1.1+ defaults
+            # ieee_floating_point_ops=true → NaN), so the degenerate
+            # case is guarded to NULL explicitly on BOTH engines —
+            # version-portable semantics instead of an accidental
+            # match (round-10 review item 5, precise diagnosis r11).
             F.when(
                 F.col("n_hours") > 1,
                 F.col("hour_span") / (F.col("n_hours") - 1),
