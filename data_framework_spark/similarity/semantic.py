@@ -276,6 +276,8 @@ def _assign_clusters_arrow(emb: DataFrame, cents_rows: list) -> DataFrame:
 
     @pandas_udf("long")
     def cluster_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="int64")
         X = np.stack(embs.to_numpy()).astype(np.float64)
         n = np.sqrt((X * X).sum(axis=1))
         cos = (X @ C.T) / (n[:, None] * Cn[None, :])
