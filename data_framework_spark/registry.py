@@ -1014,86 +1014,96 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-11 rotation, executed exactly as round 10's comment bound it
-# (and as the r10 verdict's #1 ask re-affirmed): (a) the 14-query
-# untouched-r7 TAIL leads — at r11 those rows are 4 rounds old, one
-# past the budget, and may not be deferred again; then (b) the 2
-# never-driver-verified round-10 additions (bpe_batched_merges,
-# pq_train_gain — both strict-replica-green in r10's 370-test run);
-# then (c) the queries round 11 ITSELF touched or added:
-# scalar_fns_events (the single-hour 0/0 spacing guard changed the
-# kernel AND oracle — the one named latent divergence, r10 verdict #2)
-# and semantic_dedup_scaled (new, the K~N/const scale-path variant,
-# r10 verdict #3); then (d) the first 32 of the 43-query
-# last-green-r8 block in registry order. 14+2+2+32 = exactly 50.
-# The 11-query r8 remainder (dedup_exact, dedup_minhash,
-# ann_hamming_rerank, weighted_sample, pii_scrub,
-# compaction_roundtrip, dedup_incremental, ivf_recall_contract,
-# bm25_topk, dup_span_extract, sq8_quantize) is named debt that must
-# LEAD round 12's window — at r12 those rows are 4 rounds old, one
-# past budget. Round 12's window therefore starts: the 11 r8-tail
-# queries, then any r11-touched rows, filled from the 47-query
-# last-green-r9 block in registry order (r9 rows are exactly AT the
-# 3-round budget at r12; the ~8 r9 rows that don't fit r12's window
-# become r13's lead debt — the 158-query registry cycles in ~3.2
-# windows, so a ≤4-round worst case is structural until the window
-# grows or the registry shrinks; net additions stay ≤ 3-4/round to
-# keep it from getting worse).
+# Round-12 rotation, executed exactly as round 11's comment bound it
+# (and as the r11 verdict's #1 ask re-affirmed): (a) the 11-query
+# last-green-r8 TAIL leads — at r12 those rows are 4 rounds old, one
+# past the budget, and may not be deferred again; then (b) the
+# queries round 12 ITSELF touched: semantic_dedup_scaled (assignment
+# switched to the hierarchical coarse-over-centroids route — engine
+# detail, route-parity test-pinned, but TOUCH policy hoists it) and
+# the 8 PQ/IVFPQ-family queries (the measured K=256 codebook adoption,
+# r11 verdict #2 — PQ_K 16->256 re-derives the training in kernels
+# AND oracles, so every one of those hashes changes), all in registry
+# order; then (c) the first 30 of the 47-query last-green-r9 block in
+# registry order. 11+9+30 = exactly 50. The 17-query r9 remainder
+# (stratified_split, unigram_logprob, zipf_fit, semantic_dedup,
+# domain_mix, ks_drift, cluster_purity, cdc_chunks, snapshot_diff,
+# k_anonymity, streaming_heavy_hitters, pagerank_neardup,
+# multimodal_embed_topk, text_normalize, incremental_agg_refresh,
+# funnel_stages, bpe_detok_roundtrip) is named debt that must LEAD
+# round 13's window — at r13 those rows are 4 rounds old, one past
+# budget; after them ~33 slots remain for r13-touched rows and the
+# oldest of the r10/r11/r12 blocks. The 159-query registry cycles in
+# ~3.2 windows, so a <=4-round worst case stays structural until the
+# window grows or the registry shrinks.
+#
+# Retire-or-keep (r11 verdict ask 7, decided): KEEP the registry at
+# 159. The named near-duplicate hedge pairs (bounds_lineitem /
+# bounds_events, label_extrema_lineitem / label_extrema_events) pin
+# DIFFERENT physical types through the same operator — events carries
+# parquet TIMESTAMP(NANOS) + the ns->us load conversion and doubles,
+# lineitem carries DECIMAL->double casts and dates — and each member
+# has independently caught an engine divergence in its own dtype
+# family (the ts-nanos load convention and the decimal cast rounding
+# are both recorded oracle-parity traps). Retiring the 2-3 candidates
+# shortens the cycle by <0.1 windows; the trade is bad. Discipline is
+# enforced on the other side instead: round 12 adds ZERO net queries
+# (the first flat round), so the cycle does not lengthen.
 _VERIFY_FIRST: list[str] = [
-    # -- (a) the untouched-r7 tail, one past budget, registry order --
-    "tpch_q7_volume",
-    "pack_sequences",
-    "ivf_persist_roundtrip",
-    "embedding_near_dups",
-    "embedding_dedup_lsh",
-    "ann_recall_contract",
-    "orc_roundtrip",
-    "rolling_median_events",
-    "hll_union_contract_events",
-    "benchmark_decontam",
-    "dup_ngram_fraction",
-    "heaps_fit",
-    "bpe_merges",
-    "pagerank_neardup_lsh",
-    # -- (b) never driver-verified round-10 additions --
-    "bpe_batched_merges",
-    "pq_train_gain",
-    # -- (c) round-11 touched/added --
-    "scalar_fns_events",
+    # -- (a) the last-green-r8 tail, one past budget, registry order --
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_hamming_rerank",
+    "weighted_sample",
+    "pii_scrub",
+    "compaction_roundtrip",
+    "dedup_incremental",
+    "ivf_recall_contract",
+    "bm25_topk",
+    "dup_span_extract",
+    "sq8_quantize",
+    # -- (b) round-12 touched, registry order: the hierarchical
+    # -- assignment switch + the K=256 PQ codebook adoption --
     "semantic_dedup_scaled",
-    # -- (d) first 32 of the last-green-r8 block, registry order --
-    "tpch_q8_market_share",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "tpch_q9_profit",
-    "tpch_q21_waiting",
-    "tpch_q11_important_parts",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_count",
-    "tpch_q20_excess_suppliers",
-    "distinct_suppliers_by_brand",
-    "set_ops_customers",
-    "bucketed_join_lineitem",
-    "sketch_accuracy_events",
-    "profile_percentiles",
-    "moving_average_events",
-    "cube_orders",
-    "pivot_events",
-    "asof_attribution",
-    "range_join_clicks",
-    "sessionize_events",
-    "text_stats",
-    "lang_profile",
-    "winnow_fingerprint",
-    "token_regex_profile",
-    "corpus_mix",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivfpq_persist_topk",
+    "ivfpq_recall_contract",
+    "ivfpq_refine_topk",
+    "ivfpq_refine_recall",
+    "ivfpq_nprobe_curve",
+    "pq_train_gain",
+    # -- (c) first 30 of the last-green-r9 block, registry order --
+    "timeslice_events",
+    "zoom_lineitem",
+    "select_vars_substring",
+    "array_ingest_roundtrip",
+    "dataset_api_events",
+    "bounds_events",
+    "sigma_threshold_lineitem",
+    "label_extrema_events",
+    "lang_id",
+    "dedup_simhash",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cosine_topk",
+    "partitioned_prune_roundtrip",
+    "quality_filter",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "shard_assign",
+    "contamination_check",
+    "bigram_topk",
+    "label_centroids",
+    "find_structures_contract",
+    "curation_funnel",
+    "curation_funnel_mat",
+    "find_structures_multi8",
+    "heavy_hitters",
+    "chunk_documents",
+    "chunk_dedup",
 ]
 
 QUERIES = {

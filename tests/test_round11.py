@@ -156,54 +156,3 @@ def test_assign_clusters_arrow_equals_hof_route(spark):
             for r in _assign_clusters_arrow(emb, rows).collect()
         }
         assert hof == gemm and len(hof) == 500
-
-
-# --- rotation window arithmetic (r11) ----------------------------------------
-
-
-def test_r11_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 11's
-    window, exactly as the r10 rotation comment bound it: the 14-query
-    untouched-r7 tail (one past the 3-round staleness budget) LEADS,
-    then the 2 never-driver-verified round-10 additions, then the
-    queries round 11 itself touched or added, filled from the
-    last-green-r8 block in REGISTRY ORDER (the fill is pinned as the
-    exact prefix, not a subset — r10 advice). The r8 remainder is the
-    named tail that must lead r12."""
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r7 = load(7) - load(8) - load(9) - load(10)
-    last_green_r8 = load(8) - load(9) - load(10)
-    # (a) the whole untouched-r7 tail, registry order
-    tail_r7 = [q for q in QUERIES if q in last_green_r7]
-    assert len(tail_r7) == 14
-    assert _VERIFY_FIRST[:14] == tail_r7
-    # (b) the never-driver-verified round-10 additions
-    never_r10 = ["bpe_batched_merges", "pq_train_gain"]
-    assert _VERIFY_FIRST[14:16] == never_r10
-    # (c) round-11 touched/added: the single-hour spacing guard changed
-    # scalar_fns_events' kernel AND oracle; semantic_dedup_scaled is a
-    # round-11 addition (never driver-verified)
-    touched_r11 = ["scalar_fns_events", "semantic_dedup_scaled"]
-    assert _VERIFY_FIRST[16:18] == touched_r11
-    # (d) fill = the FIRST 32 of the remaining last-green-r8 block in
-    # registry order (pinned exactly, not as a subset)
-    r8_block = [
-        q for q in QUERIES if q in last_green_r8 and q not in touched_r11
-    ]
-    assert _VERIFY_FIRST[18:] == r8_block[:32]
-    # the named r12 tail: the 11-query r8 remainder
-    tail_r12 = r8_block[32:]
-    assert len(tail_r12) == 11
