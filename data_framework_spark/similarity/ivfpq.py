@@ -10,7 +10,7 @@ cell assignment GEMM, and the cell-partitioned parquet layout;
 assignment — here applied to the RESIDUAL x − c(cell(x)) rather than
 the raw vector, which is what makes the composition better than
 either part: the coarse centroid removes the cell's mean, so the
-per-subspace codebooks spend their 16 entries on the remaining
+per-subspace codebooks spend their 256 entries on the remaining
 variance (IVFADC's central idea).
 
 Index layout on disk (`ivfpq_index_write`):
@@ -18,7 +18,7 @@ Index layout on disk (`ivfpq_index_write`):
 - `{path}/pq_books`   — (subspace, code, vec): the residual
   codebooks, PQ_M × PQ_K bounded rows.
 - `{path}/codes`      — (vec_id, subspace, code) partitioned by
-  `cell`: ~M small ints per corpus vector, the 64×-compressed
+  `cell`: ~M small ints per corpus vector, the 32×-compressed
   representation. partitionBy("cell") makes an nprobe-cell probe a
   DIRECTORY-PRUNED read, the same layout win as the plain IVF index.
 
@@ -45,8 +45,10 @@ prune, codes-only ADC), not a universal recall claim. Since round 10
 the coarse quantizer AND the residual codebooks are Lloyd-TRAINED
 (similarity/train.py — fixed-point k-means, bit-identical in the
 DuckDB oracle), which doubled ADC recall and lifted the refine route
-to ≥0.90 at every shipped SF; the remaining production knob is
-ncells ~ sqrt(N) growth with 256-entry codebooks.
+to ≥0.90 at every shipped SF. Since round 12 the codebooks are
+256-entry (8-bit — the faiss standard; see pq.PQ_K), adopted on the
+r11 ablation's measured evidence; the remaining production knob is
+ncells ~ sqrt(N) growth.
 """
 
 from __future__ import annotations
@@ -127,9 +129,22 @@ def _residual_codebooks(
         .orderBy("vec_id")
         .collect()
     )
-    if len(rows) != PQ_K:
+    # contiguous-prefix relaxation (see pq._codebooks): a corpus with
+    # fewer than ncells+PQ_K vectors seeds a smaller codebook, exactly
+    # as the oracle's id-range filter yields on the same corpus; the
+    # run must still be contiguous from `ncells` so numpy positions
+    # equal oracle cids (cid = vec_id - ncells)
+    if [int(r["vec_id"]) for r in rows] != list(
+        range(ncells, ncells + len(rows))
+    ):
         raise ValueError(
-            f"need vec_ids {ncells}..{ncells + PQ_K - 1} for the codebook"
+            f"residual codebook seeds need a contiguous vec_id run "
+            f"{ncells}..{ncells}+k-1 (k ≤ {PQ_K}); got {len(rows)} rows"
+        )
+    if not rows:
+        raise ValueError(
+            f"empty residual seed range: no vec_id in "
+            f"[{ncells}, {ncells + PQ_K})"
         )
     full = np.asarray(
         [[float(x) for x in r["residual"]] for r in rows], dtype=np.float64
@@ -181,7 +196,7 @@ def ivfpq_index_write(
             [
                 (s, k, [float(x) for x in books[s][k]])
                 for s in range(PQ_M)
-                for k in range(PQ_K)
+                for k in range(books.shape[1])  # K' ≤ PQ_K, small corpora
             ],
             "subspace int, code int, vec array<double>",
         ).write.mode("overwrite").parquet(f"{path}/pq_books")
@@ -209,7 +224,8 @@ def _load_index_driver_side(spark: SparkSession, path: str):
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
     book_rows = spark.read.parquet(f"{path}/pq_books").collect()
-    books = np.zeros((PQ_M, PQ_K, _SUB), dtype=np.float64)
+    kk = max(r["code"] for r in book_rows) + 1  # K' ≤ PQ_K
+    books = np.zeros((PQ_M, kk, _SUB), dtype=np.float64)
     for r in book_rows:
         books[r["subspace"], r["code"]] = [float(x) for x in r["vec"]]
     return cents, books
@@ -240,7 +256,7 @@ def _adc_lut(cents: list, books: np.ndarray, queries: list, nprobe: int):
                 for j in range(1, _SUB):  # sequential fold, oracle order
                     acc = acc + sq[:, j]
                 d = _round9(acc)
-                for code in range(PQ_K):
+                for code in range(len(d)):  # K' ≤ PQ_K on small corpora
                     lut.append(
                         (qid, int(cell), rank, s, code, float(d[code]))
                     )
@@ -391,18 +407,20 @@ def _exact_l2_topk_build(
 
 # Observed recall@5 vs exact L2, measured per shipped SF before the
 # floor was set (the ann.LSH_RECALL_FLOOR calibration policy,
-# certified for the three shipped SFs ONLY). With the round-10
-# Lloyd-TRAINED quantizer + codebooks: 0.33 (sf0.001) / 0.33 (sf0.01)
-# / 0.18 (sf0.1) — roughly double the sampled stand-ins' 0.18 / 0.27
-# / 0.09. Isotropic random vectors remain PQ's structural worst case,
-# and at fixed (ncells=16, nprobe=4) recall decays with corpus size —
-# at scale you grow ncells ~ sqrt(N) and route through the refine
-# stage below. The floor is set just below the observed minimum; the
-# REAL pin is the recall value itself, which is fully deterministic
-# on this corpus and hash-compared against the oracle's independent
+# certified for the three shipped SFs ONLY). With the round-12 K=256
+# codebooks (trained quantizer unchanged): 0.38 (sf0.001) / 0.50
+# (sf0.01) / 0.37 (sf0.1) — double the K=16 books' 0.33 / 0.33 /
+# 0.18, exactly what the r11 ablation predicted (ADC RANKING was the
+# binding constraint; coverage at nprobe=4 sits at 0.82-0.92 and did
+# not move, since coverage depends only on the coarse cells).
+# Isotropic random vectors remain PQ's structural worst case — at
+# scale you grow ncells ~ sqrt(N) and route through the refine stage
+# below. The floor is set just below the observed minimum; the REAL
+# pin is the recall value itself, which is fully deterministic on
+# this corpus and hash-compared against the oracle's independent
 # recomputation — any route or TRAINING regression flips the hash
 # before it flips the floor.
-IVFPQ_RECALL_FLOOR = 0.15
+IVFPQ_RECALL_FLOOR = 0.35
 
 
 def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,16 +663,17 @@ def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Observed refine-route recall@5 vs exact L2, measured per shipped SF
 # before the floor was set (same calibration policy as
-# IVFPQ_RECALL_FLOOR). Round-10, trained quantizer + nprobe=8:
-# 0.90 (sf0.001) / 0.92 (sf0.01) / 0.91 (sf0.1) — the r9 verdict's
-# ≥0.90 target, reached exactly as the nprobe curve predicted: the
-# r9 refine route (sampled centroids, nprobe=4) sat AT its 0.84/0.85/
-# 0.78 coverage ceiling; training lifted the ceiling (coverage 0.92/
-# 0.93/0.96 at nprobe=8) and refine recall followed. The residual
-# ~0.08 gap is still coverage (a true neighbor in an unprobed cell is
-# lost to any ADC-shortlist route) — the next levers are ncells ~
-# sqrt(N) growth or a multi-assignment probe, not the refine itself.
-IVFPQ_REFINE_RECALL_FLOOR = 0.85
+# IVFPQ_RECALL_FLOOR). Round-12, trained quantizer + K=256 books +
+# nprobe=8: 0.92 (sf0.001) / 0.93 (sf0.01) / 0.96 (sf0.1) — refine
+# recall now EQUALS the nprobe=8 coverage ceiling (0.92/0.93/0.96) at
+# every shipped SF: with 8-bit codebooks the ADC shortlist no longer
+# drops any covered true neighbor before the exact re-rank, so the
+# ONLY remaining loss is a true neighbor whose assigned cell is
+# unprobed. (Round-10, K=16 books: 0.90/0.92/0.91, ~0.01-0.05 below
+# the same ceiling — that residual ADC-ranking loss is what K=256
+# bought here.) The next levers are ncells ~ sqrt(N) growth or a
+# multi-assignment probe, not the refine itself.
+IVFPQ_REFINE_RECALL_FLOOR = 0.90
 
 
 def q_ivfpq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

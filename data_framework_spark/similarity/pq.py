@@ -5,7 +5,7 @@ Extension layer (SURVEY.md §7 phase 5) — Jégou et al. 2011 ("Product
 Quantization for Nearest Neighbor Search", §II): split each vector
 into PQ_M contiguous subspaces, quantize each subspace against its
 own PQ_K-centroid codebook, and store only the m code bytes (here
-8 × 4 bits ≈ 4 bytes vs 256 bytes of float32 — a 64× compression).
+8 × 8 bits = 8 bytes vs 256 bytes of float32 — a 32× compression).
 At 100 TB this is what makes a billion-vector index fit in memory;
 search then proxies distances through per-subspace lookup tables.
 
@@ -15,10 +15,13 @@ stand-in), refined by BOOK_ROUNDS of per-subspace k-means via
 similarity/train.py — whose fixed-point integer-sum design keeps the
 training bit-reproducible in the DuckDB oracle (the oracle re-derives
 the trained codebooks from scratch, so a training drift flips the
-hash). Measured mean quantization error, sampled seeds → trained: 0.0940 →
-0.0719 (sf0.001), 0.0947 → 0.0717 (sf0.01), 0.0969 → 0.0757 (sf0.1)
-— a 22-24% drop; all 128 codes live in both regimes on this corpus
-(per-code stats in q_pq_codes; SURVEY §8 records the deltas).
+hash). Measured mean quantization error at the round-12 K=256
+operating point, sampled seeds → trained: 0.0222 → 0.0135 (sf0.001),
+0.0223 → 0.0136 (sf0.01), 0.0399 → 0.0304 (sf0.1) — a 24-39% training
+drop, on top of K=256 itself cutting the trained error ~60% vs the
+K=16 books' 0.072-0.076; all 2048 (subspace, code) slots stay live on
+this corpus (per-code stats in q_pq_codes; SURVEY §8 records the
+deltas).
 
 Assignment determinism (the ivf.assign_cells convention): squared L2
 distances are rounded half-away-from-zero to 9 decimals (matching
@@ -29,7 +32,8 @@ agree bit-for-bit at the rounding granularity.
 The query emits the per-(subspace, code) assignment counts and mean
 quantization error — the codebook-health audit a PQ build ships with
 (a dead code = wasted codebook capacity; a hot code = under-split
-region), 128 bounded rows from one corpus-linear Arrow-batched pass.
+region), ≤ PQ_M·PQ_K (2048) bounded rows from one corpus-linear
+Arrow-batched pass.
 """
 
 from __future__ import annotations
@@ -45,7 +49,15 @@ from pyspark.sql import functions as F
 from data_framework_spark.sources.tables import load_table
 
 PQ_M = 8  # subspaces
-PQ_K = 16  # codes per subspace
+#: Codes per subspace. 16 (4 bits) through round 11; 256 (8 bits, the
+#: standard faiss operating point) since round 12 — adopted on the
+#: r11 ablation's evidence (scripts/ablate_pq_codebook_size.py): raw
+#: ADC recall@5 0.18→0.37 at sf0.1 and 0.11→0.21 at 10×, residual
+#: quantization error −60%, LUT still bounded (|Q|·M·K = 40,960
+#: rows/query batch), at 2.5-8× one-time training cost. Deferred in
+#: r11 purely for rotation-window economics; the r12 window hoists
+#: all 8 re-hashed PQ/IVFPQ contracts.
+PQ_K = 256
 PQ_DIM = 64
 _SUB = PQ_DIM // PQ_M
 
@@ -60,8 +72,20 @@ def _codebooks(emb: DataFrame) -> np.ndarray:
         .orderBy("vec_id")
         .collect()
     )
-    if len(rows) != PQ_K:
-        raise ValueError(f"need vec_ids 0..{PQ_K - 1} for the codebook")
+    # A corpus smaller than PQ_K seeds a smaller codebook — the faiss
+    # small-trainset convention, and exactly what the oracle's
+    # `WHERE vec_id < PQ_K` yields on the same corpus (round 12, with
+    # K=256 now above the hand-built test corpora sizes). The ids must
+    # still be a CONTIGUOUS 0-based prefix so the numpy code POSITIONS
+    # equal the oracle's cid values — a sparse id set would silently
+    # renumber the codes on one engine only.
+    if [int(r["vec_id"]) for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"codebook seeds need a contiguous vec_id prefix 0..k-1 "
+            f"(k ≤ {PQ_K}); got {len(rows)} rows"
+        )
+    if not rows:
+        raise ValueError("empty corpus: no vec_id < PQ_K to seed codebooks")
     full = np.asarray(
         [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
     )
@@ -75,7 +99,7 @@ def _codebooks(emb: DataFrame) -> np.ndarray:
 # _MERGE_CACHE contract (the tokenizer/codebook IS a build artifact;
 # retraining it inside every consuming query is the anti-pattern the
 # cache removes). Keyed on the source fingerprint so a mid-session
-# rewrite retrains. The value is a driver-tiny (8, 16, 8) ndarray.
+# rewrite retrains. The value is a driver-tiny (8, 256, 8) ndarray.
 _BOOKS_CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -190,7 +214,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query-side lookup tables (per query × subspace × code:
     squared distance from the query's sub-vector to the codebook
-    entry) are a bounded |Q|·PQ_M·PQ_K = 2560-row frame computed
+    entry) are a bounded |Q|·PQ_M·PQ_K = 40,960-row frame computed
     driver-side from the two bounded inputs (20 queries, the
     codebook) and BROADCAST; the corpus side never touches floats —
     the scan reads the (vec_id, subspace, code) code table, the join
@@ -207,13 +231,13 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     isotropic random vectors, the structural worst case for PQ
     because pairwise distances concentrate and the quantization
     error swamps the tiny true-distance gaps — recall@5 vs exact L2
-    is 0.17-0.39 across (K, M) settings (0.17 at the shipped 16×8 at
-    sf0.01; 0.39 at 16 subspaces). Published PQ recall (Jégou et al.
-    Table II, ~0.9+) assumes clustered real embeddings and trained
-    256-entry codebooks; tests/test_round7.py shows this same code
-    hitting recall 1.0 on a clustered corpus. The oracle-checked
-    contract here is the ADC *plan* (codes-only scan, broadcast
-    LUTs), not a recall claim."""
+    at the round-12 trained 256×8 operating point is 0.33 (sf0.001) /
+    0.49 (sf0.01) / 0.32 (sf0.1), roughly double the K=16 books'
+    0.17-0.2. Published PQ recall (Jégou et al. Table II, ~0.9+)
+    additionally assumes clustered real embeddings;
+    tests/test_round7.py shows this same code hitting recall 1.0 on a
+    clustered corpus. The oracle-checked contract here is the ADC
+    *plan* (codes-only scan, broadcast LUTs), not a recall claim."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = trained_codebooks(emb)
     q_rows = (
@@ -233,7 +257,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(1, _SUB):  # same sequential fold as assign
                 acc = acc + sq[:, j]
             d = _round9(acc)
-            for code in range(PQ_K):
+            for code in range(len(d)):  # K' ≤ PQ_K on small corpora
                 lut.append((int(qr["vec_id"]), s, code, float(d[code])))
     lut_df = spark.createDataFrame(
         lut, "query_id long, subspace int, code int, dlook double"

@@ -230,24 +230,26 @@ def test_pq_codebook_vectors_quantize_to_themselves(spark, sf_dir):
 def test_pq_adc_retrieves_clusters_on_clustered_corpus(spark):
     """On data with actual cluster structure (the regime PQ is built
     for — the isotropic bench corpus is its structural worst case and
-    the measured 0.17-0.39 recall there is documented in pq.py), ADC
-    must retrieve same-cluster members: 64 vectors in 16 tight
-    clusters of 4 around the codebook seeds; every vector must
-    quantize to its own cluster's full code word in all 8 subspaces
-    (hence ADC distance 0 to cluster-mates — exact retrieval)."""
+    the measured recall there is documented in pq.py), ADC must
+    retrieve same-cluster members: PQ_K tight clusters of 4 around
+    the PQ_K codebook seeds (vec_ids 0..PQ_K-1 are the seeds
+    themselves); every vector must quantize to its own cluster's full
+    code word in all 8 subspaces (hence ADC distance 0 to
+    cluster-mates — exact retrieval)."""
     import numpy as np
 
     from data_framework_spark.similarity.pq import (
+        PQ_K,
         _codebooks,
         assign_pq_codes,
     )
 
     rng = np.random.default_rng(42)
-    centers = rng.normal(size=(16, 64)) * 10
+    centers = rng.normal(size=(PQ_K, 64)) * 10
     rows = []
     vid = 0
-    for rep in range(4):  # vec_ids 0-15 are the seeds themselves
-        for c in range(16):
+    for rep in range(4):  # vec_ids 0..PQ_K-1 are the seeds themselves
+        for c in range(PQ_K):
             v = centers[c] + (rng.normal(size=64) * 0.01 if rep else 0.0)
             rows.append((vid, [float(x) for x in v]))
             vid += 1
@@ -259,7 +261,7 @@ def test_pq_adc_retrieves_clusters_on_clustered_corpus(spark):
     for r in codes:
         by_vec.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
     for v, sub_codes in by_vec.items():
-        assert sub_codes == by_vec[v % 16], f"vec {v} left its cluster"
+        assert sub_codes == by_vec[v % PQ_K], f"vec {v} left its cluster"
 
 
 # --- BPE vocabulary induction ---------------------------------------------
