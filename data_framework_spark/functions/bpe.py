@@ -310,6 +310,103 @@ def learn_bpe_merges_batched(
     return out
 
 
+def learn_bpe_merges_incremental(
+    docs: DataFrame,
+    n_merges: int,
+    words: DataFrame | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """CLASSIC-EXACT BPE training with incremental pair recounting —
+    the 32k-merge path the batched trainer's measured utilization
+    saturation proved necessary (r11 verdict ask 4; util 0.92→0.56→
+    0.25 at per_pass 4/8/16 means wider batches asymptote at ~4-7
+    merges/pass, so no batch width reaches a production vocabulary in
+    few jobs).
+
+    Shape: ONE corpus-sized Spark aggregate builds the word-frequency
+    table (the same `_wrapped_words` frame every trainer here shares),
+    then training runs driver-side over the COLLECTED table with the
+    standard incremental structures (pair counts + a pair → words
+    inverted index; the HuggingFace-tokenizers/SentencePiece design):
+    after each merge, only the words that CONTAIN the merged pair
+    recount — a delta over ~pair_count rows, not a vocabulary rescan,
+    and ZERO Spark jobs per merge.
+
+    Scale contract (why the collect is sound at 100 TB): the collected
+    artifact is the WORD table, not the corpus — Zipf-bounded (the
+    sf0.1 documents corpus: 1.2k distinct words from 170k running
+    words; a web-scale corpus plateaus ~10M words ≈ 10²-10³ MB) — the
+    same bounded-build posture as the BM25 postings and the IVF
+    centroid training, and exactly the artifact production BPE
+    trainers train on single-node. The per-merge semantics are the
+    classic trainer's, verbatim: pair counts are adjacency counts ×
+    word freq (overlaps counted: 'aaa' contributes 2 to (a,a)), the
+    winner is (count desc, left asc, right asc), application merges
+    non-overlapping left-to-right ('aaa' → 'aa','a') — so the merge
+    SEQUENCE equals `learn_bpe_merges`' exactly (pinned on a hand
+    corpus and on the shipped corpora, tests/test_round12.py), unlike
+    the batched trainer's order-relaxed sequence.
+
+    Measured (scripts/measure_bpe_incremental.py, 10× corpus): see
+    SURVEY §8 — ≥256 merges at ~10³ merges/s after the one corpus
+    aggregate, vs the classic trainer's 0.25 s/merge job floor."""
+    if words is None:
+        words = _wrapped_words(docs)
+    rows = words.select("w", "freq").collect()
+    syms_freq: list[tuple[list[str], int]] = [
+        (r["w"][1:-1].split(f"{_CS}{_OS}"), int(r["freq"])) for r in rows
+    ]
+    pair_cnt: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(i: int, sign: int) -> None:
+        syms, freq = syms_freq[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            c = pair_cnt.get(p, 0) + sign * freq
+            if c:
+                pair_cnt[p] = c
+            else:
+                pair_cnt.pop(p, None)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(i)
+
+    for i in range(len(syms_freq)):
+        add_word(i, +1)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_cnt:
+            break
+        # winner: count desc, then (left, right) asc — the classic
+        # trainer's orderBy, driver-side
+        left, right = min(pair_cnt, key=lambda p: (-pair_cnt[p], p))
+        cnt = pair_cnt[(left, right)]
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        affected = pair_words.pop((left, right), set())
+        for i in affected:
+            syms, freq = syms_freq[i]
+            add_word(i, -1)  # retract the word's old adjacencies
+            out: list[str] = []
+            j = 0
+            while j < len(syms):  # non-overlapping, left to right
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms_freq[i] = (out, freq)
+            add_word(i, +1)
+        # retractions leave stale word ids in pair_words; they are
+        # harmless (re-merging scans a few extra words) and pruning
+        # them here would cost more than they save
+    return merges
+
+
 def q_bpe_batched_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched trainer's merge table: 2 passes × up to 4
     symbol-disjoint merges — 8 merges from 2 driver-synchronous jobs
