@@ -191,8 +191,19 @@ def test_every_cached_route_key_is_declared():
     n_matched = 0
     for py in pkg.rglob("*.py"):
         src = py.read_text()
-        n_sites += src.count("cached_route(") - src.count("def cached_route(")
-        hits = pat.findall(src)
+        # count call sites from CODE lines only: a docstring or comment
+        # mentioning 'cached_route(' must not inflate the census (r11
+        # advisory — the raw substring count was a false-positive mode)
+        code_lines = [
+            ln for ln in src.splitlines()
+            if not ln.lstrip().startswith("#")
+        ]
+        code = "\n".join(code_lines)
+        code = re.sub(r'"""(?:[^"]|"(?!""))*"""', "", code, flags=re.S)
+        n_sites += code.count("cached_route(") - code.count(
+            "def cached_route("
+        )
+        hits = pat.findall(code)
         n_matched += len(hits)
         for is_f, key in hits:
             if is_f:

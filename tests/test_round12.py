@@ -7,6 +7,213 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+import pytest
+
+
+# --- hierarchical assignment: exact parity with the flat GEMM route ----------
+
+
+def _route_maps(spark, emb, cents_rows):
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_arrow,
+        _assign_clusters_hier,
+    )
+
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_clusters_arrow(emb, cents_rows).collect()
+    }
+    hier = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_clusters_hier(emb, cents_rows).collect()
+    }
+    return flat, hier
+
+
+def test_assign_clusters_hier_equals_flat_on_shipped_corpus(spark):
+    """The hierarchical coarse-over-centroids route is EXACT by
+    construction (bound-based pruning with a 2e-6 margin, not
+    nprobe-truncation), so on identical inputs the (vec_id → cluster)
+    map must equal the flat Arrow GEMM's — on the shipped isotropic
+    corpus, where every bound is loose and pruning degenerates (the
+    honest worst case), with both a contiguous and a sparse cid set.
+
+    Residual boundary condition (r11 advisory, stated explicitly):
+    both routes compute member cosines with the same expression
+    (X@C.T)/(n·‖c‖), but subset-vs-full BLAS GEMMs may differ by ~1
+    ulp; a cosine landing within 1 ulp of a 1e-6 half-way point could
+    in principle round apart. The 2e-6 pruning margin does NOT cover
+    that (it is a different failure mode: evaluated-pair fp identity,
+    the same residual the GEMM-vs-HOF pin carries) — hence the
+    empirical pins here across four corpora and two cid layouts."""
+    from pyspark.sql import functions as F
+
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for pred in ("vec_id < 8", "vec_id % 37 = 3"):
+        cents_rows = (
+            emb.filter(pred)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        flat, hier = _route_maps(spark, emb, cents_rows)
+        assert flat == hier and len(flat) == 500, pred
+
+
+def test_assign_clusters_hier_equals_flat_on_clustered_corpus(spark):
+    """On a CLUSTERED corpus — the regime the hierarchical route
+    exists for, where the coarse bounds actually prune — parity must
+    still be exact, and every vector must land on its planted
+    cluster's centroid (sanity that the corpus really is clustered).
+    Deterministic construction: 24 well-separated unit anchors from an
+    orthogonal-ish basis, 60 members each with tiny fixed
+    perturbations."""
+    rng_free = []  # deterministic, no RNG: perturbation from index math
+    dim, n_anchor, per = 64, 24, 60
+    anchors = np.zeros((n_anchor, dim))
+    for a in range(n_anchor):
+        anchors[a, a % dim] = 1.0
+        anchors[a, (a * 7 + 11) % dim] = 0.5 if a % 2 else -0.5
+    anchors /= np.sqrt((anchors * anchors).sum(axis=1))[:, None]
+    rows = []
+    vid = 0
+    for a in range(n_anchor):
+        for j in range(per):
+            v = anchors[a].copy()
+            v[(a + j) % dim] += 0.02 + 0.001 * (j % 7)
+            v[(a + 3 * j + 1) % dim] -= 0.015
+            rows.append((vid, [float(x) for x in v]))
+            rng_free.append(a)
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # centroids = the anchors themselves, one per planted cluster
+    cents_rows = [(a, [float(x) for x in anchors[a]]) for a in range(n_anchor)]
+    flat, hier = _route_maps(spark, emb, cents_rows)
+    assert flat == hier and len(flat) == n_anchor * per
+    planted = {i: rng_free[i] for i in range(len(rng_free))}
+    mis = {v: (hier[v], planted[v]) for v in hier if hier[v] != planted[v]}
+    assert not mis, f"clustered corpus not recovered: {list(mis.items())[:5]}"
+
+
+def test_assign_clusters_hier_equals_flat_on_tie_corpus(spark):
+    """Exact-tie stress: duplicated centroids (identical vectors under
+    different cent_ids) make the 6dp-rounded cosines EXACTLY equal, so
+    the ties-to-smallest-cid convention decides every assignment; and
+    vectors exactly equal to a centroid exercise the cos=1.0 edge.
+    Both routes must pick the identical (smallest) winner."""
+    dim = 64
+    base = np.zeros(dim)
+    base[0] = 1.0
+    other = np.zeros(dim)
+    other[1] = 1.0
+    # cent 0, 2 identical; cent 1 identical to 0 scaled (same cosine)
+    cents_rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 2.5]),
+        (2, [float(x) for x in base]),
+        (5, [float(x) for x in other]),
+    ]
+    rows = []
+    for i in range(40):
+        v = base.copy() if i % 2 == 0 else other.copy()
+        v[(i * 3) % dim] += 1e-3 * (i % 5)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat, hier = _route_maps(spark, emb, cents_rows)
+    assert flat == hier and len(flat) == 40
+    # the duplicated-centroid ties must resolve to cent_id 0, never 1/2
+    assert 1 not in set(flat.values()) and 2 not in set(flat.values())
+
+
+def test_assign_clusters_empty_centroids_raise(spark):
+    """Degenerate input (r11 advisory): an empty centroid list must
+    fail with a clear ValueError on BOTH routes, not an AxisError from
+    a shape-(0,) reduction on the driver."""
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_arrow,
+        _assign_clusters_hier,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for route in (_assign_clusters_arrow, _assign_clusters_hier):
+        with pytest.raises(ValueError, match="centroid"):
+            route(emb, [])
+
+
+# --- K=256 codebooks: the adopted operating point -----------------------------
+
+
+def test_k256_refine_recall_sits_at_coverage_ceiling(spark):
+    """The round-12 headline: with 8-bit codebooks the refine route's
+    recall EQUALS the nprobe=8 coverage ceiling (measured 0.92/0.93/
+    0.96 at sf0.001/0.01/0.1) — the ADC shortlist no longer drops any
+    covered true neighbor before the exact re-rank. Pinned at the test
+    SF; a future K/M/nprobe change that reopens the ADC-ranking gap
+    fails here and must re-measure."""
+    from data_framework_spark.similarity.ivfpq import (
+        q_ivfpq_nprobe_curve,
+        q_ivfpq_refine_recall,
+    )
+    from data_framework_spark.similarity.pq import PQ_K
+
+    assert PQ_K == 256  # the r12 adoption; comments/floors assume it
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    refine = q_ivfpq_refine_recall(spark, sf).collect()[0]
+    curve = {r["nprobe"]: r for r in q_ivfpq_nprobe_curve(spark, sf).collect()}
+    assert refine["meets_floor"]
+    assert refine["recall"] == pytest.approx(curve[8]["coverage"], abs=1e-9)
+
+
+# --- incremental BPE trainer: classic-sequence equality ----------------------
+
+
+def test_bpe_incremental_equals_classic_hand_corpus(spark):
+    """'abab abab cd': merge 1 must be (a,b,4); merge 2 (ab,ab,2) —
+    created BY merge 1, the iterative property the batched trainer
+    relaxes and the incremental trainer must preserve; then (c,d,1);
+    then early stop. Overlap semantics ride along via 'aaaa aaa':
+    (a,a) counts 5 (overlaps counted) but merges non-overlapping
+    left-to-right. The incremental trainer's whole point is
+    CLASSIC-EXACTNESS at delta cost, so the sequences must be equal
+    element-wise, counts included."""
+    from data_framework_spark.functions.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_incremental,
+    )
+
+    for text in ("abab abab cd", "aaaa aaa", "xy xz yz x y z"):
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        classic = learn_bpe_merges(docs, n_merges=8)
+        inc = learn_bpe_merges_incremental(docs, n_merges=8)
+        assert classic == inc, (text, classic, inc)
+
+
+def test_bpe_incremental_equals_classic_shipped_corpus(spark, sf_dir):
+    """12 merges over the shipped documents corpus — twice the driver
+    contract's depth, covering merges that consume earlier merges'
+    symbols on real text — must be element-wise identical between the
+    classic per-merge-job trainer and the incremental one."""
+    from data_framework_spark.functions.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_incremental,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    classic = learn_bpe_merges(docs, n_merges=12)
+    inc = learn_bpe_merges_incremental(docs, n_merges=12)
+    assert classic == inc
+
 
 # --- rotation window arithmetic (r12) ----------------------------------------
 
