@@ -1,0 +1,150 @@
+"""Distributed connected-component labeling — the documented escape
+for the single-tile flood/label ceiling (SURVEY §2.9; r11 verdict ask
+5). Reference semantics: kernels/ndimage.label (cross connectivity,
+scan-order numbering), itself pinned against the reference's
+scipy/skimage usage (/root/reference/src/datasets/vpicdataset.py:470,
+:510, :518).
+
+The r11 raster table located the single-tile `applyInPandas` ceiling
+at ~4M cells per timestep (0.8 GB/group pandas + parallelism
+collapse), so a 4096² grid (16.8M cells) is over it. This module is
+the standard tile-stitch CCL that removes the ceiling:
+
+1. partition the set-pixel rows into TILE×TILE tiles (bounded
+   per-task memory, the halo-Gaussian precedent);
+2. label each tile locally with the SAME run-based kernel
+   (`ndimage.label`), then canonicalize each local component to its
+   minimum global scan-order pixel index (pid = i0·width + i1) — a
+   globally unique, order-meaningful id;
+3. stitch: set pixels on tile edges equi-join their cross-boundary
+   neighbors (two joins, one per axis) into a component-equivalence
+   edge list — BOUNDARY-sized, not grid-sized;
+4. merge equivalences with dedup/clusters.connected_components (min
+   vertex id per component == global min pid — the shared distributed
+   min-label machinery, union-find fast path under 2M edges);
+5. dense-rank the component roots ascending.
+
+Numbering equality, not just partition equality: `ndimage.label`
+numbers components by scan-order first encounter, and a component's
+first-encountered pixel IS its minimum pid — so ranking roots (= min
+pids) ascending reproduces the single-tile labels EXACTLY on any
+grid where both routes run (pinned in tests/test_round12.py; the
+oversized 4096² run is digest-verified against driver-side numpy in
+scripts/measure_distributed_label.py).
+
+Cost shape at 100 TB: one grid-sized shuffle onto tile keys, one
+bounded kernel pass per tile, boundary-sized stitching, and a
+components-count dense-rank (a single-partition window over the
+component ROOTS — structures, not pixels; if components themselves
+explode past driver scale the rank becomes a sort-based zipWithIndex,
+noted, not needed here)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from data_framework_spark.kernels import ndimage
+
+DEFAULT_TILE = 1024  # 1M cells/task densified (8 MB) — well under the
+#                      measured ~4M single-tile ceiling
+
+
+def label_cells(
+    cells: DataFrame, width: int, tile: int = DEFAULT_TILE
+) -> DataFrame:
+    """(i0, i1) SET-pixel rows → (i0, i1, label): cross-connectivity
+    connected components with labels identical to
+    `kernels.ndimage.label` run on the dense mask (1-based,
+    scan-order numbering). `width` bounds i1 (pid = i0·width + i1
+    must be collision-free)."""
+    pid = (F.col("i0") * width + F.col("i1")).cast("long")
+    px = cells.select(
+        F.col("i0").cast("long").alias("i0"),
+        F.col("i1").cast("long").alias("i1"),
+        pid.alias("pid"),
+        (F.col("i0") / tile).cast("long").alias("t0"),
+        (F.col("i1") / tile).cast("long").alias("t1"),
+    )
+
+    def local_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        i0 = pdf["i0"].to_numpy()
+        i1 = pdf["i1"].to_numpy()
+        pids = pdf["pid"].to_numpy()
+        r = i0 - (i0.min() // tile) * tile
+        c = i1 - (i1.min() // tile) * tile
+        m = np.zeros((tile, tile), dtype=bool)
+        m[r, c] = True
+        lbl, n = ndimage.label(m)
+        loc = lbl[r, c]  # 1..n per input pixel
+        mins = np.full(n + 1, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, loc, pids)
+        return pd.DataFrame({"i0": i0, "i1": i1, "cid": mins[loc]})
+
+    labeled = px.groupBy("t0", "t1").applyInPandas(
+        local_label, schema="i0 long, i1 long, cid long"
+    )
+    # boundary-sized equivalence edges: a set pixel whose cross-tile
+    # neighbor is set joins it on exact coordinates
+    a = labeled.alias("a")
+    b = labeled.alias("b")
+    edges_h = (
+        a.filter((F.col("a.i1") + 1) % tile == 0)
+        .join(
+            b,
+            (F.col("a.i0") == F.col("b.i0"))
+            & (F.col("b.i1") == F.col("a.i1") + 1),
+        )
+        .select(F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"))
+    )
+    edges_v = (
+        a.filter((F.col("a.i0") + 1) % tile == 0)
+        .join(
+            b,
+            (F.col("b.i0") == F.col("a.i0") + 1)
+            & (F.col("a.i1") == F.col("b.i1")),
+        )
+        .select(F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"))
+    )
+    edges = edges_h.union(edges_v).filter(F.col("ca") != F.col("cb"))
+
+    from data_framework_spark.dedup.clusters import connected_components
+
+    cc = connected_components(edges, "ca", "cb").select(
+        F.col("vertex").alias("cid"), F.col("component").alias("root")
+    )
+    # cc is component-sized (not pixel-sized); AQE broadcasts it when
+    # small enough, else it shuffles on cid — both fine
+    rooted = labeled.join(cc, "cid", "left").select(
+        "i0",
+        "i1",
+        F.coalesce(F.col("root"), F.col("cid")).alias("root"),
+    )
+    ranks = (
+        rooted.select("root")
+        .distinct()
+        .withColumn("label", F.row_number().over(W.orderBy("root")))
+    )
+    return rooted.join(ranks, "root").select("i0", "i1", "label")
+
+
+def flood_cells(
+    cells: DataFrame, width: int, seed: tuple[int, int], tile: int = DEFAULT_TILE
+) -> DataFrame:
+    """(i0, i1) rows of the region connected to `seed` — the
+    distributed face of `kernels.ndimage.flood` over an already-
+    equality-masked pixel set (the caller applies `value == value at
+    seed`, exactly how the single-tile queries build their masks)."""
+    lab = label_cells(cells, width, tile)
+    seed_lbl = lab.filter(
+        (F.col("i0") == seed[0]) & (F.col("i1") == seed[1])
+    ).select(F.col("label").alias("seed_label"))
+    return (
+        lab.join(F.broadcast(seed_lbl), F.col("label") == F.col("seed_label"))
+        .select("i0", "i1")
+    )

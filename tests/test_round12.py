@@ -172,6 +172,75 @@ def test_k256_refine_recall_sits_at_coverage_ceiling(spark):
     assert refine["recall"] == pytest.approx(curve[8]["coverage"], abs=1e-9)
 
 
+# --- distributed CCL: label-identical to the single-tile kernel --------------
+
+
+def test_distributed_label_equals_single_tile_kernel(spark):
+    """The tile-stitch CCL (plans/distributed_label.py) must
+    reproduce `kernels.ndimage.label` EXACTLY — partition AND
+    numbering — on grids where both routes run. Two masks on a 96×96
+    grid at tile=32 (9 tiles, every stitch direction exercised):
+    (a) a pseudo-random ~60%-density field near the percolation
+    threshold (components cross many tiles), and (b) a deliberately
+    adversarial snake that walks through all 9 tiles plus isolated
+    single-pixel components in each tile."""
+    import numpy as np
+
+    from data_framework_spark.kernels.ndimage import label as np_label
+    from data_framework_spark.plans.distributed_label import label_cells
+
+    h = w = 96
+    i0g, i1g = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    masks = {}
+    masks["random"] = ((i0g * 7919 + i1g * 104729) % 97) < 58
+    snake = np.zeros((h, w), dtype=bool)
+    snake[0, :] = True
+    for r in range(1, h, 2):
+        snake[r, (w - 1) if (r // 2) % 2 == 0 else 0] = True
+        if r + 1 < h:
+            snake[r + 1, :] = True
+    dots = np.zeros((h, w), dtype=bool)
+    for t0 in range(3):
+        for t1 in range(3):
+            dots[t0 * 32 + 16, t1 * 32 + 16] = True
+    masks["snake"] = snake | dots
+    for name, m in masks.items():
+        expect, n = np_label(m)
+        rows = [
+            (int(a), int(b)) for a, b in zip(*np.nonzero(m))
+        ]
+        cells = spark.createDataFrame(rows, "i0 long, i1 long")
+        got = np.zeros((h, w), dtype=np.int64)
+        for r in label_cells(cells, width=w, tile=32).collect():
+            got[r["i0"], r["i1"]] = r["label"]
+        assert np.array_equal(got, expect), name
+        assert got.max() == n, name
+
+
+def test_distributed_flood_matches_kernel(spark):
+    """flood_cells = the seed's component of label_cells; must equal
+    kernels.ndimage.flood's region on the same mask."""
+    import numpy as np
+
+    from data_framework_spark.kernels.ndimage import flood as np_flood
+    from data_framework_spark.plans.distributed_label import flood_cells
+
+    h = w = 64
+    i0g, i1g = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    vals = ((i0g * 31 + i1g * 17) % 5 == 0).astype(float)
+    seed = (0, 0)
+    assert vals[seed] == 1.0
+    region = np_flood(vals, seed)
+    m = vals == vals[seed]
+    rows = [(int(a), int(b)) for a, b in zip(*np.nonzero(m))]
+    cells = spark.createDataFrame(rows, "i0 long, i1 long")
+    got = {
+        (r["i0"], r["i1"])
+        for r in flood_cells(cells, width=w, seed=seed, tile=16).collect()
+    }
+    assert got == {(int(a), int(b)) for a, b in zip(*np.nonzero(region))}
+
+
 # --- incremental BPE trainer: classic-sequence equality ----------------------
 
 
