@@ -86,8 +86,15 @@ def label_cells(
         np.minimum.at(mins, loc, pids)
         return pd.DataFrame({"i0": i0, "i1": i1, "cid": mins[loc]})
 
-    labeled = px.groupBy("t0", "t1").applyInPandas(
-        local_label, schema="i0 long, i1 long, cid long"
+    # the per-tile labeling feeds THREE plan branches (two boundary
+    # joins + the rooting join); an eager localCheckpoint runs the
+    # applyInPandas once instead of per-branch (the
+    # connected_components pattern — exchange reuse alone would still
+    # re-run the kernel on the reused shuffle output)
+    labeled = (
+        px.groupBy("t0", "t1")
+        .applyInPandas(local_label, schema="i0 long, i1 long, cid long")
+        .localCheckpoint(eager=True)
     )
     # boundary-sized equivalence edges: a set pixel whose cross-tile
     # neighbor is set joins it on exact coordinates
@@ -140,7 +147,9 @@ def flood_cells(
     distributed face of `kernels.ndimage.flood` over an already-
     equality-masked pixel set (the caller applies `value == value at
     seed`, exactly how the single-tile queries build their masks)."""
-    lab = label_cells(cells, width, tile)
+    # the labeled frame is consumed twice (seed lookup + region
+    # filter); checkpoint so the CCL runs once
+    lab = label_cells(cells, width, tile).localCheckpoint(eager=True)
     seed_lbl = lab.filter(
         (F.col("i0") == seed[0]) & (F.col("i1") == seed[1])
     ).select(F.col("label").alias("seed_label"))

@@ -233,21 +233,29 @@ def _load_index_driver_side(spark: SparkSession, path: str):
 
 def _adc_lut(cents: list, books: np.ndarray, queries: list, nprobe: int):
     """Driver-side ADC lookup table over the top-`nprobe` probed cells
-    per query: [(query_id, cell, rank, subspace, code, dlook)] with
-    rank = the cell's 1-based probe position (rounded-cosine order,
-    ties to smallest cid). dlook uses the sequential subspace fold in
-    written order — bitwise the oracle's list_sum."""
+    per query, as a pandas frame (query_id, cell, rank, subspace,
+    code, dlook) with rank = the cell's 1-based probe position
+    (rounded-cosine order, ties to smallest cid). dlook uses the
+    sequential subspace fold in written order — bitwise the oracle's
+    list_sum (the distance arithmetic is byte-for-byte the pre-r12
+    tuple-list version's; only the ASSEMBLY is vectorized — at K=256
+    the table is |Q|·nprobe·M·K = 164k-328k rows, and building it as
+    Python tuples for a row-wise createDataFrame was the new driver
+    hotspot; numpy columns + Arrow keep it milliseconds)."""
     C = np.asarray(cents, dtype=np.float64)
     cos_matrix = _rounded_centroid_cosines(cents)
     cell_ids = np.arange(len(cents))
     q_ids = [int(q[0]) for q in queries]
     Q = np.asarray([q[1] for q in queries], dtype=np.float64)
     cos = cos_matrix(pd.Series(list(Q)))
-    lut = []
+    kk = books.shape[1]  # K' ≤ PQ_K on small corpora
+    meta: list[tuple[int, int, int]] = []
+    dmats: list[np.ndarray] = []
     for qi, qid in enumerate(q_ids):
         probed = np.lexsort((cell_ids, -cos[qi]))[:nprobe]
         for rank, cell in enumerate(probed, start=1):
             qres = Q[qi] - C[cell]
+            dmat = np.empty((PQ_M, kk), dtype=np.float64)
             for s in range(PQ_M):
                 qs = qres[s * _SUB : (s + 1) * _SUB]
                 diff = books[s] - qs[None, :]  # (K, sub)
@@ -255,12 +263,31 @@ def _adc_lut(cents: list, books: np.ndarray, queries: list, nprobe: int):
                 acc = sq[:, 0]
                 for j in range(1, _SUB):  # sequential fold, oracle order
                     acc = acc + sq[:, j]
-                d = _round9(acc)
-                for code in range(len(d)):  # K' ≤ PQ_K on small corpora
-                    lut.append(
-                        (qid, int(cell), rank, s, code, float(d[code]))
-                    )
-    return lut
+                dmat[s] = _round9(acc)
+            meta.append((qid, int(cell), rank))
+            dmats.append(dmat)
+    n_blk = len(meta)
+    per_blk = PQ_M * kk
+    qid_c = np.repeat(np.asarray([m[0] for m in meta], np.int64), per_blk)
+    cell_c = np.repeat(np.asarray([m[1] for m in meta], np.int32), per_blk)
+    rank_c = np.repeat(np.asarray([m[2] for m in meta], np.int32), per_blk)
+    sub_c = np.tile(np.repeat(np.arange(PQ_M, dtype=np.int32), kk), n_blk)
+    code_c = np.tile(np.arange(kk, dtype=np.int32), n_blk * PQ_M)
+    dlook_c = (
+        np.concatenate([d.reshape(-1) for d in dmats])
+        if dmats
+        else np.empty(0, dtype=np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "query_id": qid_c,
+            "cell": cell_c,
+            "rank": rank_c,
+            "subspace": sub_c,
+            "code": code_c,
+            "dlook": dlook_c,
+        }
+    )
 
 
 def ivfpq_topk_from_index(
@@ -276,14 +303,19 @@ def ivfpq_topk_from_index(
     cents, books = _load_index_driver_side(spark, path)
     lut = _adc_lut(cents, books, queries, nprobe)
     lut_df = spark.createDataFrame(
-        [(q, c, s, co, d) for q, c, _rank, s, co, d in lut],
-        "query_id long, cell int, subspace int, code int, dlook double",
+        lut[["query_id", "cell", "subspace", "code", "dlook"]]
+    ).selectExpr(
+        "CAST(query_id AS LONG) AS query_id",
+        "CAST(cell AS INT) AS cell",
+        "CAST(subspace AS INT) AS subspace",
+        "CAST(code AS INT) AS code",
+        "CAST(dlook AS DOUBLE) AS dlook",
     )
     # static partition pruning: the probed cell set is known driver-
     # side, so push it as a literal isin — the cell-partitioned codes
     # read becomes a directory-pruned scan (PartitionFilters), not a
     # full-index scan filtered by the join
-    probed_cells = sorted({row[1] for row in lut})
+    probed_cells = sorted(int(c) for c in lut["cell"].unique())
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probed_cells)
     )
@@ -761,12 +793,15 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_n = max(IVFPQ_NPROBE_SWEEP)
     cents, books = _load_index_driver_side(spark, path)
     lut = _adc_lut(cents, books, queries, max_n)
-    lut_df = spark.createDataFrame(
-        lut,
-        "query_id long, cell int, rank int, subspace int, code int, "
-        "dlook double",
+    lut_df = spark.createDataFrame(lut).selectExpr(
+        "CAST(query_id AS LONG) AS query_id",
+        "CAST(cell AS INT) AS cell",
+        "CAST(rank AS INT) AS rank",
+        "CAST(subspace AS INT) AS subspace",
+        "CAST(code AS INT) AS code",
+        "CAST(dlook AS DOUBLE) AS dlook",
     )
-    probed_cells = sorted({row[1] for row in lut})
+    probed_cells = sorted(int(c) for c in lut["cell"].unique())
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probed_cells)
     )
@@ -809,7 +844,11 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbors' assigned cells come from the persisted code lists.
     # Half-away-from-zero at 4dp (Python round is banker's and would
     # diverge from the oracle's round() — round-9 review).
-    probe_rank = {(q, c): r for q, c, r, s, co, d in lut if s == 0 and co == 0}
+    pr = lut[(lut["subspace"] == 0) & (lut["code"] == 0)]
+    probe_rank = {
+        (int(q), int(c)): int(r)
+        for q, c, r in zip(pr["query_id"], pr["cell"], pr["rank"])
+    }
     nids = sorted({nid for _, nid in exact_rows})
     cell_of = {
         r["vec_id"]: int(r["cell"])
