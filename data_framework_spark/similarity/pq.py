@@ -246,9 +246,14 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    lut = []
+    # vectorized assembly (numpy columns through Arrow — at K=256 the
+    # LUT is |Q|·M·K = 40,960 rows and Python-tuple assembly was
+    # measurable); the distance arithmetic is unchanged
+    kk = books.shape[1]  # K' ≤ PQ_K on small corpora
+    qids, dmats = [], []
     for qr in q_rows:
         qv = np.asarray([float(x) for x in qr["embedding"]], dtype=np.float64)
+        dmat = np.empty((PQ_M, kk), dtype=np.float64)
         for s in range(PQ_M):
             qs = qv[s * _SUB : (s + 1) * _SUB]
             diff = books[s] - qs[None, :]  # (K, sub)
@@ -256,11 +261,29 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = sq[:, 0]
             for j in range(1, _SUB):  # same sequential fold as assign
                 acc = acc + sq[:, j]
-            d = _round9(acc)
-            for code in range(len(d)):  # K' ≤ PQ_K on small corpora
-                lut.append((int(qr["vec_id"]), s, code, float(d[code])))
-    lut_df = spark.createDataFrame(
-        lut, "query_id long, subspace int, code int, dlook double"
+            dmat[s] = _round9(acc)
+        qids.append(int(qr["vec_id"]))
+        dmats.append(dmat)
+    import pandas as _pd
+
+    n_q = len(qids)
+    lut_pdf = _pd.DataFrame(
+        {
+            "query_id": np.repeat(np.asarray(qids, np.int64), PQ_M * kk),
+            "subspace": np.tile(
+                np.repeat(np.arange(PQ_M, dtype=np.int32), kk), n_q
+            ),
+            "code": np.tile(np.arange(kk, dtype=np.int32), n_q * PQ_M),
+            "dlook": np.concatenate([d.reshape(-1) for d in dmats])
+            if dmats
+            else np.empty(0, np.float64),
+        }
+    )
+    lut_df = spark.createDataFrame(lut_pdf).selectExpr(
+        "CAST(query_id AS LONG) AS query_id",
+        "CAST(subspace AS INT) AS subspace",
+        "CAST(code AS INT) AS code",
+        "CAST(dlook AS DOUBLE) AS dlook",
     )
     codes = assign_pq_codes(emb, books).select("vec_id", "subspace", "code")
     # written-order fold over the 8 subspace lookups (NOT F.sum —
