@@ -757,7 +757,10 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the whole sweep is ONE codes-scan job, not one per
     nprobe (measured 6.3 → ~2 s warm at sf0.1 when introduced in r9;
     ~3.4 s under the r10 trained quantizer, whose balanced cells make
-    the nprobe=8 probe genuinely touch more of the corpus). The LUT
+    the nprobe=8 probe genuinely touch more of the corpus; ~4.1 s
+    under the r12 K=256 books — the 16× LUT/code-match fanout is the
+    adoption's priced-in cost, and the LUT assembly is numpy/Arrow
+    so the driver side stays flat). The LUT
     carries each probed cell's RANK; dlook depends only on (query,
     cell), so a joined code row belongs to every swept nprobe ≥ its
     rank — an `explode(filter(SWEEP, n -> n >= rank))` replicates it

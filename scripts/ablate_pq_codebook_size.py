@@ -1,8 +1,10 @@
-"""PQ codebook-size ablation: K=16 (4 bits/subspace, the shipped
-operating point) vs K=256 (8 bits — the standard faiss point), r10
-verdict ask 4. The nprobe curve proved coverage is solved (0.93 at
-nprobe=8) while raw ADC recall sits ~0.33: the hypothesis is that
-16-entry codebooks are the binding constraint on ADC RANKING quality.
+"""PQ codebook-size ablation: K=16 (4 bits/subspace, the operating
+point through round 11) vs K=256 (8 bits — the standard faiss point,
+ADOPTED round 12 on this ablation's evidence), r10 verdict ask 4. The
+nprobe curve proved coverage is solved (0.93 at nprobe=8) while raw
+ADC recall sat ~0.33: the hypothesis — confirmed, then shipped — was
+that 16-entry codebooks were the binding constraint on ADC RANKING
+quality.
 
 Protocol (per corpus): train the production coarse quantizer (16
 cells, 2 fixed-point Lloyd rounds), compute residuals once, then for
