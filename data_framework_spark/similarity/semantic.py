@@ -278,6 +278,12 @@ def _assign_clusters_arrow(emb: DataFrame, cents_rows: list) -> DataFrame:
     )
     assert (np.diff(cids) > 0).all(), "centroids must be cent_id-sorted"
     Cn = np.sqrt((C * C).sum(axis=1))
+    if not (Cn > 0).all():
+        # a zero-norm centroid makes its cosine NaN; np.argmax would
+        # then return ITS index for every vector (NaN propagates as
+        # max) while the pruned route would skip it — degenerate input
+        # both routes refuse identically (r12 review)
+        raise ValueError("zero-norm centroid in semantic-dedup assignment")
 
     @pandas_udf("long")
     def cluster_of(embs: pd.Series) -> pd.Series:
@@ -346,9 +352,14 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
     raws more than 2e-6 apart can never round equal at 1e-6
     granularity), so skipping it is lossless: this route returns the
     SAME cluster for every vector as the flat `_assign_clusters_arrow`
-    GEMM on any corpus, clustered or not (route-parity additionally
-    test-pinned on the shipped corpora + a clustered one + a
-    boundary-stress one, tests/test_round12.py). Ties keep the
+    GEMM on any corpus with nonzero-norm vectors, clustered or not
+    (route-parity additionally test-pinned on the shipped corpora + a
+    clustered one + a boundary-stress one + a two-level corpus where
+    pruning actually skips most cells, tests/test_round12.py;
+    zero-norm CENTROIDS are refused identically by both routes, and a
+    zero-norm VECTOR is outside the contract — the flat route's NaN
+    argmax picks cids[0] for it, an input no real embedding table
+    produces). Ties keep the
     flat-route convention (6dp argmax, ties to smallest cent_id; each
     cell's members are scored in ascending-cid blocks with first-max
     argmax).
@@ -386,6 +397,10 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
     )
     assert (np.diff(cids) > 0).all(), "centroids must be cent_id-sorted"
     Cn = np.sqrt((C * C).sum(axis=1))
+    if not (Cn > 0).all():
+        # same refusal as the flat route (whose NaN argmax would
+        # otherwise diverge from the pruned search on this input)
+        raise ValueError("zero-norm centroid in semantic-dedup assignment")
     idx = _hier_coarse_index(cids, C)
     Mu, members, radius = idx["Mu"], idx["members"], idx["radius"]
     G = len(members)

@@ -130,6 +130,62 @@ def test_assign_clusters_hier_equals_flat_on_tie_corpus(spark):
     assert 1 not in set(flat.values()) and 2 not in set(flat.values())
 
 
+def test_assign_clusters_hier_equals_flat_where_pruning_engages(spark):
+    """Parity in the regime the route EXISTS for: a two-level
+    topic/subtopic corpus (the measure_hier_assign construction) where
+    the coarse bounds genuinely skip most cells (measured
+    evaluated-pair fraction ~0.17 at this shape) — so equality here
+    certifies the PRUNED search path, not a degenerate
+    scan-everything run. Seeded RNG, deterministic."""
+    import numpy as np
+
+    dim, k, n = 64, 16, 512
+    s = 4
+    rng = np.random.default_rng(20260816)
+    supers = rng.standard_normal((s, dim))
+    supers /= np.sqrt((supers * supers).sum(axis=1))[:, None]
+    subs = supers[np.arange(k) % s] + 0.045 * rng.standard_normal((k, dim))
+    subs /= np.sqrt((subs * subs).sum(axis=1))[:, None]
+    X = subs[np.arange(n) % k] + 0.02 * rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents_rows = (
+        emb.filter("vec_id < 16")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    flat, hier = _route_maps(spark, emb, cents_rows)
+    assert flat == hier and len(flat) == n
+    # sanity that the corpus really has the two-level structure the
+    # pruning needs: driver-side replica reports the evaluated share
+    from scripts.measure_hier_assign import pruned_fraction
+
+    C = np.asarray(
+        [[float(v) for v in r["embedding"]] for r in cents_rows]
+    )
+    cids = np.asarray([int(r["vec_id"]) for r in cents_rows])
+    frac = pruned_fraction(C, cids, X)
+    assert frac < 0.6, frac  # most pairs skipped → pruned path exercised
+
+
+def test_zero_norm_centroid_refused_by_both_routes(spark):
+    """A zero-norm centroid would make the flat route's NaN argmax
+    pick IT for every vector while the pruned route skips it — both
+    routes refuse the degenerate input identically instead."""
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_arrow,
+        _assign_clusters_hier,
+    )
+
+    rows = [(i, [float(i + 1)] * 4) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [0.0] * 4), (1, [1.0] * 4)]
+    for route in (_assign_clusters_arrow, _assign_clusters_hier):
+        with pytest.raises(ValueError, match="zero-norm"):
+            route(emb, cents)
+
+
 def test_assign_clusters_empty_centroids_raise(spark):
     """Degenerate input (r11 advisory): an empty centroid list must
     fail with a clear ValueError on BOTH routes, not an AxisError from
