@@ -340,6 +340,161 @@ def test_bpe_incremental_equals_classic_shipped_corpus(spark, sf_dir):
     assert classic == inc
 
 
+# --- property-based parity for the r12 components -----------------------------
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Obviously-correct classic BPE: FULL pair recount per merge,
+    count-desc / lexicographic winner, non-overlapping left-to-right
+    application — the spec both trainers implement."""
+    words = [(list(w), f) for w, f in word_freqs.items()]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        left, right = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((rank, left, right, counts[(left, right)]))
+        new_words = []
+        for syms, f in words:
+            out, j = [], 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_words.append((out, f))
+        words = new_words
+    return merges
+
+
+def test_bpe_incremental_matches_reference_random_corpora(spark):
+    """Incremental-recount trainer vs the full-recount reference over
+    randomized small-alphabet corpora — tiny alphabets maximize ties,
+    overlapping pairs ((a,a) on 'aaa'), and merges that consume
+    earlier merges' symbols, the cases where a stale-index or
+    delta-accounting bug would first show."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_framework_spark.functions.bpe import (
+        _CS,
+        _OS,
+        learn_bpe_merges_incremental,
+    )
+
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(1, 5),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(1, 10),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(word_freqs, n_merges):
+        rows = [
+            (w, "".join(f"{_OS}{c}{_CS}" for c in w), f)
+            for w, f in word_freqs.items()
+        ]
+        words = spark.createDataFrame(
+            rows, "word string, w string, freq long"
+        )
+        got = learn_bpe_merges_incremental(
+            spark.createDataFrame([(1, "")], "doc_id long, text string"),
+            n_merges,
+            words=words,
+        )
+        assert got == _bpe_reference(word_freqs, n_merges), word_freqs
+
+    run()
+
+
+def test_hier_assignment_matches_flat_random_corpora(spark):
+    """Hier-vs-flat route parity over randomized corpora and centroid
+    counts — beyond the four fixed corpora: random geometry lands
+    cosines at arbitrary distances from the 6dp grid and random K
+    exercises coarse-cell counts from 1 to √K>3."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.data())
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(data):
+        n = data.draw(st.integers(12, 60))
+        dim = data.draw(st.sampled_from([4, 8, 16]))
+        k = data.draw(st.integers(1, min(n, 14)))
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((n, dim))
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        cents_rows = (
+            emb.filter(f"vec_id < {k}")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        flat, hier = _route_maps(spark, emb, cents_rows)
+        assert flat == hier and len(flat) == n, (seed, n, dim, k)
+
+    run()
+
+
+def test_distributed_label_matches_kernel_random_masks(spark):
+    """Tile-stitch CCL vs the single-tile kernel over randomized
+    masks — random densities cross the percolation regimes (many tiny
+    components, one near-giant, empty rows/columns at tile borders)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_framework_spark.kernels.ndimage import label as np_label
+    from data_framework_spark.plans.distributed_label import label_cells
+
+    @given(st.integers(0, 2**31 - 1), st.integers(20, 80))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(seed, density_pct):
+        rng = np.random.default_rng(seed)
+        h = w = 48
+        m = rng.random((h, w)) < density_pct / 100.0
+        if not m.any():
+            return
+        expect, n = np_label(m)
+        rows = [(int(a), int(b)) for a, b in zip(*np.nonzero(m))]
+        cells = spark.createDataFrame(rows, "i0 long, i1 long")
+        got = np.zeros((h, w), dtype=np.int64)
+        for r in label_cells(cells, width=w, tile=16).collect():
+            got[r["i0"], r["i1"]] = r["label"]
+        assert np.array_equal(got, expect), seed
+        assert got.max() == n
+
+    run()
+
+
 # --- rotation window arithmetic (r12) ----------------------------------------
 
 
