@@ -64,18 +64,35 @@ def label_cells(
     scan-order numbering). `width` bounds i1 (pid = i0·width + i1
     must be collision-free)."""
     pid = (F.col("i0") * width + F.col("i1")).cast("long")
+    # integer floor division (not float-div + trunc-cast): trunc != floor
+    # for negatives, which would silently mis-tile; the coordinate
+    # contract itself (non-negative, i1 < width, distinct pixels) is
+    # enforced executor-side in local_label (r12 advisory)
     px = cells.select(
         F.col("i0").cast("long").alias("i0"),
         F.col("i1").cast("long").alias("i1"),
         pid.alias("pid"),
-        (F.col("i0") / tile).cast("long").alias("t0"),
-        (F.col("i1") / tile).cast("long").alias("t1"),
+        F.floor(F.col("i0") / tile).cast("long").alias("t0"),
+        F.floor(F.col("i1") / tile).cast("long").alias("t1"),
     )
 
     def local_label(pdf: pd.DataFrame) -> pd.DataFrame:
         i0 = pdf["i0"].to_numpy()
         i1 = pdf["i1"].to_numpy()
         pids = pdf["pid"].to_numpy()
+        if len(i0) and (i0.min() < 0 or i1.min() < 0):
+            raise ValueError(
+                "label_cells requires non-negative (i0, i1) coordinates"
+            )
+        if len(i1) and i1.max() >= width:
+            raise ValueError(
+                f"label_cells: i1={i1.max()} >= width={width}; "
+                "pid = i0*width + i1 would collide"
+            )
+        if len(pids) != len(np.unique(pids)):
+            raise ValueError(
+                "label_cells requires distinct (i0, i1) pixels"
+            )
         r = i0 - (i0.min() // tile) * tile
         c = i1 - (i1.min() // tile) * tile
         m = np.zeros((tile, tile), dtype=bool)
@@ -138,6 +155,104 @@ def label_cells(
         .withColumn("label", F.row_number().over(W.orderBy("root")))
     )
     return rooted.join(ranks, "root").select("i0", "i1", "label")
+
+
+CONTRACT_SIDE = 384  # 3×3 tiles of 128 — the stitch path, cheaply
+CONTRACT_TILE = 128
+
+
+def q_distributed_label_contract(spark, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED contract for the tile-stitch CCL route (r12
+    verdict ask 5 — the 4096² digest run in
+    scripts/measure_distributed_label.py proved the route standalone;
+    this puts a driver row on it every window it rotates through).
+
+    Input: a deterministic procedural 384×384 mask — set where
+    (i0·1103515245 + i1·12345 + i0·i1·7919) mod 97 < 42 — generated
+    distributively from spark.range (no driver-side grid). The
+    bilinear-mod predicate is deliberately STRUCTURED: density 0.439
+    yields one giant component (32,631 px) spanning all nine
+    128×128 tiles plus 12,325 small ones, so the boundary-equivalence
+    stitch and the shared connected-components merge both do real
+    work (a giant component is the worst case for label propagation).
+    Runs `label_cells` with tile=128 < side=384 — the plan provably
+    takes the distributed path (9 applyInPandas tile groups + two
+    boundary joins), never a single-tile kernel call.
+
+    Output: SQL-expressible invariants as (metric, value) rows — set
+    pixel count, component count, largest/scan-order-first component
+    sizes, sum of labels, and a modular label·pid checksum — stated
+    by the DuckDB oracle as pinned literals (the
+    find_structures_contract pattern; regenerate by printing this
+    query's rows after an INTENDED semantics change). The same grid
+    is digest-verified against the single-tile numpy kernel in
+    tests/test_round13.py. Ignores sf_dir (synthetic input by
+    design)."""
+    side, tile = CONTRACT_SIDE, CONTRACT_TILE
+    base = spark.range(side * side).select(
+        (F.col("id") / side).cast("long").alias("i0"),
+        F.pmod(F.col("id"), side).cast("long").alias("i1"),
+    )
+    cells = base.filter(
+        F.pmod(
+            F.col("i0") * F.lit(1103515245)
+            + F.col("i1") * F.lit(12345)
+            + F.col("i0") * F.col("i1") * F.lit(7919),
+            F.lit(97),
+        )
+        < 42
+    )
+    labeled = label_cells(cells, width=side, tile=tile).localCheckpoint(
+        eager=True  # feeds the pixel-level and component-level aggs
+    )
+    pix = labeled.agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.sum("label").alias("sum_labels"),
+        F.sum(
+            F.pmod(
+                F.col("label") * (F.col("i0") * side + F.col("i1")),
+                F.lit(1000003),
+            )
+        ).alias("checksum_mod"),
+    ).collect()[0]
+    sizes = labeled.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    comp = sizes.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("sz").alias("largest_size"),
+    ).collect()[0]
+    first3 = {
+        r["label"]: r["sz"]
+        for r in sizes.filter(F.col("label") <= 3).collect()
+    }
+    rows = [
+        ("n_pixels", float(pix["n_pixels"])),
+        ("n_components", float(comp["n_components"])),
+        ("largest_size", float(comp["largest_size"])),
+        ("label1_size", float(first3.get(1, 0))),
+        ("label2_size", float(first3.get(2, 0))),
+        ("label3_size", float(first3.get(3, 0))),
+        ("sum_labels", float(pix["sum_labels"])),
+        ("checksum_mod", float(pix["checksum_mod"])),
+    ]
+    return spark.createDataFrame(rows, schema="metric string, value double")
+
+
+# Literal expected values, pinned from the golden 768² run and
+# cross-checked against the single-tile numpy kernel on the dense
+# mask (tests/test_round13.py). Every value is an exact integer far
+# inside double precision (max ~3e10 < 2^53).
+Q_DISTRIBUTED_LABEL_CONTRACT_SQL = """
+SELECT * FROM (VALUES
+  ('n_pixels',        64728.0::DOUBLE),
+  ('n_components',    12326.0::DOUBLE),
+  ('largest_size',    32631.0::DOUBLE),
+  ('label1_size',         2.0::DOUBLE),
+  ('label2_size',        18.0::DOUBLE),
+  ('label3_size',         1.0::DOUBLE),
+  ('sum_labels',  199439958.0::DOUBLE),
+  ('checksum_mod', 29977730886.0::DOUBLE)
+) AS t(metric, value)
+"""
 
 
 def flood_cells(

@@ -56,6 +56,7 @@ from data_framework_spark.operators import (
     slicing,
     windows,
 )
+from data_framework_spark.plans import distributed_label as distlabel_plan
 from data_framework_spark.plans import structures as structures_plan
 from data_framework_spark.sources import array_ingest
 from data_framework_spark.sources import formats as formats_mod
@@ -182,6 +183,14 @@ QUERIES: dict[str, Query] = {
         raster_queries.q_flood_region_grid,
         raster_queries.Q_FLOOD_REGION_GRID_SQL,
         "flood fill from seed over equal values (vpicdataset.py:470-471)",
+    ),
+    "distributed_label_contract": Query(
+        distlabel_plan.q_distributed_label_contract,
+        distlabel_plan.Q_DISTRIBUTED_LABEL_CONTRACT_SQL,
+        "tile-stitch distributed CCL on a 9-tile procedural grid: "
+        "component census + label-pid checksum vs pinned literals "
+        "(r12 verdict ask 5 — the route q_flood_label_grid's "
+        "single-tile grids never exercise)",
     ),
     "contours_grid": Query(
         raster_queries.q_contours_grid,

@@ -224,7 +224,23 @@ def _load_index_driver_side(spark: SparkSession, path: str):
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
     book_rows = spark.read.parquet(f"{path}/pq_books").collect()
+    if not book_rows:
+        raise ValueError(
+            f"{path}/pq_books is empty — index missing or partially "
+            "written; rebuild with build_ivfpq_index"
+        )
     kk = max(r["code"] for r in book_rows) + 1  # K' ≤ PQ_K
+    # validate the (subspace, code) grid is dense: a partially written
+    # index must fail loudly, not silently shrink the codebook (r12
+    # advisory)
+    got = {(r["subspace"], r["code"]) for r in book_rows}
+    want = {(s, k) for s in range(PQ_M) for k in range(kk)}
+    if got != want:
+        raise ValueError(
+            f"{path}/pq_books is incomplete: expected a dense "
+            f"{PQ_M}x{kk} (subspace, code) grid, missing "
+            f"{len(want - got)} slots — rebuild with build_ivfpq_index"
+        )
     books = np.zeros((PQ_M, kk, _SUB), dtype=np.float64)
     for r in book_rows:
         books[r["subspace"], r["code"]] = [float(x) for x in r["vec"]]

@@ -62,6 +62,29 @@ K_CLUSTERS = 32
 DUP_COS = 0.40
 
 
+def _pair_cosines(
+    X: np.ndarray, nx: np.ndarray, C: np.ndarray, Cn: np.ndarray
+) -> np.ndarray:
+    """SHAPE-INDEPENDENT per-pair cosines: einsum('id,jd->ij') reduces
+    the dim axis per (vector, centroid) pair in a fixed order that
+    does not depend on the batch size or the centroid subset handed in
+    (property-pinned in tests/test_round13.py), so every assignment
+    route — flat GEMM, hierarchical pruned, sharded — produces the
+    IDENTICAL float for any evaluated pair. A BLAS GEMM's blocked
+    summation is shape-dependent: a subset product X[rows] @ C[mem].T
+    can differ from the full product by ~1 ulp, enough to round a
+    cosine sitting on a 1e-6 half-way point differently between
+    routes (r12 advisory — this helper replaces the per-route
+    matmuls and retires that residual)."""
+    return np.einsum("id,jd->ij", X, C) / (nx[:, None] * Cn[None, :])
+
+
+def _round6(cos: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero 6dp rounding (SQL round() semantics), the
+    one rounding every assignment route shares."""
+    return np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+
+
 def _seed_centroids(emb: DataFrame) -> DataFrame:
     """(cent_id, cent): the deterministic smallest-vec_id stand-in."""
     return emb.filter(F.col("vec_id") < K_CLUSTERS).select(
@@ -291,8 +314,7 @@ def _assign_clusters_arrow(emb: DataFrame, cents_rows: list) -> DataFrame:
             return pd.Series([], dtype="int64")
         X = np.stack(embs.to_numpy()).astype(np.float64)
         n = np.sqrt((X * X).sum(axis=1))
-        cos = (X @ C.T) / (n[:, None] * Cn[None, :])
-        r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        r6 = _round6(_pair_cosines(X, n, C, Cn))
         return pd.Series(cids[r6.argmax(axis=1)])
 
     return emb.withColumn("cluster", cluster_of(F.col("embedding")))
@@ -364,12 +386,15 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
     cell's members are scored in ascending-cid blocks with first-max
     argmax).
 
-    Member cosines are computed with the flat route's exact
-    expression — (X @ C_sub.T) / (n · ‖c‖), raw C, not pre-normalized
-    — so an evaluated (vector, centroid) pair yields the identical
-    float the flat GEMM yields for it; only the bound arithmetic uses
-    unit vectors, and the bound carries fp slack (radius +1e-7,
-    margin 2e-6).
+    Member cosines are computed with the SHARED shape-independent
+    per-pair reduction (`_pair_cosines`: einsum over float64 in fixed
+    dim order, raw C, not pre-normalized) — so an evaluated (vector,
+    centroid) pair yields BITWISE the float every other route yields
+    for it, regardless of batch shape or member subset (since r13;
+    the pre-r13 BLAS subset-GEMMs could differ from the flat product
+    by ~1 ulp at a 6dp half-way point — the r12 advisory this
+    retires). Only the bound arithmetic uses unit vectors, and the
+    bound carries fp slack (radius +1e-7, margin 2e-6).
 
     Cost shape: one N×G coarse GEMM (G = √K) + per-cell member GEMMs
     for only the cells that survive pruning. On clustered embeddings
@@ -380,9 +405,11 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
     GEMM's work plus the coarse pass, which is the honest worst case
     (measured in SURVEY §8, the OPQ-ablation precedent). The K-row
     centroid collect still bounds the driver at K = N/64; past that,
-    the same cell structure shards the centroid frame per coarse cell
-    (bounded per-cell broadcasts) — documented escape, unchanged
-    semantics."""
+    `_assign_clusters_sharded` (below) runs the SAME bound-pruned
+    exact search with the centroid frame sharded per coarse cell —
+    no K-row collect or broadcast anywhere, √K-bounded driver state,
+    bitwise result parity — built and measured in r13
+    (scripts/measure_sharded_assign.py, SURVEY §8)."""
     from pyspark.sql.functions import pandas_udf
 
     if not cents_rows:
@@ -422,10 +449,8 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
 
         def eval_cell(rows: np.ndarray, g: int) -> None:
             mem = members[g]
-            raw = (X[rows] @ C[mem].T) / (
-                nx[rows, None] * Cn[mem][None, :]
-            )
-            r6 = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            raw = _pair_cosines(X[rows], nx[rows], C[mem], Cn[mem])
+            r6 = _round6(raw)
             j = r6.argmax(axis=1)  # first max → smallest cid in cell
             c6 = r6[np.arange(len(rows)), j]
             cc = cids[mem][j]
@@ -452,6 +477,255 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
         return pd.Series(best_cid)
 
     return emb.withColumn("cluster", cluster_of(F.col("embedding")))
+
+
+def _assign_clusters_sharded(
+    emb: DataFrame, cents: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """(vec_id, embedding, cluster) with the centroid frame SHARDED
+    per coarse cell — the escape past `_assign_clusters_hier`'s K-row
+    driver collect (r12 verdict ask 2, demonstrated + measured in
+    scripts/measure_sharded_assign.py / SURVEY §8). `cents` is a
+    DataFrame (cent_id, cent): it is never collected or broadcast
+    whole; the only driver-side artifacts are G = ceil(√K) coarse
+    centers and their radii — bounded at √K rows no matter how large
+    K grows, so K = 10⁸ centroids (N ~ 10¹⁰ docs at the N/64 policy)
+    costs the driver a 10⁴-row collect instead of a 10⁸-row one.
+
+    Same exactness contract as the hier route, distributed:
+
+    - coarse structure: G seed centers (smallest cent_ids, bounded
+      collect) refined by `rounds` spherical-Lloyd passes OVER THE
+      CENTROID FRAME (per-round: one K-row job + a G·dim-row mean
+      collect); each centroid's cell and its angle to the cell center
+      come back as columns, radii via groupBy(cell).max — coarse
+      structure affects only pruning, never the result, so this
+      distributed Lloyd needs no cross-engine determinism;
+    - phase A: every vector evaluates its top-upper-bound cell's
+      members via a cell-cogrouped applyInPandas (vectors shuffled on
+      their probe cell, centroid shard shuffled on its cell — no
+      broadcast), yielding a per-vector lower bound best_raw;
+    - phase B: cells whose spherical-triangle-inequality upper bound
+      reaches best_raw − 2e-6 (the hier route's lossless margin;
+      phase B prunes one-shot against the phase-A bound instead of
+      progressively, evaluating a superset of the hier route's pairs
+      — more work, same argmax) are exploded into (vec_id, cell)
+      candidates and scored through the same cogroup;
+    - combine: max by (6dp cosine desc, cent_id asc) across every
+      evaluated cell — the shared tie convention.
+
+    Every evaluated pair's cosine comes from `_pair_cosines` (shape-
+    independent einsum), so this route returns BITWISE the cluster of
+    the flat and hier routes on any corpus with nonzero-norm vectors
+    (parity pinned in tests/test_round13.py on the shipped, clustered,
+    two-level, and tie corpora, plus hypothesis sweeps).
+
+    Cost shape: coarse pass O(N·G) + evaluated-member cogroups; on
+    clustered corpora most vectors ship to ~1 cell. The honest worst
+    case (isotropic corpus, bounds loose) explodes ~G candidate cells
+    per vector — N·√K (vec_id, embedding) rows shuffled — which is
+    why the broadcastable-K regimes should stay on the hier route;
+    this route exists for K past driver/broadcast scale, where there
+    is no flat alternative (measured both regimes, SURVEY §8)."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = cents.count()
+    if k == 0:
+        raise ValueError(
+            "semantic-dedup assignment needs at least one centroid row "
+            "(empty centroid frame: the embeddings table has no vec_id "
+            "below the derived K — empty or id-sparse corpus)"
+        )
+    G = max(1, int(np.ceil(np.sqrt(k))))
+    seed_rows = cents.orderBy("cent_id").limit(G).collect()
+    M = np.asarray(
+        [[float(x) for x in r["cent"]] for r in seed_rows], dtype=np.float64
+    )
+    Mn = np.sqrt((M * M).sum(axis=1))
+    if not (Mn > 0).all():
+        raise ValueError("zero-norm centroid in semantic-dedup assignment")
+    M = M / Mn[:, None]
+    dim = M.shape[1]
+
+    def _cell_and_angle(Mu: np.ndarray):
+        """Per-batch centroid → (cell, angle-to-center, unit vec)."""
+
+        @pandas_udf("struct<cell: int, ang: double>")
+        def f(cent: pd.Series) -> pd.DataFrame:
+            if len(cent) == 0:
+                return pd.DataFrame({"cell": [], "ang": []}).astype(
+                    {"cell": "int32", "ang": "float64"}
+                )
+            C = np.stack(cent.to_numpy()).astype(np.float64)
+            Cn = np.sqrt((C * C).sum(axis=1))
+            if not (Cn > 0).all():
+                # the flat/hier routes refuse this input identically
+                raise ValueError(
+                    "zero-norm centroid in semantic-dedup assignment"
+                )
+            Cu = C / Cn[:, None]
+            sim = np.clip(Cu @ Mu.T, -1.0, 1.0)
+            a = sim.argmax(axis=1)
+            ang = np.arccos(sim[np.arange(len(a)), a])
+            return pd.DataFrame(
+                {"cell": a.astype("int32"), "ang": ang.astype("float64")}
+            )
+
+        return f
+
+    # distributed spherical Lloyd over the centroid FRAME: per round,
+    # one K-row assignment job + a bounded G·dim mean collect
+    cents = cents.persist()
+    try:
+        for _ in range(rounds):
+            assigned = cents.withColumn(
+                "ca", _cell_and_angle(M)(F.col("cent"))
+            )
+            mean_rows = (
+                assigned.select(
+                    F.col("ca.cell").alias("cell"),
+                    F.posexplode("cent").alias("pos", "x"),
+                )
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            newM = M.copy()
+            acc = np.zeros((G, dim))
+            seen = np.zeros(G, dtype=bool)
+            for r in mean_rows:
+                acc[r["cell"], r["pos"]] = float(r["m"])
+                seen[r["cell"]] = True
+            nrm = np.sqrt((acc * acc).sum(axis=1))
+            ok = seen & (nrm > 0)
+            newM[ok] = acc[ok] / nrm[ok, None]
+            M = newM
+
+        cmem = (
+            cents.withColumn("ca", _cell_and_angle(M)(F.col("cent")))
+            .select(
+                "cent_id", "cent", F.col("ca.cell").alias("cell"),
+                F.col("ca.ang").alias("ang"),
+            )
+            .localCheckpoint(eager=True)  # feeds radii + two cogroups
+        )
+    finally:
+        cents.unpersist()
+    rad_rows = cmem.groupBy("cell").agg(F.max("ang").alias("r")).collect()
+    radius = np.zeros(G)
+    nonempty = np.zeros(G, dtype=bool)
+    for r in rad_rows:
+        radius[r["cell"]] = float(r["r"]) + 1e-7
+        nonempty[r["cell"]] = True
+    Mu, rad, live = M, radius, nonempty  # closure names
+
+    @pandas_udf("int")
+    def probe0(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        nx = np.sqrt((X * X).sum(axis=1))
+        Xu = X / nx[:, None]
+        theta = np.arccos(np.clip(Xu @ Mu.T, -1.0, 1.0))
+        ub = np.cos(np.maximum(theta - rad[None, :], 0.0))
+        ub[:, ~live] = -np.inf
+        return pd.Series(ub.argmax(axis=1).astype("int32"))
+
+    def score_group(vecs: pd.DataFrame, mems: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "vec_id": pd.Series([], dtype="int64"),
+            "cell": pd.Series([], dtype="int32"),
+            "best6": pd.Series([], dtype="float64"),
+            "best_cid": pd.Series([], dtype="int64"),
+            "best_raw": pd.Series([], dtype="float64"),
+        }
+        if vecs.empty or mems.empty:
+            return pd.DataFrame(out)
+        order = np.argsort(mems["cent_id"].to_numpy(), kind="stable")
+        cids_g = mems["cent_id"].to_numpy()[order]
+        Cg = np.stack(mems["cent"].to_numpy())[order].astype(np.float64)
+        Cgn = np.sqrt((Cg * Cg).sum(axis=1))
+        X = np.stack(vecs["embedding"].to_numpy()).astype(np.float64)
+        nx = np.sqrt((X * X).sum(axis=1))
+        raw = _pair_cosines(X, nx, Cg, Cgn)
+        r6 = _round6(raw)
+        j = r6.argmax(axis=1)  # first max → smallest cid (sorted)
+        rows = np.arange(len(j))
+        return pd.DataFrame(
+            {
+                "vec_id": vecs["vec_id"].to_numpy(),
+                "cell": vecs["cell"].to_numpy().astype("int32"),
+                "best6": r6[rows, j],
+                "best_cid": cids_g[j],
+                "best_raw": raw.max(axis=1),
+            }
+        )
+
+    score_schema = (
+        "vec_id long, cell int, best6 double, best_cid long, "
+        "best_raw double"
+    )
+    shard = cmem.select("cell", "cent_id", "cent")
+    vecs_a = emb.withColumn("cell", probe0(F.col("embedding")))
+    phase_a = (
+        vecs_a.groupBy("cell")
+        .cogroup(shard.groupBy("cell"))
+        .applyInPandas(lambda l, r: score_group(l, r), score_schema)
+        .localCheckpoint(eager=True)  # feeds phase-B bound + combine
+    )
+
+    @pandas_udf("array<int>")
+    def candidate_cells(embs: pd.Series, braw: pd.Series, g0: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        nx = np.sqrt((X * X).sum(axis=1))
+        Xu = X / nx[:, None]
+        theta = np.arccos(np.clip(Xu @ Mu.T, -1.0, 1.0))
+        ub = np.cos(np.maximum(theta - rad[None, :], 0.0))
+        ub[:, ~live] = -np.inf
+        keep = ub >= (braw.to_numpy()[:, None] - 2e-6)
+        keep[np.arange(len(X)), g0.to_numpy()] = False  # already scored
+        return pd.Series(
+            [np.where(k)[0].astype("int32").tolist() for k in keep]
+        )
+
+    cand_b = (
+        emb.join(
+            phase_a.select(
+                "vec_id", F.col("cell").alias("g0"), "best_raw"
+            ),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                candidate_cells(
+                    F.col("embedding"), F.col("best_raw"), F.col("g0")
+                )
+            ).alias("cell"),
+        )
+    )
+    phase_b = (
+        cand_b.groupBy("cell")
+        .cogroup(shard.groupBy("cell"))
+        .applyInPandas(lambda l, r: score_group(l, r), score_schema)
+    )
+    best = (
+        phase_a.select("vec_id", "best6", "best_cid")
+        .union(phase_b.select("vec_id", "best6", "best_cid"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("best6"), (-F.col("best_cid")).alias("neg")
+                )
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.neg")).alias("cluster"))
+    )
+    return emb.join(best, "vec_id").select("vec_id", "embedding", "cluster")
 
 
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

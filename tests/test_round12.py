@@ -39,14 +39,12 @@ def test_assign_clusters_hier_equals_flat_on_shipped_corpus(spark):
     corpus, where every bound is loose and pruning degenerates (the
     honest worst case), with both a contiguous and a sparse cid set.
 
-    Residual boundary condition (r11 advisory, stated explicitly):
-    both routes compute member cosines with the same expression
-    (X@C.T)/(n·‖c‖), but subset-vs-full BLAS GEMMs may differ by ~1
-    ulp; a cosine landing within 1 ulp of a 1e-6 half-way point could
-    in principle round apart. The 2e-6 pruning margin does NOT cover
-    that (it is a different failure mode: evaluated-pair fp identity,
-    the same residual the GEMM-vs-HOF pin carries) — hence the
-    empirical pins here across four corpora and two cid layouts."""
+    Residual boundary condition RETIRED in r13: both routes now
+    compute member cosines through the shared `_pair_cosines` einsum
+    reduction, which is shape-independent (subset == full slice,
+    property-pinned in test_round13.py), so evaluated-pair fp
+    identity holds by construction — the empirical pins across four
+    corpora and two cid layouts remain as regression coverage."""
     from pyspark.sql import functions as F
 
     from data_framework_spark.sources.tables import load_table
