@@ -349,21 +349,37 @@ def learn_bpe_merges_incremental(
 
     Measured (scripts/measure_bpe_incremental.py, 10× corpus): see
     SURVEY §8 — ≥256 merges at ~10³ merges/s after the one corpus
-    aggregate, vs the classic trainer's 0.25 s/merge job floor."""
+    aggregate, vs the classic trainer's 0.25 s/merge job floor.
+
+    Production-vocabulary bound (r13, scripts/measure_bpe_32k.py):
+    32,768 merges — the production target named in the classic
+    trainer's docstring — on a 120k-distinct-word / 1.2M-symbol
+    synthetic Zipf table complete in ~68 s total (~34 s of that is
+    the one-time pair-index build + first 1k merges; the steady-state
+    bracket rate is ~700-1,100 merges/s), with the pair index + the
+    lazy winner heap peaking at ~0.65 GB RSS growth — comfortably
+    driver-resident. The winner heap (lazy max-heap, r13) is what
+    makes this reachable: the previous per-merge linear scan over
+    pair_cnt was O(|pairs|)/merge and would plateau around ~1-4k
+    merges on a table this wide."""
     if words is None:
         words = _wrapped_words(docs)
     rows = words.select("w", "freq").collect()
     syms_freq: list[tuple[list[str], int]] = [
         (r["w"][1:-1].split(f"{_CS}{_OS}"), int(r["freq"])) for r in rows
     ]
+    import heapq
+
     pair_cnt: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    changed: set[tuple[str, str]] = set()
 
     def add_word(i: int, sign: int) -> None:
         syms, freq = syms_freq[i]
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
             c = pair_cnt.get(p, 0) + sign * freq
+            changed.add(p)
             if c:
                 pair_cnt[p] = c
             else:
@@ -373,14 +389,30 @@ def learn_bpe_merges_incremental(
 
     for i in range(len(syms_freq)):
         add_word(i, +1)
+    # winner selection via a LAZY max-heap (r13; the pre-r13 linear
+    # min() scan over pair_cnt made each merge O(|pairs|) — fine to
+    # ~1k merges, the binding term by 32k: a production vocabulary
+    # accumulates 10⁵-10⁶ live pairs, so 32k scans is 10¹⁰ ops).
+    # Entry = (-count, left, right): heapq's min order IS the classic
+    # (count desc, left asc, right asc) winner order, so the selected
+    # sequence is UNCHANGED, ties included (the r12 equality pins and
+    # hypothesis sweep re-run green over the heap). Stale entries
+    # (count since changed) are detected by comparing against
+    # pair_cnt at pop time; every count change pushes a fresh entry,
+    # so each pair's current count is always represented.
+    heap: list[tuple[int, str, str]] = [
+        (-c, p[0], p[1]) for p, c in pair_cnt.items()
+    ]
+    heapq.heapify(heap)
+    changed.clear()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        if not pair_cnt:
+        while heap and pair_cnt.get((heap[0][1], heap[0][2])) != -heap[0][0]:
+            heapq.heappop(heap)  # stale: count changed since pushed
+        if not heap:
             break
-        # winner: count desc, then (left, right) asc — the classic
-        # trainer's orderBy, driver-side
-        left, right = min(pair_cnt, key=lambda p: (-pair_cnt[p], p))
-        cnt = pair_cnt[(left, right)]
+        negc, left, right = heapq.heappop(heap)
+        cnt = -negc
         merges.append((rank, left, right, cnt))
         merged = left + right
         affected = pair_words.pop((left, right), set())
@@ -402,6 +434,15 @@ def learn_bpe_merges_incremental(
                     j += 1
             syms_freq[i] = (out, freq)
             add_word(i, +1)
+        # re-arm the heap with every pair whose count this merge
+        # changed (created, bumped, or decremented) — without this a
+        # pair CREATED by the merge (e.g. ('p','ar') after ('a','r'))
+        # would never be a winner candidate
+        for p in changed:
+            c = pair_cnt.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+        changed.clear()
         # retractions leave stale word ids in pair_words; they are
         # harmless (re-merging scans a few extra words) and pruning
         # them here would cost more than they save

@@ -1023,96 +1023,102 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-12 rotation, executed exactly as round 11's comment bound it
-# (and as the r11 verdict's #1 ask re-affirmed): (a) the 11-query
-# last-green-r8 TAIL leads — at r12 those rows are 4 rounds old, one
-# past the budget, and may not be deferred again; then (b) the
-# queries round 12 ITSELF touched: semantic_dedup_scaled (assignment
-# switched to the hierarchical coarse-over-centroids route — engine
-# detail, route-parity test-pinned, but TOUCH policy hoists it) and
-# the 8 PQ/IVFPQ-family queries (the measured K=256 codebook adoption,
-# r11 verdict #2 — PQ_K 16->256 re-derives the training in kernels
-# AND oracles, so every one of those hashes changes), all in registry
-# order; then (c) the first 30 of the 47-query last-green-r9 block in
-# registry order. 11+9+30 = exactly 50. The 17-query r9 remainder
-# (stratified_split, unigram_logprob, zipf_fit, semantic_dedup,
-# domain_mix, ks_drift, cluster_purity, cdc_chunks, snapshot_diff,
-# k_anonymity, streaming_heavy_hitters, pagerank_neardup,
-# multimodal_embed_topk, text_normalize, incremental_agg_refresh,
-# funnel_stages, bpe_detok_roundtrip) is named debt that must LEAD
-# round 13's window — at r13 those rows are 4 rounds old, one past
-# budget; after them ~33 slots remain for r13-touched rows and the
-# oldest of the r10/r11/r12 blocks. The 159-query registry cycles in
-# ~3.2 windows, so a <=4-round worst case stays structural until the
-# window grows or the registry shrinks.
+# Round-13 rotation, executed exactly as round 12's comment (and the
+# r12 verdict's #1 ask) bound it: (a) the 17-query last-green-r9 TAIL
+# leads — at r13 those rows are 4 rounds old, one past budget, and
+# may not be deferred again; then (b) the queries round 13 ITSELF
+# touched, in registry order: distributed_label_contract (NEW — the
+# tile-stitch CCL census contract, r12 verdict ask 5),
+# semantic_dedup_scaled (assignment arithmetic moved to the shared
+# shape-independent einsum reduction — engine detail, parity
+# test-pinned, TOUCH policy hoists it), and the 5 ivfpq-family
+# queries whose hashes the measured ncells 16->32 / refine-nprobe
+# 8->16 adoption changes (r12 verdict ask 3; the pq_* queries are
+# raw-vector PQ and do not depend on ncells — verified unchanged),
+# plus pq_adc_topk, whose HASH is unchanged but whose ADC join moved
+# to the r13 array-form LUT (TOUCH policy: kernel change outranks
+# merely-old rows, the semantic_dedup_scaled r12 precedent); then
+# (c) the first 25 of the 43-query last-green-r10 block in registry
+# order. 17+8+25 = exactly 50. The 18-query r10 remainder
+# (json_props_events, tpch_q1, tpch_q3, tpch_q5, tpch_q6,
+# top_k_orders, group_rollup, tpch_q4_semijoin, skew_salted_agg,
+# minhash_near_dup_pairs, dedup_clusters, tiled_gaussian_grid,
+# halo_smooth_multi_t, bpe_tokenize, rolling_zscore,
+# bm25_postings_topk, bm25_adhoc_topk, bpe_heldout_coverage) is
+# named debt that must LEAD round 14's window — at r14 those rows
+# are 4 rounds old, one past budget; after
+# it ~32 slots remain for r14-touched rows and the oldest of the
+# r11 block. The 160-query registry cycles in ~3.2 windows, so a
+# <=4-round worst case stays structural until the window grows or
+# the registry shrinks.
 #
-# Retire-or-keep (r11 verdict ask 7, decided): KEEP the registry at
-# 159. The named near-duplicate hedge pairs (bounds_lineitem /
-# bounds_events, label_extrema_lineitem / label_extrema_events) pin
-# DIFFERENT physical types through the same operator — events carries
-# parquet TIMESTAMP(NANOS) + the ns->us load conversion and doubles,
-# lineitem carries DECIMAL->double casts and dates — and each member
-# has independently caught an engine divergence in its own dtype
-# family (the ts-nanos load convention and the decimal cast rounding
-# are both recorded oracle-parity traps). Retiring the 2-3 candidates
-# shortens the cycle by <0.1 windows; the trade is bad. Discipline is
-# enforced on the other side instead: round 12 adds ZERO net queries
-# (the first flat round), so the cycle does not lengthen.
+# Retire-or-keep (r12 verdict ask 7, decided): the registry grows
+# 159 -> 160 this round — the ONE addition is
+# distributed_label_contract, mandated by the r12 verdict's ask 5 (a
+# driver row for the tile-stitch CCL route, which no existing grid
+# query exercises: the shipped grids are rightly single-tile). +1 is
+# inside the <=3-4/round budget and lengthens the cycle by <0.1
+# windows; no retirement pairs with it because the near-duplicate
+# hedge pairs were re-adjudicated KEEP in r12 (different physical
+# dtype families, each with an independent catch record) and nothing
+# else is redundant.
 _VERIFY_FIRST: list[str] = [
-    # -- (a) the last-green-r8 tail, one past budget, registry order --
-    "dedup_exact",
-    "dedup_minhash",
-    "ann_hamming_rerank",
-    "weighted_sample",
-    "pii_scrub",
-    "compaction_roundtrip",
-    "dedup_incremental",
-    "ivf_recall_contract",
-    "bm25_topk",
-    "dup_span_extract",
-    "sq8_quantize",
-    # -- (b) round-12 touched, registry order: the hierarchical
-    # -- assignment switch + the K=256 PQ codebook adoption --
+    # -- (a) the last-green-r9 tail, one past budget, registry order --
+    "stratified_split",
+    "unigram_logprob",
+    "zipf_fit",
+    "semantic_dedup",
+    "domain_mix",
+    "ks_drift",
+    "cluster_purity",
+    "cdc_chunks",
+    "snapshot_diff",
+    "k_anonymity",
+    "streaming_heavy_hitters",
+    "pagerank_neardup",
+    "multimodal_embed_topk",
+    "text_normalize",
+    "incremental_agg_refresh",
+    "funnel_stages",
+    "bpe_detok_roundtrip",
+    # -- (b) round-13 touched, registry order: the new distributed-CCL
+    # -- contract, the einsum assignment switch, the ncells=32 adoption,
+    # -- and the array-LUT ADC plan change (pq_adc_topk hash-unchanged
+    # -- but kernel-touched; TOUCH policy hoists it) --
+    "distributed_label_contract",
     "semantic_dedup_scaled",
-    "pq_codes",
     "pq_adc_topk",
     "ivfpq_persist_topk",
     "ivfpq_recall_contract",
     "ivfpq_refine_topk",
     "ivfpq_refine_recall",
     "ivfpq_nprobe_curve",
-    "pq_train_gain",
-    # -- (c) first 30 of the last-green-r9 block, registry order --
-    "timeslice_events",
-    "zoom_lineitem",
-    "select_vars_substring",
-    "array_ingest_roundtrip",
-    "dataset_api_events",
-    "bounds_events",
-    "sigma_threshold_lineitem",
-    "label_extrema_events",
-    "lang_id",
-    "dedup_simhash",
-    "simhash_near_dups",
-    "ngram_jaccard_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "cosine_topk",
-    "partitioned_prune_roundtrip",
-    "quality_filter",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "shard_assign",
-    "contamination_check",
-    "bigram_topk",
-    "label_centroids",
-    "find_structures_contract",
-    "curation_funnel",
-    "curation_funnel_mat",
-    "find_structures_multi8",
-    "heavy_hitters",
-    "chunk_documents",
-    "chunk_dedup",
+    # -- (c) first 25 of the last-green-r10 block, registry order --
+    "bounds_lineitem",
+    "label_extrema_lineitem",
+    "gaussian_smooth_grid",
+    "extrema_filter_grid",
+    "gap_fill_grid",
+    "dilate_grid",
+    "flood_label_grid",
+    "flood_region_grid",
+    "contours_grid",
+    "running_sum_events",
+    "gradient_events",
+    "fluxfn_grid",
+    "interp_events",
+    "line_slice_linear",
+    "line_slice_nearest",
+    "multimodal_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "stateful_user_totals_live",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "format_roundtrip",
 ]
 
 QUERIES = {

@@ -246,9 +246,12 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    # vectorized assembly (numpy columns through Arrow — at K=256 the
-    # LUT is |Q|·M·K = 40,960 rows and Python-tuple assembly was
-    # measurable); the distance arithmetic is unchanged
+    # vectorized assembly (numpy columns through Arrow), array form
+    # since r13: one row per (query, subspace) carrying the K'-length
+    # per-code distance array — |Q|·M = 160 rows broadcast instead of
+    # |Q|·M·K = 40,960 (the ivfpq._adc_lut change applied here); the
+    # consumer joins on subspace and element_at-indexes by code, the
+    # same float at the same code — distance arithmetic unchanged
     kk = books.shape[1]  # K' ≤ PQ_K on small corpora
     qids, dmats = [], []
     for qr in q_rows:
@@ -269,29 +272,29 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_q = len(qids)
     lut_pdf = _pd.DataFrame(
         {
-            "query_id": np.repeat(np.asarray(qids, np.int64), PQ_M * kk),
-            "subspace": np.tile(
-                np.repeat(np.arange(PQ_M, dtype=np.int32), kk), n_q
-            ),
-            "code": np.tile(np.arange(kk, dtype=np.int32), n_q * PQ_M),
-            "dlook": np.concatenate([d.reshape(-1) for d in dmats])
-            if dmats
-            else np.empty(0, np.float64),
+            "query_id": np.repeat(np.asarray(qids, np.int64), PQ_M),
+            "subspace": np.tile(np.arange(PQ_M, dtype=np.int32), n_q),
+            "dlooks": [row for d in dmats for row in d],
         }
     )
     lut_df = spark.createDataFrame(lut_pdf).selectExpr(
         "CAST(query_id AS LONG) AS query_id",
         "CAST(subspace AS INT) AS subspace",
-        "CAST(code AS INT) AS code",
-        "CAST(dlook AS DOUBLE) AS dlook",
+        "CAST(dlooks AS ARRAY<DOUBLE>) AS dlooks",
     )
     codes = assign_pq_codes(emb, books).select("vec_id", "subspace", "code")
     # written-order fold over the 8 subspace lookups (NOT F.sum —
     # undefined partial-agg order vs the oracle's fold; round-8
     # advisory, same convention as retrieval.bm25_topk_from_index)
     scored = (
-        codes.join(F.broadcast(lut_df), ["subspace", "code"])
+        codes.join(F.broadcast(lut_df), ["subspace"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "subspace",
+            F.element_at("dlooks", F.col("code") + 1).alias("dlook"),
+        )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(
             F.round(

@@ -495,9 +495,11 @@ def _assign_clusters_sharded(
     Same exactness contract as the hier route, distributed:
 
     - coarse structure: G seed centers (smallest cent_ids, bounded
-      collect) refined by `rounds` spherical-Lloyd passes OVER THE
-      CENTROID FRAME (per-round: one K-row job + a G·dim-row mean
-      collect); each centroid's cell and its angle to the cell center
+      collect) refined by `rounds` Lloyd passes OVER THE CENTROID
+      FRAME (per-round: one K-row assignment job + a G·dim-row mean
+      collect, re-normalized driver-side — norm-weighted means, a
+      pruning-only difference from the driver route's unit-vector
+      means); each centroid's cell and its angle to the cell center
       come back as columns, radii via groupBy(cell).max — coarse
       structure affects only pruning, never the result, so this
       distributed Lloyd needs no cross-engine determinism;

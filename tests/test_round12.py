@@ -206,13 +206,16 @@ def test_assign_clusters_empty_centroids_raise(spark):
 
 
 def test_k256_refine_recall_sits_at_coverage_ceiling(spark):
-    """The round-12 headline: with 8-bit codebooks the refine route's
-    recall EQUALS the nprobe=8 coverage ceiling (measured 0.92/0.93/
-    0.96 at sf0.001/0.01/0.1) — the ADC shortlist no longer drops any
-    covered true neighbor before the exact re-rank. Pinned at the test
-    SF; a future K/M/nprobe change that reopens the ADC-ranking gap
-    fails here and must re-measure."""
+    """The round-12 headline, re-pinned over the r13 operating point
+    (32 cells / refine nprobe=16): with 8-bit codebooks the refine
+    route's recall EQUALS its nprobe coverage ceiling (r13 measured
+    0.99/0.96/1.00 at sf0.001/0.01/0.1) — the ADC shortlist drops no
+    covered true neighbor before the exact re-rank. Pinned at the
+    test SF against the sweep row matching IVFPQ_REFINE_NPROBE; a
+    future K/M/nprobe change that reopens the ADC-ranking gap fails
+    here and must re-measure."""
     from data_framework_spark.similarity.ivfpq import (
+        IVFPQ_REFINE_NPROBE,
         q_ivfpq_nprobe_curve,
         q_ivfpq_refine_recall,
     )
@@ -223,7 +226,9 @@ def test_k256_refine_recall_sits_at_coverage_ceiling(spark):
     refine = q_ivfpq_refine_recall(spark, sf).collect()[0]
     curve = {r["nprobe"]: r for r in q_ivfpq_nprobe_curve(spark, sf).collect()}
     assert refine["meets_floor"]
-    assert refine["recall"] == pytest.approx(curve[8]["coverage"], abs=1e-9)
+    assert refine["recall"] == pytest.approx(
+        curve[IVFPQ_REFINE_NPROBE]["coverage"], abs=1e-9
+    )
 
 
 # --- distributed CCL: label-identical to the single-tile kernel --------------
@@ -493,61 +498,7 @@ def test_distributed_label_matches_kernel_random_masks(spark):
     run()
 
 
-# --- rotation window arithmetic (r12) ----------------------------------------
-
-
-def test_r12_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 12's
-    window, exactly as the r11 rotation comment bound it: the 11-query
-    last-green-r8 tail (one past the 3-round staleness budget) LEADS,
-    then the 9 queries round 12 itself touched (semantic_dedup_scaled's
-    hierarchical assignment switch + the 8 PQ/IVFPQ-family queries
-    whose kernels AND oracles re-derive under the K=256 codebook
-    adoption) in registry order, filled from the last-green-r9 block
-    in REGISTRY ORDER (the fill is pinned as the exact prefix, not a
-    subset). The 17-query r9 remainder is the named tail that must
-    lead r13."""
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r8 = load(8) - load(9) - load(10) - load(11)
-    last_green_r9 = load(9) - load(10) - load(11)
-    # (a) the whole last-green-r8 tail, registry order
-    tail_r8 = [q for q in QUERIES if q in last_green_r8]
-    assert len(tail_r8) == 11
-    assert _VERIFY_FIRST[:11] == tail_r8
-    # (b) round-12 touched, registry order: the hierarchical
-    # assignment switch + every query whose hash the K=256 adoption
-    # re-derives (kernel and oracle both retrain at PQ_K=256)
-    touched_r12 = [
-        "semantic_dedup_scaled",
-        "pq_codes",
-        "pq_adc_topk",
-        "ivfpq_persist_topk",
-        "ivfpq_recall_contract",
-        "ivfpq_refine_topk",
-        "ivfpq_refine_recall",
-        "ivfpq_nprobe_curve",
-        "pq_train_gain",
-    ]
-    assert _VERIFY_FIRST[11:20] == touched_r12
-    # (c) fill = the FIRST 30 of the last-green-r9 block in registry
-    # order (pinned exactly, not as a subset)
-    r9_block = [
-        q for q in QUERIES if q in last_green_r9 and q not in touched_r12
-    ]
-    assert _VERIFY_FIRST[20:] == r9_block[:30]
-    # the named r13 lead debt: the 17-query r9 remainder
-    tail_r13 = r9_block[30:]
-    assert len(tail_r13) == 17
+# The r12 rotation-window test was superseded by
+# tests/test_round13.py::test_r13_verify_window_arithmetic — each
+# round's window replaces the previous round's arithmetic pin (the
+# r11 -> r12 precedent).

@@ -268,10 +268,13 @@ def test_nprobe_curve_recall_bounded_by_coverage(spark):
     ceiling (a true neighbor outside every probed cell cannot be
     returned), and coverage is non-decreasing in nprobe (probed sets
     are nested)."""
-    from data_framework_spark.similarity.ivfpq import q_ivfpq_nprobe_curve
+    from data_framework_spark.similarity.ivfpq import (
+        IVFPQ_NPROBE_SWEEP,
+        q_ivfpq_nprobe_curve,
+    )
 
     rows = q_ivfpq_nprobe_curve(spark, SF_SMALL).collect()
-    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    assert [r["nprobe"] for r in rows] == list(IVFPQ_NPROBE_SWEEP)
     for r in rows:
         assert r["recall"] <= r["coverage"] + 1e-9, r
     covs = [r["coverage"] for r in rows]
