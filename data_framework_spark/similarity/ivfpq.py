@@ -308,7 +308,10 @@ def _adc_lut(cents: list, books: np.ndarray, queries: list, nprobe: int):
     cell_c = np.repeat(np.asarray([m[1] for m in meta], np.int32), PQ_M)
     rank_c = np.repeat(np.asarray([m[2] for m in meta], np.int32), PQ_M)
     sub_c = np.tile(np.arange(PQ_M, dtype=np.int32), n_blk)
-    dlooks_c = [row for d in dmats for row in d]  # (PQ_M, kk) → kk-arrays
+    # .tolist(): plain Python floats — a VANILLA (non-Arrow) session's
+    # row-wise createDataFrame cannot infer numpy ndarray cells
+    # (caught by tests/test_vanilla_session.py)
+    dlooks_c = [row.tolist() for d in dmats for row in d]
     return pd.DataFrame(
         {
             "query_id": qid_c,
@@ -333,12 +336,9 @@ def ivfpq_topk_from_index(
     cents, books = _load_index_driver_side(spark, path)
     lut = _adc_lut(cents, books, queries, nprobe)
     lut_df = spark.createDataFrame(
-        lut[["query_id", "cell", "subspace", "dlooks"]]
-    ).selectExpr(
-        "CAST(query_id AS LONG) AS query_id",
-        "CAST(cell AS INT) AS cell",
-        "CAST(subspace AS INT) AS subspace",
-        "CAST(dlooks AS ARRAY<DOUBLE>) AS dlooks",
+        lut[["query_id", "cell", "subspace", "dlooks"]],
+        schema="query_id long, cell int, subspace int, "
+        "dlooks array<double>",
     )
     # static partition pruning: the probed cell set is known driver-
     # side, so push it as a literal isin — the cell-partitioned codes
@@ -831,12 +831,10 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_n = max(IVFPQ_NPROBE_SWEEP)
     cents, books = _load_index_driver_side(spark, path)
     lut = _adc_lut(cents, books, queries, max_n)
-    lut_df = spark.createDataFrame(lut).selectExpr(
-        "CAST(query_id AS LONG) AS query_id",
-        "CAST(cell AS INT) AS cell",
-        "CAST(rank AS INT) AS rank",
-        "CAST(subspace AS INT) AS subspace",
-        "CAST(dlooks AS ARRAY<DOUBLE>) AS dlooks",
+    lut_df = spark.createDataFrame(
+        lut,
+        schema="query_id long, cell int, rank int, subspace int, "
+        "dlooks array<double>",
     )
     probed_cells = sorted(int(c) for c in lut["cell"].unique())
     codes = spark.read.parquet(f"{path}/codes").filter(

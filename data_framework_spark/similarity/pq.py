@@ -274,13 +274,14 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "query_id": np.repeat(np.asarray(qids, np.int64), PQ_M),
             "subspace": np.tile(np.arange(PQ_M, dtype=np.int32), n_q),
-            "dlooks": [row for d in dmats for row in d],
+            # .tolist(): plain Python floats — a vanilla (non-Arrow)
+            # session cannot infer numpy ndarray cells
+            "dlooks": [row.tolist() for d in dmats for row in d],
         }
     )
-    lut_df = spark.createDataFrame(lut_pdf).selectExpr(
-        "CAST(query_id AS LONG) AS query_id",
-        "CAST(subspace AS INT) AS subspace",
-        "CAST(dlooks AS ARRAY<DOUBLE>) AS dlooks",
+    lut_df = spark.createDataFrame(
+        lut_pdf,
+        schema="query_id long, subspace int, dlooks array<double>",
     )
     codes = assign_pq_codes(emb, books).select("vec_id", "subspace", "code")
     # written-order fold over the 8 subspace lookups (NOT F.sum —
