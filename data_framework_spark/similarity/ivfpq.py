@@ -633,7 +633,18 @@ ORDER BY query_id, rank
 Q_IVFPQ_PERSIST_TOPK_SQL = _ivfpq_sql()
 
 
-IVFPQ_REFINE_R = 100  # ADC shortlist size fed to the exact re-rank
+# ADC shortlist size fed to the exact re-rank. R must grow with the
+# per-query CANDIDATE-POOL size, not stay a universal constant: at
+# the 10x corpus (20k vectors, ~10k candidates under the 16/32
+# probe) R=100 is the binding loss — refine recall 0.80 under a 1.00
+# coverage ceiling — and growing R recovers it at ~flat wall time
+# (R 100/200/400/800 -> recall 0.80/0.93/0.97/1.00, the shortlist
+# fetch stays |Q|*R broadcast point reads;
+# scripts/measure_refine_shortlist.py, r13). The shipped SFs'
+# <=1k-candidate pools never bind at 100, so the contract constant
+# stays 100; a deployment sizes R ~ pool/10 (the faiss k_factor
+# guidance).
+IVFPQ_REFINE_R = 100
 # The refine route probes 16 of 32 cells (r13, was 8 of 16) — the
 # SAME half-the-codes scan fraction as every round since r9, now over
 # the finer r13 quantizer: the r12 verdict pinned refine recall AT

@@ -528,7 +528,13 @@ def _assign_clusters_sharded(
     per vector — N·√K (vec_id, embedding) rows shuffled — which is
     why the broadcastable-K regimes should stay on the hier route;
     this route exists for K past driver/broadcast scale, where there
-    is no flat alternative (measured both regimes, SURVEY §8)."""
+    is no flat alternative (measured both regimes, SURVEY §8). A
+    pathologically hot coarse cell (most vectors probing one cell's
+    shard) is an ordinary skewed-join-key problem: salt the cell key
+    and replicate that cell's shard per salt — the same treatment as
+    any skewed join in this repo (operators/skew.py); the shipped
+    corpora's coarse cells are balanced, so it is documented, not
+    wired."""
     from pyspark.sql.functions import pandas_udf
 
     k = cents.count()
