@@ -414,3 +414,72 @@ def test_r13_verify_window_arithmetic():
     assert _VERIFY_FIRST[25:] == r10_block[:25]
     # the named r14 lead debt: the 18-query r10 remainder
     assert len(r10_block[25:]) == 18
+
+
+def test_sharded_route_query_level_parity(spark):
+    """End-to-end: running the FULL q_semantic_dedup_scaled
+    aggregation (within-cluster pair join, dup accounting) over the
+    sharded assignment yields the identical (cluster, n_members,
+    n_removed) table as the shipped hier-route query — the query-level
+    form of the assignment-map parity, so the sharded escape is
+    certified against the actual dedup contract, not just the argmax."""
+    from pyspark.sql import functions as F
+
+    from data_framework_spark.registry import QUERIES
+    from data_framework_spark.similarity.ann import dot, l2_norm
+    from data_framework_spark.similarity.semantic import (
+        DUP_COS,
+        _assign_clusters_sharded,
+        scaled_k,
+    )
+    from data_framework_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    k = scaled_k(emb.count())
+    cents_df = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign_clusters_sharded(emb, cents_df)
+    with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
+    a = with_norm.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = with_norm.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pair_cos = dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(pair_cos, 6) >= DUP_COS)
+        .select("cluster", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    got = {
+        (r["cluster"], r["n_members"], r["n_removed"])
+        for r in assigned.join(
+            dup_ids.withColumn("is_dup", F.lit(1)),
+            ["cluster", "vec_id"],
+            "left",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_removed"),
+        )
+        .collect()
+    }
+    want = {
+        (r["cluster"], r["n_members"], r["n_removed"])
+        for r in QUERIES["semantic_dedup_scaled"].fn(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
