@@ -146,7 +146,9 @@ def test_sharded_equals_flat_on_tie_corpus(spark):
 def test_sharded_matches_flat_random_corpora(spark):
     """Randomized-geometry sweep (the r12 hier-parity pattern):
     random corpora land cosines at arbitrary distances from the 6dp
-    grid; random K exercises G from 1 to >3 coarse shards."""
+    grid; random K exercises G from 1 to >3 coarse shards; the
+    clustered mode (anchor + small perturbation) exercises the regime
+    where phase-B pruning actually skips shards."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -161,8 +163,16 @@ def test_sharded_matches_flat_random_corpora(spark):
         dim = data.draw(st.sampled_from([4, 8, 16]))
         k = data.draw(st.integers(1, min(n, 14)))
         seed = data.draw(st.integers(0, 2**31 - 1))
+        clustered = data.draw(st.booleans())
         rng = np.random.default_rng(seed)
-        X = rng.standard_normal((n, dim))
+        if clustered:
+            anchors = rng.standard_normal((k, dim))
+            anchors /= np.sqrt((anchors * anchors).sum(axis=1))[:, None]
+            X = anchors[np.arange(n) % k] + 0.05 * rng.standard_normal(
+                (n, dim)
+            )
+        else:
+            X = rng.standard_normal((n, dim))
         rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
@@ -174,7 +184,7 @@ def test_sharded_matches_flat_random_corpora(spark):
             .collect()
         )
         flat, _, shard = _three_route_maps(spark, emb, cents_rows)
-        assert flat == shard and len(shard) == n, (seed, n, dim, k)
+        assert flat == shard and len(shard) == n, (seed, n, dim, k, clustered)
 
     run()
 
