@@ -64,16 +64,18 @@ def label_cells(
     scan-order numbering). `width` bounds i1 (pid = i0·width + i1
     must be collision-free)."""
     pid = (F.col("i0") * width + F.col("i1")).cast("long")
-    # integer floor division (not float-div + trunc-cast): trunc != floor
-    # for negatives, which would silently mis-tile; the coordinate
-    # contract itself (non-negative, i1 < width, distinct pixels) is
-    # enforced executor-side in local_label (r12 advisory)
+    # integral `div` (exact bigint division, never a double round-trip):
+    # coordinates are non-negative by contract (enforced executor-side in
+    # local_label, r12 advisory), so div == floor-div and the tile key is
+    # exact for any representable coordinate (r13 advisory: F.floor over
+    # float division could in principle round across an integer boundary
+    # near 2^40+ for non-power-of-2 tiles)
     px = cells.select(
         F.col("i0").cast("long").alias("i0"),
         F.col("i1").cast("long").alias("i1"),
         pid.alias("pid"),
-        F.floor(F.col("i0") / tile).cast("long").alias("t0"),
-        F.floor(F.col("i1") / tile).cast("long").alias("t1"),
+        F.expr(f"CAST(i0 AS BIGINT) div {int(tile)}").alias("t0"),
+        F.expr(f"CAST(i1 AS BIGINT) div {int(tile)}").alias("t1"),
     )
 
     def local_label(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -237,7 +239,8 @@ def q_distributed_label_contract(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="metric string, value double")
 
 
-# Literal expected values, pinned from the golden 768² run and
+# Literal expected values, pinned from the 384² contract grid
+# (CONTRACT_SIDE = 384, tile = 128 → the 3×3 stitch path) and
 # cross-checked against the single-tile numpy kernel on the dense
 # mask (tests/test_round13.py). Every value is an exact integer far
 # inside double precision (max ~3e10 < 2^53).
