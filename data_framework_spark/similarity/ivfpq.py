@@ -388,24 +388,57 @@ def ivfpq_topk_from_index(
 
 IVFPQ_INDEX_PREFIX = "ivfpq_index_"
 
+#: Bump on any ivfpq_index_write semantics change NOT captured by the
+#: knob params below (seed convention, residual arithmetic, layout) —
+#: the persistent cross-session cache keys on these, and a stale
+#: persisted index must be unreachable after a build-code change.
+IVFPQ_INDEX_FMT = 1
+
+
+def session_ivfpq_index(
+    spark: SparkSession, sf_dir: str, ncells: int = IVFPQ_NCELLS
+) -> str:
+    """The persisted IVFADC index dir for sf_dir — built at most once
+    ACROSS sessions (formats.persistent_index_dir): a fresh session
+    whose source fingerprint and build knobs match a previously
+    persisted index RELOADS it instead of re-running Lloyd (r13
+    verdict ask 2 — the session-first-call retrain was the suite's
+    only structurally growing cold cost, 6.4 → 9.5 → 12.4 s over
+    three adoption rounds; production IVF serving never retrains per
+    session). The digest params name every build-affecting knob, so
+    an ncells adoption or a Lloyd-round change diverges the cache key
+    and rebuilds — hashes can never be served from a stale index."""
+    from data_framework_spark.similarity import train
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return persistent_index_dir(
+        spark,
+        sf_dir,
+        IVFPQ_INDEX_PREFIX,
+        lambda p: ivfpq_index_write(emb, p, ncells=ncells),
+        params={
+            "fmt": IVFPQ_INDEX_FMT,
+            "ncells": int(ncells),
+            "pq_m": int(PQ_M),
+            "pq_k": int(PQ_K),
+            "coarse_rounds": int(train.COARSE_ROUNDS),
+            "book_rounds": int(train.BOOK_ROUNDS),
+        },
+    )
+
 
 def q_ivfpq_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC top-5 for the first 20 query vectors, answered from the
     persisted index: 32 coarse cells / residual PQ 8×256 / 4 probed
     cells. Oracle = the full composition in SQL — a code mis-assigned,
     a residual drifted, or a cell lost in the parquet roundtrip breaks
-    the hash. Build-once/reload-many via the shared
-    formats.session_index_dir registry (bench cold = build, warm =
-    reload)."""
-    from data_framework_spark.sources.formats import session_index_dir
-
+    the hash. Build-at-most-once ACROSS sessions via
+    session_ivfpq_index / formats.persistent_index_dir (cold =
+    reload when a matching persisted index exists, else build;
+    warm = reload)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = session_index_dir(
-        spark,
-        sf_dir,
-        IVFPQ_INDEX_PREFIX,
-        lambda p: ivfpq_index_write(emb, p),
-    )
+    path = session_ivfpq_index(spark, sf_dir)
     q_rows = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
         .select("vec_id", "embedding")
@@ -725,16 +758,8 @@ def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted vector index: ADC prunes the corpus to a 100-row
     shortlist per query, exact L2 fixes ADC's quantization-error
     ranking within it. Shares the persisted index with
-    q_ivfpq_persist_topk via session_index_dir (no rebuild)."""
-    from data_framework_spark.sources.formats import session_index_dir
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = session_index_dir(
-        spark,
-        sf_dir,
-        IVFPQ_INDEX_PREFIX,
-        lambda p: ivfpq_index_write(emb, p),
-    )
+    q_ivfpq_persist_topk via session_ivfpq_index (no rebuild)."""
+    path = session_ivfpq_index(spark, sf_dir)
     return ivfpq_refine_topk(spark, path, sf_dir)
 
 
@@ -815,15 +840,8 @@ def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall join runs once against the exact×sweep grid. Since r10 the
     ORACLE shares the same single-derivation shape (see
     _nprobe_curve_sql)."""
-    from data_framework_spark.sources.formats import session_index_dir
-
     emb = load_table(spark, sf_dir, "embeddings")
-    path = session_index_dir(
-        spark,
-        sf_dir,
-        IVFPQ_INDEX_PREFIX,
-        lambda p: ivfpq_index_write(emb, p),
-    )
+    path = session_ivfpq_index(spark, sf_dir)
     q_rows = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
         .select("vec_id", "embedding")

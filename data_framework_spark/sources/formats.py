@@ -17,6 +17,8 @@ hash.
 from __future__ import annotations
 
 import atexit
+import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -112,6 +114,120 @@ def session_index_dir(spark, sf_dir: str, prefix: str, build) -> str:
         build(path)
         _INDEX_DIRS[key] = path
     return _INDEX_DIRS[key]
+
+
+INDEX_CACHE_ENV = "SPARK_GRAFT_INDEX_CACHE"
+
+
+def _index_cache_root() -> str:
+    """Root of the cross-session index cache (tests redirect it via
+    the SPARK_GRAFT_INDEX_CACHE env var)."""
+    return os.environ.get(INDEX_CACHE_ENV) or os.path.join(
+        tempfile.gettempdir(), "spark_graft_index_cache"
+    )
+
+
+def _manifest_ok(index_dir: str, digest: str) -> bool:
+    """True iff index_dir holds a parseable manifest whose digest
+    matches — the serve-eligibility check (a missing, truncated, or
+    wrong-digest manifest marks a dead tree that must be rebuilt,
+    never served)."""
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            return json.load(fh).get("digest") == digest
+    except (OSError, ValueError):
+        return False
+
+
+def persistent_index_dir(
+    spark, sf_dir: str, prefix: str, build, params: dict
+) -> str:
+    """session_index_dir's cross-SESSION sibling: the built index
+    survives process exit under a content-addressed directory —
+    `<cache_root>/<prefix><sha256(sf_dir, fingerprint, params)[:20]>`
+    — and a fresh session RELOADS it instead of re-training (round-13
+    verdict: the IVFPQ session-first-call Lloyd retrain was the only
+    structurally growing cost in the suite; production index serving
+    reloads a persisted index, it does not retrain per session).
+
+    Safety is the digest: `params` must name every build-affecting
+    knob (cell counts, Lloyd rounds, codebook sizes, plus a fmt
+    version the call site bumps on any build-code change the knobs
+    don't capture). A knob or source-data change diverges the digest,
+    so a stale index is unreachable; superseded directories for the
+    same (prefix, sf_dir) are deleted before the new build publishes
+    (the session_index_dir eviction convention — N rewrites must not
+    hoard N dead index trees). Publication is build-into-tmp +
+    atomic os.rename, so a reader never sees a half-written index;
+    losing the rename race adopts the winner's identical directory.
+    Built (and reloaded) entries are also registered in the session
+    registry so get_index_dir reflects them."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _INDEX_DIRS if k[0] != app]:
+        del _INDEX_DIRS[key]
+    sf_abs = os.path.abspath(sf_dir)
+    fp = _sf_fingerprint(sf_dir)
+    digest = hashlib.sha256(
+        json.dumps(
+            {"sf_dir": sf_abs, "fingerprint": fp, "params": params},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:20]
+    key = (app, sf_dir, prefix, fp)
+    got = _INDEX_DIRS.get(key)
+    if got and os.path.isfile(os.path.join(got, "manifest.json")):
+        return got
+    root = _index_cache_root()
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, prefix + digest)
+    if not _manifest_ok(final, digest):
+        shutil.rmtree(final, ignore_errors=True)  # dead/corrupt tree
+        # evict superseded persisted indexes for this (prefix, sf_dir):
+        # same prefix, different digest, same source directory (or an
+        # unreadable manifest — a dead tree). In-flight ".build-" tmp
+        # dirs of a concurrent builder are never touched.
+        for d in os.listdir(root):
+            if (
+                not d.startswith(prefix)
+                or d == prefix + digest
+                or ".build-" in d
+            ):
+                continue
+            try:
+                with open(os.path.join(root, d, "manifest.json")) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                m = None
+            if m is None or m.get("sf_dir") == sf_abs:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        tmp = f"{final}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        build(tmp)
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(
+                {"digest": digest, "sf_dir": sf_abs, "params": params}, fh
+            )
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost the publish race — the winner wrote the same digest,
+            # hence byte-equivalent content (deterministic build)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _manifest_ok(final, digest):
+                raise
+    # register stale-entry eviction + get_index_dir visibility exactly
+    # like the session path (a fingerprint change pops the old key and
+    # rmtrees its directory — correct for persisted indexes too)
+    for old in [
+        k for k in _INDEX_DIRS if k[:3] == (app, sf_dir, prefix) and k != key
+    ]:
+        stale = _INDEX_DIRS.pop(old)
+        shutil.rmtree(stale, ignore_errors=True)
+        if stale in _SCRATCH_DIRS:
+            _SCRATCH_DIRS.remove(stale)
+    _INDEX_DIRS[key] = final
+    return final
 
 
 def get_index_dir(spark, sf_dir: str, prefix: str) -> str | None:
