@@ -94,7 +94,13 @@ class Query:
 #: contracts'-internal-reuse regime). Every cached_route key in the
 #: codebase must appear either in some Query.cached_routes or here;
 #: tests/test_round10.py enforces the partition.
-COMPOSITION_ROUTES: tuple[str, ...] = ("exact_l2_k5",)
+COMPOSITION_ROUTES: tuple[str, ...] = (
+    "exact_l2_k5",
+    # the shared 8-phase island-chain upstream (smoothing → flux →
+    # smoothed jy) consumed by the three find_structures queries (r13
+    # verdict ask 4); its build is not any standalone query's own plan
+    "island_family_fields",
+)
 
 
 QUERIES: dict[str, Query] = {

@@ -173,3 +173,98 @@ def test_ivfpq_stale_cache_unreachable_after_fmt_bump(spark, cache_root, monkeyp
     monkeypatch.setattr(ivfpq, "IVFPQ_INDEX_FMT", ivfpq.IVFPQ_INDEX_FMT + 1)
     p2 = ivfpq.session_ivfpq_index(spark, SF_SMALL)
     assert p2 != p1
+
+
+# --- shared island-family upstream (r13 verdict ask 4) -----------------------
+
+
+def _island_2t_dataset(spark):
+    import numpy as np
+
+    from data_framework_spark.dataset import SparkDataset
+    from data_framework_spark.variable import SparkVariable
+
+    k, eps, phase = 1.0, 0.3, 0.7
+    z = np.linspace(-8.0, 8.0, 120)
+    x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
+    zz, xx = np.meshgrid(z, x, indexing="ij")
+    b2 = np.tanh(zz)
+    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
+        4.7 * zz
+    ) * np.cos(4.5 * xx)
+    b1_t = np.stack(
+        [eps * k * np.sin(k * xx), eps * k * np.sin(k * xx - phase)]
+    )
+    ts = np.array([0.0, 1.0])
+    ds = SparkDataset()
+    ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1_t))
+    ds.add_var(
+        SparkVariable.from_numpy(spark, "b2", ts, [z, x], np.stack([b2, b2]))
+    )
+    ds.add_var(
+        SparkVariable.from_numpy(spark, "jy", ts, [z, x], np.stack([jy, jy]))
+    )
+    return ds
+
+
+def test_family_upstream_bitwise_equals_standalone(spark):
+    """find_structures fed the sliced 8-phase family upstream must
+    produce BITWISE the null coordinates and mask cells the standalone
+    (derive-everything) path produces on the same 2-timestep island
+    dataset — the property that makes the r14 session cache a plan
+    change, not a semantics change. Phase 0.7 exercises the
+    0.35*2.0 == 0.7 exact-doubling identity the cache relies on."""
+    from data_framework_spark.plans.structures import (
+        find_structures,
+        island_family_upstream,
+    )
+
+    ds_a = _island_2t_dataset(spark)
+    find_structures(ds_a, "b1", "b2", smoothing=1, multi_t=True)
+    ds_b = _island_2t_dataset(spark)
+    up = island_family_upstream(
+        spark, "/root/testdata/sf0.001", [(0.0, 0), (1.0, 2)]
+    )
+    find_structures(
+        ds_b, "b1", "b2", smoothing=1, multi_t=True, upstream=up
+    )
+
+    assert ds_a.params["x_coords"] == ds_b.params["x_coords"]
+    assert ds_a.params["o_coords"] == ds_b.params["o_coords"]
+    key = ["t", "i0", "i1"]
+    rows_a = sorted(
+        tuple(r) for r in ds_a.masks_df.orderBy(*key).collect()
+    )
+    rows_b = sorted(
+        tuple(r) for r in ds_b.masks_df.orderBy(*key).collect()
+    )
+    assert rows_a == rows_b
+    # flux_fn registered for API parity and bitwise equal
+    fa = sorted(
+        tuple(r)
+        for r in ds_a.variables["flux_fn"].df.select(*key, "value").collect()
+    )
+    fb = sorted(
+        tuple(r)
+        for r in ds_b.variables["flux_fn"].df.select(*key, "value").collect()
+    )
+    assert fa == fb
+    for d in getattr(ds_a, "scratch_cached", []) + getattr(
+        ds_b, "scratch_cached", []
+    ):
+        d.unpersist()
+
+
+def test_family_upstream_missing_columns_refused(spark):
+    """A frame without the upstream contract's columns must be refused
+    loudly, not half-consumed."""
+    import pytest as _pytest
+
+    from data_framework_spark.plans.structures import find_structures
+
+    ds = _island_2t_dataset(spark)
+    bad = ds.variables["b1"].df  # value frame, no sb1/sb2/psi/jys
+    with _pytest.raises(ValueError, match="missing columns"):
+        find_structures(
+            ds, "b1", "b2", smoothing=1, multi_t=True, upstream=bad
+        )
