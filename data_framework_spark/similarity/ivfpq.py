@@ -543,7 +543,7 @@ def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_sql(
     ncells: int = IVFPQ_NCELLS,
     nprobe: int = IVFPQ_NPROBE,
-    k: int = IVFPQ_K,
+    k: int | str = IVFPQ_K,  # int literal or a scalar SQL expression
     nq: int = IVFPQ_NQ,
     dim: int = 64,
 ) -> str:
@@ -673,11 +673,40 @@ Q_IVFPQ_PERSIST_TOPK_SQL = _ivfpq_sql()
 # coverage ceiling — and growing R recovers it at ~flat wall time
 # (R 100/200/400/800 -> recall 0.80/0.93/0.97/1.00, the shortlist
 # fetch stays |Q|*R broadcast point reads;
-# scripts/measure_refine_shortlist.py, r13). The shipped SFs'
-# <=1k-candidate pools never bind at 100, so the contract constant
-# stays 100; a deployment sizes R ~ pool/10 (the faiss k_factor
-# guidance).
+# scripts/measure_refine_shortlist.py, r13). Since r14 the R ~
+# pool/10 reading is WIRED as refine_shortlist_r below (the r13
+# verdict's ask-3 ablation, scripts/ablate_ivfpq_sqrtn.py, showed
+# 32-cell coverage is already 0.99-1.00 at 10x/100x at every scan
+# fraction — the shortlist, not the cell count, is the scale lever);
+# IVFPQ_REFINE_R stays as the policy FLOOR, which the shipped SFs'
+# <=1k-candidate pools never exceed, so every shipped hash is
+# unchanged by the wiring.
 IVFPQ_REFINE_R = 100
+# Policy ceiling: |Q|·R broadcast point reads stay cheap until R
+# approaches the pool itself; past this bound the deployment lever is
+# a smaller scan fraction (finer cells / fewer probes), not a longer
+# shortlist.
+IVFPQ_REFINE_R_CAP = 16384
+
+
+def refine_shortlist_r(
+    n: int,
+    nprobe: int = None,
+    ncells: int = IVFPQ_NCELLS,
+) -> int:
+    """R ~ candidate-pool/10 (the faiss k_factor guidance), derived
+    from the corpus size: pool ≈ n·nprobe/ncells, R =
+    clamp(ceil(pool/10), IVFPQ_REFINE_R, IVFPQ_REFINE_R_CAP). Pure
+    integer arithmetic — ceil(a/b) = (a+b-1)//b — so the DuckDB
+    oracle's _REFINE_R_SQL re-derives the identical value from its
+    own count(*) and a policy drift diverges the hash (the
+    semantic_dedup_scaled K~N/64 precedent). n=500/2000 (shipped)
+    → 100 (floor); 20k → 1000; 200k → 10000."""
+    if nprobe is None:
+        nprobe = IVFPQ_REFINE_NPROBE
+    b = ncells * 10
+    pool_r = (n * nprobe + b - 1) // b
+    return min(IVFPQ_REFINE_R_CAP, max(IVFPQ_REFINE_R, pool_r))
 # The refine route probes 16 of 32 cells (r13, was 8 of 16) — the
 # SAME half-the-codes scan fraction as every round since r9, now over
 # the finer r13 quantizer: the r12 verdict pinned refine recall AT
@@ -693,7 +722,7 @@ def ivfpq_refine_topk(
     path: str,
     sf_dir: str,
     k: int = IVFPQ_K,
-    r: int = IVFPQ_REFINE_R,
+    r: int | None = None,
     nprobe: int = IVFPQ_REFINE_NPROBE,
 ) -> DataFrame:
     """faiss-style `refine` stage over the IVFADC shortlist (the
@@ -709,8 +738,15 @@ def ivfpq_refine_topk(
     (at 100 TB, lay the corpus out bucketed/sorted by vec_id and the
     fetch becomes a point-read of the matching buckets). The exact
     distance reuses exact_l2_topk's sequential zip_with fold, so the
-    6dp rounding matches the oracle's list_sum bit-for-bit."""
+    6dp rounding matches the oracle's list_sum bit-for-bit.
+
+    `r=None` (the default) applies refine_shortlist_r: R grows with
+    the candidate pool (one metadata-cheap count job), so the 10x/
+    100x corpora get the 1000/10000-row shortlists that recover their
+    recall while the shipped SFs stay at the 100 floor."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if r is None:
+        r = refine_shortlist_r(emb.count(), nprobe)
     q_rows = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
         .select("vec_id", "embedding")
@@ -985,10 +1021,20 @@ WHERE rank <= {k}
 """
 
 
+# the oracle re-derives the refine shortlist size from ITS OWN
+# count(*) with the same integer arithmetic as refine_shortlist_r —
+# a Spark-side policy drift diverges the hash (the
+# semantic_dedup_scaled precedent)
+_REFINE_R_SQL = (
+    f"least({IVFPQ_REFINE_R_CAP}, greatest({IVFPQ_REFINE_R}, "
+    f"(((SELECT count(*) FROM embeddings) * {IVFPQ_REFINE_NPROBE}) "
+    f"+ {IVFPQ_NCELLS * 10 - 1}) // {IVFPQ_NCELLS * 10}))"
+)
+
 Q_IVFPQ_REFINE_TOPK_SQL = f"""
 WITH cand AS (
   SELECT query_id, neighbor_id
-  FROM ({_ivfpq_sql(k=IVFPQ_REFINE_R, nprobe=IVFPQ_REFINE_NPROBE)})
+  FROM ({_ivfpq_sql(k=_REFINE_R_SQL, nprobe=IVFPQ_REFINE_NPROBE)})
 ),
 ref AS (
   SELECT c.query_id, c.neighbor_id,

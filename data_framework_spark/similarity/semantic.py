@@ -480,7 +480,7 @@ def _assign_clusters_hier(emb: DataFrame, cents_rows: list) -> DataFrame:
 
 
 def _assign_clusters_sharded(
-    emb: DataFrame, cents: DataFrame, rounds: int = 4
+    emb: DataFrame, cents: DataFrame, rounds: int = 4, salt: int = 1
 ) -> DataFrame:
     """(vec_id, embedding, cluster) with the centroid frame SHARDED
     per coarse cell — the escape past `_assign_clusters_hier`'s K-row
@@ -530,11 +530,17 @@ def _assign_clusters_sharded(
     this route exists for K past driver/broadcast scale, where there
     is no flat alternative (measured both regimes, SURVEY §8). A
     pathologically hot coarse cell (most vectors probing one cell's
-    shard) is an ordinary skewed-join-key problem: salt the cell key
-    and replicate that cell's shard per salt — the same treatment as
-    any skewed join in this repo (operators/skew.py); the shipped
-    corpora's coarse cells are balanced, so it is documented, not
-    wired."""
+    shard) is an ordinary skewed-join-key problem, treated by
+    `salt` > 1 (r13 verdict ask 5): vectors carry
+    pmod(vec_id, salt), each cell's centroid shard is replicated once
+    per salt value, and both cogroups key on (cell, salt) — a hot
+    cell's vector population splits across `salt` tasks while every
+    vector still scores against the cell's FULL member set, so the
+    result is bitwise invariant in `salt` (pinned on a deliberately
+    hot-cell corpus in tests/test_round14.py). Cost: the shard side
+    is written `salt`× into the cogroup shuffle — size it to the
+    observed hot-cell excess, not defensively; the shipped corpora's
+    coarse cells are balanced, so the default stays 1."""
     from pyspark.sql.functions import pandas_udf
 
     k = cents.count()
@@ -673,11 +679,31 @@ def _assign_clusters_sharded(
         "vec_id long, cell int, best6 double, best_cid long, "
         "best_raw double"
     )
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     shard = cmem.select("cell", "cent_id", "cent")
-    vecs_a = emb.withColumn("cell", probe0(F.col("embedding")))
+    if salt > 1:
+        # hot-cell escape: replicate each cell's shard per salt value
+        # so a hot cell's vectors split across `salt` cogroup tasks;
+        # every (cell, salt) group still holds the cell's FULL member
+        # set, so scores are bitwise invariant in `salt`
+        shard = shard.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(salt)])),
+        )
+    grp_keys = ["cell", "salt"] if salt > 1 else ["cell"]
+
+    def _with_salt(df: DataFrame) -> DataFrame:
+        if salt == 1:
+            return df
+        return df.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(salt)).cast("int")
+        )
+
+    vecs_a = _with_salt(emb.withColumn("cell", probe0(F.col("embedding"))))
     phase_a = (
-        vecs_a.groupBy("cell")
-        .cogroup(shard.groupBy("cell"))
+        vecs_a.groupBy(*grp_keys)
+        .cogroup(shard.groupBy(*grp_keys))
         .applyInPandas(lambda l, r: score_group(l, r), score_schema)
         .localCheckpoint(eager=True)  # feeds phase-B bound + combine
     )
@@ -716,8 +742,9 @@ def _assign_clusters_sharded(
         )
     )
     phase_b = (
-        cand_b.groupBy("cell")
-        .cogroup(shard.groupBy("cell"))
+        _with_salt(cand_b)
+        .groupBy(*grp_keys)
+        .cogroup(shard.groupBy(*grp_keys))
         .applyInPandas(lambda l, r: score_group(l, r), score_schema)
     )
     best = (

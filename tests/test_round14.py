@@ -268,3 +268,175 @@ def test_family_upstream_missing_columns_refused(spark):
         find_structures(
             ds, "b1", "b2", smoothing=1, multi_t=True, upstream=bad
         )
+
+
+# --- sharded-assignment salting escape (r13 verdict ask 5) --------------------
+
+
+def test_sharded_salting_bitwise_invariant_on_hot_cell(spark):
+    """The wired hot-coarse-cell escape: a corpus where (by
+    construction) virtually every vector probes ONE coarse cell —
+    the skew regime the salting exists for — must yield BITWISE the
+    same (vec_id → cluster) map at salt 1, 3, and 4, and equal the
+    flat in-driver route. Every (cell, salt) cogroup still scores the
+    cell's full member set, so salt is a pure partitioning knob."""
+    import numpy as np
+
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_arrow,
+        _assign_clusters_sharded,
+    )
+
+    dim, k, n = 64, 16, 400
+    rng = np.random.default_rng(20260814)
+    hot = np.zeros(dim)
+    hot[0] = 1.0
+    # all centroids AND all vectors in one tight cap around `hot`:
+    # G = ceil(sqrt(16)) = 4 coarse cells, but everything lands in the
+    # cap's cell — a maximally hot cogroup key
+    C = hot[None, :] + 0.01 * rng.standard_normal((k, dim))
+    C /= np.sqrt((C * C).sum(axis=1))[:, None]
+    X = C[np.arange(n) % k] + 0.004 * rng.standard_normal((n, dim))
+    cents_rows = [(i, [float(x) for x in C[i]]) for i in range(k)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cents_df = spark.createDataFrame(
+        cents_rows, "cent_id long, cent array<double>"
+    )
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_clusters_arrow(emb, cents_rows).collect()
+    }
+    maps = {}
+    for s in (1, 3, 4):
+        maps[s] = {
+            r["vec_id"]: r["cluster"]
+            for r in _assign_clusters_sharded(emb, cents_df, salt=s).collect()
+        }
+        assert len(maps[s]) == n
+    assert maps[1] == maps[3] == maps[4] == flat
+
+
+def test_sharded_salting_rejects_bad_salt(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_sharded,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8)], "cent_id long, cent array<double>"
+    )
+    with _pytest.raises(ValueError, match="salt"):
+        _assign_clusters_sharded(emb, cents, salt=0).collect()
+
+
+# --- refine-shortlist R ~ pool/10 policy (r13 verdict ask 3) ------------------
+
+
+def test_refine_shortlist_r_values():
+    """The wired policy's pinned operating points: shipped SFs stay at
+    the 100 floor (hashes unchanged), the 10x/100x corpora get the
+    1000/10000-row shortlists that recover their recall (measured
+    0.80 -> 1.00 and 0.50 -> 1.00, SURVEY §8 r14), and the cap binds
+    at extreme N where scan-fraction, not shortlist, is the lever."""
+    from data_framework_spark.similarity.ivfpq import (
+        IVFPQ_REFINE_R_CAP,
+        refine_shortlist_r,
+    )
+
+    assert refine_shortlist_r(500) == 100
+    assert refine_shortlist_r(2000) == 100
+    assert refine_shortlist_r(20000) == 1000
+    assert refine_shortlist_r(200000) == 10000
+    assert refine_shortlist_r(10**9) == IVFPQ_REFINE_R_CAP
+
+
+def test_refine_r_sql_matches_python_policy():
+    """The oracle's count(*)-derived R expression must yield the exact
+    integer refine_shortlist_r computes, for counts spanning the
+    floor, the live band, and the cap — the hash-divergence property
+    the wiring relies on."""
+    import duckdb
+
+    from data_framework_spark.similarity.ivfpq import (
+        _REFINE_R_SQL,
+        refine_shortlist_r,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 7, 500, 2000, 3200, 3201, 20000, 199999, 524288, 10**9):
+        con.execute("DROP TABLE IF EXISTS embeddings")
+        con.execute(
+            f"CREATE TABLE embeddings AS SELECT * FROM range({n}) t(vec_id)"
+        )
+        got = con.execute(f"SELECT {_REFINE_R_SQL}").fetchone()[0]
+        assert got == refine_shortlist_r(n), n
+
+
+# --- r14 verify-window rotation (r13 verdict ask 1) ---------------------------
+
+
+def test_r14_verify_window_arithmetic():
+    """The driver verifies the FIRST 50 registry entries. Round 14's
+    window, exactly as the r13 rotation comment bound it: the 18-query
+    last-green-r10 tail (one past the 3-round staleness budget) LEADS,
+    then the 9 queries round 14 itself touched (the CCL integral-div
+    tile keys; the three find_structures queries on the shared
+    island-family upstream; the 5 ivfpq-family queries on the
+    persistent cross-session index cache, the refine pair also
+    carrying the wired R ~ pool/10 shortlist policy — TOUCH policy
+    hoists kernel/plan changes, all hashes verified unchanged) in
+    registry order, filled from the last-green-r11 block in REGISTRY
+    ORDER (the fill is pinned as the exact prefix, not a subset). The
+    25-query r11 remainder is the named tail that must lead r15."""
+    import json
+    import os
+
+    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
+
+    here = os.path.dirname(__file__)
+    root = os.path.join(here, "..")
+
+    def load(n):
+        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
+            return set(json.load(f))
+
+    assert len(_VERIFY_FIRST) == 50
+    assert len(set(_VERIFY_FIRST)) == 50
+    assert set(_VERIFY_FIRST) <= set(QUERIES)
+    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
+
+    last_green_r10 = load(10) - load(11) - load(12) - load(13)
+    last_green_r11 = load(11) - load(12) - load(13)
+    # (a) the whole last-green-r10 tail, registry order
+    tail_r10 = [q for q in QUERIES if q in last_green_r10]
+    assert len(tail_r10) == 18
+    assert _VERIFY_FIRST[:18] == tail_r10
+    # (b) round-14 touched, registry order
+    touched_r14 = [
+        "distributed_label_contract",
+        "find_structures_island",
+        "find_structures_contract",
+        "find_structures_multi8",
+        "ivfpq_persist_topk",
+        "ivfpq_recall_contract",
+        "ivfpq_refine_topk",
+        "ivfpq_refine_recall",
+        "ivfpq_nprobe_curve",
+    ]
+    assert _VERIFY_FIRST[18:27] == touched_r14
+    # (c) fill = the FIRST 23 of the last-green-r11 block in registry
+    # order (pinned exactly, not as a subset)
+    r11_block = [
+        q for q in QUERIES if q in last_green_r11 and q not in touched_r14
+    ]
+    assert _VERIFY_FIRST[27:] == r11_block[:23]
+    # the named r15 lead debt: the 25-query r11 remainder
+    assert len(r11_block[23:]) == 25
