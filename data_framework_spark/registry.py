@@ -1029,102 +1029,97 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-13 rotation, executed exactly as round 12's comment (and the
-# r12 verdict's #1 ask) bound it: (a) the 17-query last-green-r9 TAIL
-# leads — at r13 those rows are 4 rounds old, one past budget, and
-# may not be deferred again; then (b) the queries round 13 ITSELF
-# touched, in registry order: distributed_label_contract (NEW — the
-# tile-stitch CCL census contract, r12 verdict ask 5),
-# semantic_dedup_scaled (assignment arithmetic moved to the shared
-# shape-independent einsum reduction — engine detail, parity
-# test-pinned, TOUCH policy hoists it), and the 5 ivfpq-family
-# queries whose hashes the measured ncells 16->32 / refine-nprobe
-# 8->16 adoption changes (r12 verdict ask 3; the pq_* queries are
-# raw-vector PQ and do not depend on ncells — verified unchanged),
-# plus pq_adc_topk, whose HASH is unchanged but whose ADC join moved
-# to the r13 array-form LUT (TOUCH policy: kernel change outranks
-# merely-old rows, the semantic_dedup_scaled r12 precedent); then
-# (c) the first 25 of the 43-query last-green-r10 block in registry
-# order. 17+8+25 = exactly 50. The 18-query r10 remainder
-# (json_props_events, tpch_q1, tpch_q3, tpch_q5, tpch_q6,
-# top_k_orders, group_rollup, tpch_q4_semijoin, skew_salted_agg,
-# minhash_near_dup_pairs, dedup_clusters, tiled_gaussian_grid,
-# halo_smooth_multi_t, bpe_tokenize, rolling_zscore,
-# bm25_postings_topk, bm25_adhoc_topk, bpe_heldout_coverage) is
-# named debt that must LEAD round 14's window — at r14 those rows
-# are 4 rounds old, one past budget; after
-# it ~32 slots remain for r14-touched rows and the oldest of the
-# r11 block. The 160-query registry cycles in ~3.2 windows, so a
-# <=4-round worst case stays structural until the window grows or
-# the registry shrinks.
+# Round-14 rotation, executed exactly as round 13's comment (and the
+# r13 verdict's #1 ask) bound it: (a) the 18-query last-green-r10 TAIL
+# leads — at r14 those rows are 4 rounds old, one past budget, and
+# may not be deferred again; then (b) the 9 queries round 14 ITSELF
+# touched, in registry order (TOUCH policy: kernel/plan change
+# outranks merely-old rows; every hash verified unchanged at sf0.01
+# before the rotation): distributed_label_contract (tile keys moved
+# to integral `div` — r13 advisory), the three find_structures
+# queries (the shared 8-phase island-family upstream, r13 verdict
+# ask 4), and the 5 ivfpq-family queries (the cross-session
+# persistent index cache, r13 verdict ask 2; the refine pair
+# additionally carries the WIRED R ~ pool/10 shortlist policy whose
+# oracle now re-derives R from count(*) — r13 verdict ask 3, adopted
+# in place of the measured-and-deferred ncells~sqrt(N) candidate);
+# then (c) the first 23 of the 48-query last-green-r11 block in
+# registry order. 18+9+23 = exactly 50. The 25-query r11 remainder
+# (cube_orders, pivot_events, asof_attribution, range_join_clicks,
+# scalar_fns_events, sessionize_events, text_stats, lang_profile,
+# winnow_fingerprint, token_regex_profile, corpus_mix,
+# pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
+# embedding_dedup_lsh, ann_recall_contract, orc_roundtrip,
+# rolling_median_events, hll_union_contract_events,
+# benchmark_decontam, dup_ngram_fraction, heaps_fit, bpe_merges,
+# pagerank_neardup_lsh, bpe_batched_merges) is named debt that must
+# LEAD round 15's window — at r15 those rows are 4 rounds old, one
+# past budget; after it ~25 slots remain for r15-touched rows and
+# the oldest of the r12 block. The 160-query registry cycles in
+# ~3.2 windows, so a <=4-round worst case stays structural until the
+# window grows or the registry shrinks.
 #
-# Retire-or-keep (r12 verdict ask 7, decided): the registry grows
-# 159 -> 160 this round — the ONE addition is
-# distributed_label_contract, mandated by the r12 verdict's ask 5 (a
-# driver row for the tile-stitch CCL route, which no existing grid
-# query exercises: the shipped grids are rightly single-tile). +1 is
-# inside the <=3-4/round budget and lengthens the cycle by <0.1
-# windows; no retirement pairs with it because the near-duplicate
-# hedge pairs were re-adjudicated KEEP in r12 (different physical
-# dtype families, each with an independent catch record) and nothing
-# else is redundant.
+# Retire-or-keep (r13 verdict ask 7, decided): the registry stays
+# FLAT at 160 this round — r14 added no queries (the R-policy
+# adoption re-uses the existing refine pair, whose oracles now derive
+# R from their own count; the ncells~sqrt(N) candidate was measured
+# and deferred, so no new contract was mandated) and retired none.
 _VERIFY_FIRST: list[str] = [
-    # -- (a) the last-green-r9 tail, one past budget, registry order --
-    "stratified_split",
-    "unigram_logprob",
-    "zipf_fit",
-    "semantic_dedup",
-    "domain_mix",
-    "ks_drift",
-    "cluster_purity",
-    "cdc_chunks",
-    "snapshot_diff",
-    "k_anonymity",
-    "streaming_heavy_hitters",
-    "pagerank_neardup",
-    "multimodal_embed_topk",
-    "text_normalize",
-    "incremental_agg_refresh",
-    "funnel_stages",
-    "bpe_detok_roundtrip",
-    # -- (b) round-13 touched, registry order: the new distributed-CCL
-    # -- contract, the einsum assignment switch, the ncells=32 adoption,
-    # -- and the array-LUT ADC plan change (pq_adc_topk hash-unchanged
-    # -- but kernel-touched; TOUCH policy hoists it) --
+    # -- (a) the last-green-r10 tail, one past budget, registry order --
+    "json_props_events",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_orders",
+    "group_rollup",
+    "tpch_q4_semijoin",
+    "skew_salted_agg",
+    "minhash_near_dup_pairs",
+    "dedup_clusters",
+    "tiled_gaussian_grid",
+    "halo_smooth_multi_t",
+    "bpe_tokenize",
+    "rolling_zscore",
+    "bm25_postings_topk",
+    "bm25_adhoc_topk",
+    "bpe_heldout_coverage",
+    # -- (b) round-14 touched, registry order: the CCL div tile keys,
+    # -- the shared island-family upstream, the persistent ivfpq index
+    # -- cache + the wired refine-R policy (hashes all unchanged) --
     "distributed_label_contract",
-    "semantic_dedup_scaled",
-    "pq_adc_topk",
+    "find_structures_island",
+    "find_structures_contract",
+    "find_structures_multi8",
     "ivfpq_persist_topk",
     "ivfpq_recall_contract",
     "ivfpq_refine_topk",
     "ivfpq_refine_recall",
     "ivfpq_nprobe_curve",
-    # -- (c) first 25 of the last-green-r10 block, registry order --
-    "bounds_lineitem",
-    "label_extrema_lineitem",
-    "gaussian_smooth_grid",
-    "extrema_filter_grid",
-    "gap_fill_grid",
-    "dilate_grid",
-    "flood_label_grid",
-    "flood_region_grid",
-    "contours_grid",
-    "running_sum_events",
-    "gradient_events",
-    "fluxfn_grid",
-    "interp_events",
-    "line_slice_linear",
-    "line_slice_nearest",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
-    "stateful_user_totals_live",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    "format_roundtrip",
+    # -- (c) first 23 of the last-green-r11 block, registry order --
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "tpch_q11_important_parts",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_suppliers",
+    "distinct_suppliers_by_brand",
+    "set_ops_customers",
+    "bucketed_join_lineitem",
+    "sketch_accuracy_events",
+    "profile_percentiles",
+    "moving_average_events",
 ]
 
 QUERIES = {

@@ -368,62 +368,10 @@ def test_distributed_label_contract_matches_numpy_replica(spark):
 # --- rotation window arithmetic (r13) ----------------------------------------
 
 
-def test_r13_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 13's
-    window, exactly as the r12 rotation comment bound it: the 17-query
-    last-green-r9 tail (one past the 3-round staleness budget) LEADS,
-    then the 8 queries round 13 itself touched (the NEW
-    distributed_label_contract; semantic_dedup_scaled's einsum
-    arithmetic switch; the 5 ivfpq-family queries the ncells=32 /
-    refine-nprobe=16 adoption re-hashes; and pq_adc_topk, whose hash
-    is unchanged but whose ADC join moved to the array-form LUT —
-    TOUCH policy hoists kernel changes) in registry order, filled
-    from the last-green-r10 block in REGISTRY ORDER (the fill is
-    pinned as the exact prefix, not a subset). The 18-query r10
-    remainder is the named tail that must lead r14."""
-    import json
-    import os
-
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r9 = load(9) - load(10) - load(11) - load(12)
-    last_green_r10 = load(10) - load(11) - load(12)
-    # (a) the whole last-green-r9 tail, registry order
-    tail_r9 = [q for q in QUERIES if q in last_green_r9]
-    assert len(tail_r9) == 17
-    assert _VERIFY_FIRST[:17] == tail_r9
-    # (b) round-13 touched, registry order
-    touched_r13 = [
-        "distributed_label_contract",
-        "semantic_dedup_scaled",
-        "pq_adc_topk",
-        "ivfpq_persist_topk",
-        "ivfpq_recall_contract",
-        "ivfpq_refine_topk",
-        "ivfpq_refine_recall",
-        "ivfpq_nprobe_curve",
-    ]
-    assert _VERIFY_FIRST[17:25] == touched_r13
-    # (c) fill = the FIRST 25 of the last-green-r10 block in registry
-    # order (pinned exactly, not as a subset)
-    r10_block = [
-        q for q in QUERIES if q in last_green_r10 and q not in touched_r13
-    ]
-    assert _VERIFY_FIRST[25:] == r10_block[:25]
-    # the named r14 lead debt: the 18-query r10 remainder
-    assert len(r10_block[25:]) == 18
+# The r13 rotation-window test was superseded by
+# tests/test_round14.py::test_r14_verify_window_arithmetic — each
+# round's window replaces the previous round's arithmetic pin (the
+# r12 -> r13 precedent).
 
 
 def test_sharded_route_query_level_parity(spark):
