@@ -135,9 +135,122 @@ def trained_codebooks(emb: DataFrame) -> np.ndarray:
         del _BOOKS_CACHE[k]
     got = _BOOKS_CACHE.get(key)
     if got is None:
+        got = _load_persisted_books(local, stamp, _stable_plan_fp(emb))
+    if got is None:
         got = lloyd_subspace_books(emb, "embedding", _codebooks(emb))
-        _BOOKS_CACHE[key] = got
+        _persist_books(local, stamp, _stable_plan_fp(emb), got)
+    _BOOKS_CACHE[key] = got
     return got
+
+
+def _stable_plan_fp(df: DataFrame) -> str:
+    """Cross-SESSION plan fingerprint: the analyzed logical plan's
+    string with exprIds (#NNN — fresh per session) stripped, hashed.
+    semanticHash() serves the SESSION cache (it is what the round-10
+    advisory demanded — a filtered/projected view must never be
+    served full-corpus codebooks) but embeds exprIds, so it differs
+    across sessions for the identical plan; the stripped-plan hash
+    keeps the same derived-frame-distinctness property (a filter or
+    projection changes the plan TEXT) while being stable across
+    sessions. Any JVM hiccup degrades to retrain, never to a wrong
+    codebook."""
+    import hashlib
+    import re
+
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return "no-plan"
+    return hashlib.sha256(re.sub(r"#\d+", "#", s).encode()).hexdigest()[:20]
+
+
+#: Bump on any training-semantics change the digest knobs below don't
+#: capture — a persisted pre-change codebook must be unreachable.
+PQ_BOOKS_FMT = 1
+
+
+def _books_digests(local: str, stamp: tuple, plan_fp: str) -> tuple[str, str]:
+    """(path-digest, content-digest) for the cross-session codebook
+    file: the path digest groups all stamps of one source file (so a
+    rewrite evicts its superseded codebooks), the content digest keys
+    the exact (stamp, plan, knobs) the training consumed."""
+    import hashlib
+    import json
+
+    from data_framework_spark.similarity import train
+
+    pd_ = hashlib.sha256(local.encode()).hexdigest()[:10]
+    cd = hashlib.sha256(
+        json.dumps(
+            {
+                "local": local,
+                "stamp": list(stamp),
+                "plan_fp": plan_fp,
+                "fmt": PQ_BOOKS_FMT,
+                "pq_m": PQ_M,
+                "pq_k": PQ_K,
+                "book_rounds": train.BOOK_ROUNDS,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:20]
+    return pd_, cd
+
+
+def _load_persisted_books(
+    local: str, stamp: tuple, plan_fp: str
+) -> np.ndarray | None:
+    """Reload the trained codebook persisted by a previous session
+    (r14, the ivfpq persistent-index precedent: the codebook is a
+    build artifact — retraining it per session is the cold cost the
+    r13 verdict flagged on pq_adc_topk). Any read problem means
+    retrain, never a wrong codebook (the digest filename pins the
+    exact source stamp + plan + training knobs)."""
+    import os
+
+    from data_framework_spark.sources.formats import _index_cache_root
+
+    pd_, cd = _books_digests(local, stamp, plan_fp)
+    path = os.path.join(_index_cache_root(), f"pq_books_{pd_}_{cd}.npy")
+    try:
+        books = np.load(path)
+    except (OSError, ValueError):
+        return None
+    if books.ndim != 3 or books.shape[0] != PQ_M or books.shape[2] != _SUB:
+        return None
+    return books
+
+
+def _persist_books(
+    local: str, stamp: tuple, plan_fp: str, books: np.ndarray
+) -> None:
+    """Persist the trained codebook for cross-session reload, evicting
+    superseded stamps of the same source file (one live codebook per
+    (source file, plan) — the persistent_index_dir eviction
+    convention). Atomic tmp+rename publication; a failed persist is
+    non-fatal (the session cache still serves this process)."""
+    import glob
+    import os
+
+    from data_framework_spark.sources.formats import _index_cache_root
+
+    pd_, cd = _books_digests(local, stamp, plan_fp)
+    root = _index_cache_root()
+    try:
+        os.makedirs(root, exist_ok=True)
+        final = os.path.join(root, f"pq_books_{pd_}_{cd}.npy")
+        for old in glob.glob(os.path.join(root, f"pq_books_{pd_}_*.npy")):
+            if old != final:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+        tmp = f"{final}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            np.save(fh, books)
+        os.replace(tmp, final)
+    except OSError:
+        pass
 
 
 def _round9(x: np.ndarray) -> np.ndarray:

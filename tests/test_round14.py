@@ -387,15 +387,17 @@ def test_r14_verify_window_arithmetic():
     """The driver verifies the FIRST 50 registry entries. Round 14's
     window, exactly as the r13 rotation comment bound it: the 18-query
     last-green-r10 tail (one past the 3-round staleness budget) LEADS,
-    then the 9 queries round 14 itself touched (the CCL integral-div
+    then the 12 queries round 14 itself touched (the CCL integral-div
     tile keys; the three find_structures queries on the shared
     island-family upstream; the 5 ivfpq-family queries on the
     persistent cross-session index cache, the refine pair also
-    carrying the wired R ~ pool/10 shortlist policy — TOUCH policy
-    hoists kernel/plan changes, all hashes verified unchanged) in
-    registry order, filled from the last-green-r11 block in REGISTRY
-    ORDER (the fill is pinned as the exact prefix, not a subset). The
-    25-query r11 remainder is the named tail that must lead r15."""
+    carrying the wired R ~ pool/10 shortlist policy; the 3 pq-family
+    queries whose trained_codebooks now reloads persisted books —
+    TOUCH policy hoists kernel/plan changes, all hashes verified
+    unchanged) in registry order, filled from the last-green-r11
+    block in REGISTRY ORDER (the fill is pinned as the exact prefix,
+    not a subset). The 28-query r11 remainder is the named tail that
+    must lead r15."""
     import json
     import os
 
@@ -430,13 +432,65 @@ def test_r14_verify_window_arithmetic():
         "ivfpq_refine_topk",
         "ivfpq_refine_recall",
         "ivfpq_nprobe_curve",
+        "pq_codes",
+        "pq_adc_topk",
+        "pq_train_gain",
     ]
-    assert _VERIFY_FIRST[18:27] == touched_r14
+    assert _VERIFY_FIRST[18:30] == touched_r14
     # (c) fill = the FIRST 23 of the last-green-r11 block in registry
     # order (pinned exactly, not as a subset)
     r11_block = [
         q for q in QUERIES if q in last_green_r11 and q not in touched_r14
     ]
-    assert _VERIFY_FIRST[27:] == r11_block[:23]
-    # the named r15 lead debt: the 25-query r11 remainder
-    assert len(r11_block[23:]) == 25
+    assert _VERIFY_FIRST[30:] == r11_block[:20]
+    # the named r15 lead debt: the 28-query r11 remainder
+    assert len(r11_block[20:]) == 28
+
+
+# --- cross-session PQ codebook persistence (r13 verdict, pq_adc cold) ---------
+
+
+def test_pq_books_persist_and_reload_bitwise(spark, cache_root):
+    """trained_codebooks persisted by one 'session' must be reloaded
+    BITWISE by the next (cleared session cache), and a filtered view
+    must never be served the full-corpus books (the round-10 advisory,
+    held across sessions by the stripped-plan fingerprint)."""
+    import numpy as np
+
+    from data_framework_spark.similarity import pq
+    from data_framework_spark.sources.tables import load_table
+
+    pq._BOOKS_CACHE.clear()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = pq.trained_codebooks(emb)
+    pq._BOOKS_CACHE.clear()
+    import time
+
+    t0 = time.perf_counter()
+    b2 = pq.trained_codebooks(emb)
+    reload_s = time.perf_counter() - t0
+    assert np.array_equal(b1, b2)
+    assert reload_s < 2.0  # reload, not retrain (train is >>2 s)
+    # distinct plan -> distinct digest -> no cross-serving
+    filt = emb.filter("vec_id < 300")
+    assert pq._stable_plan_fp(filt) != pq._stable_plan_fp(emb)
+
+
+def test_pq_books_fmt_bump_diverges(spark, cache_root, monkeypatch):
+    from data_framework_spark.similarity import pq
+    from data_framework_spark.sources.tables import load_table
+
+    pq._BOOKS_CACHE.clear()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pq.trained_codebooks(emb)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    assert len(files) == 1
+    pq._BOOKS_CACHE.clear()
+    monkeypatch.setattr(pq, "PQ_BOOKS_FMT", pq.PQ_BOOKS_FMT + 1)
+    pq.trained_codebooks(emb)
+    files2 = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    # same path-digest -> superseded file evicted, one live codebook
+    assert len(files2) == 1 and files2 != files
