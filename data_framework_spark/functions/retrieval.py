@@ -212,6 +212,28 @@ def bm25_topk_from_index(
 
 BM25_INDEX_PREFIX = "bm25_index_"
 
+#: Bump on any bm25_index_write semantics change (tokenization,
+#: postings layout, bucket count) — the persistent cross-session
+#: cache keys on it.
+BM25_INDEX_FMT = 1
+_BM25_INDEX_PARAMS = {"fmt": BM25_INDEX_FMT, "tbuckets": 32}
+
+
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted full-vocab postings index for sf_dir — built at
+    most once ACROSS sessions (r14, the ivfpq persistent-index
+    precedent: production retrieval serving reloads the postings, it
+    does not re-tokenize the corpus per session)."""
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    return persistent_index_dir(
+        spark,
+        sf_dir,
+        BM25_INDEX_PREFIX,
+        lambda p: bm25_index_write(load_table(spark, sf_dir, "documents"), p),
+        params=_BM25_INDEX_PARAMS,
+    )
+
 
 def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-INVERTED-INDEX route to the same BM25 result —
@@ -225,18 +247,9 @@ def q_bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares `Q_BM25_TOPK_SQL` as its oracle (the registry dual-route
     convention, e.g. pagerank exact vs LSH): same scores, different
     physical plan — a posting lost, re-bucketed, or type-mangled by
-    the parquet roundtrip breaks the hash. Build-once/reload-many via
-    the shared formats.session_index_dir registry."""
-    from data_framework_spark.sources.formats import session_index_dir
-
-    path = session_index_dir(
-        spark,
-        sf_dir,
-        BM25_INDEX_PREFIX,
-        lambda p: bm25_index_write(
-            load_table(spark, sf_dir, "documents"), p
-        ),
-    )
+    the parquet roundtrip breaks the hash. Build-at-most-once ACROSS
+    sessions via _bm25_index_dir / formats.persistent_index_dir."""
+    path = _bm25_index_dir(spark, sf_dir)
     return bm25_topk_from_index(spark, path, BM25_TERMS, BM25_TOPK)
 
 
@@ -253,16 +266,7 @@ def q_bm25_adhoc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) — no rebuild, test-pinned in test_round9), only the
     bounded term-list inputs change. The 4-term score exercises the
     generic tix-sorted fold beyond the fixed 3-term shape."""
-    from data_framework_spark.sources.formats import session_index_dir
-
-    path = session_index_dir(
-        spark,
-        sf_dir,
-        BM25_INDEX_PREFIX,
-        lambda p: bm25_index_write(
-            load_table(spark, sf_dir, "documents"), p
-        ),
-    )
+    path = _bm25_index_dir(spark, sf_dir)
     return bm25_topk_from_index(spark, path, BM25_ADHOC_TERMS, BM25_TOPK)
 
 

@@ -1032,7 +1032,7 @@ QUERIES: dict[str, Query] = {
 # Round-14 rotation, executed exactly as round 13's comment (and the
 # r13 verdict's #1 ask) bound it: (a) the 18-query last-green-r10 TAIL
 # leads — at r14 those rows are 4 rounds old, one past budget, and
-# may not be deferred again; then (b) the 12 queries round 14 ITSELF
+# may not be deferred again; then (b) the 13 queries round 14 ITSELF
 # touched, in registry order (TOUCH policy: kernel/plan change
 # outranks merely-old rows; every hash verified unchanged at sf0.01
 # before the rotation): distributed_label_contract (tile keys moved
@@ -1045,11 +1045,15 @@ QUERIES: dict[str, Query] = {
 # in place of the measured-and-deferred ncells~sqrt(N) candidate),
 # plus the 3 pq-family queries whose trained_codebooks call now
 # reloads the cross-session persisted books (hashes unchanged,
-# kernel touched — the r13 pq_adc_topk precedent); then (c) the
-# first 20 of the 48-query last-green-r11 block in registry order.
-# 18+12+20 = exactly 50. The 28-query r11 remainder
-# (sketch_accuracy_events, profile_percentiles,
-# moving_average_events, cube_orders, pivot_events, asof_attribution, range_join_clicks,
+# kernel touched — the r13 pq_adc_topk precedent), plus
+# ivf_persist_roundtrip (its build moved to the same persistent
+# route; the two bm25 index queries it shares the change with are
+# already leading in block (a) as r10 debt); then (c) the
+# first 19 of the 48-query last-green-r11 block in registry order.
+# 18+13+19 = exactly 50. The 28-query r11 remainder
+# (bucketed_join_lineitem, sketch_accuracy_events,
+# profile_percentiles, moving_average_events, cube_orders,
+# pivot_events, asof_attribution, range_join_clicks,
 # scalar_fns_events, sessionize_events, text_stats, lang_profile,
 # winnow_fingerprint, token_regex_profile, corpus_mix,
 # pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
@@ -1058,7 +1062,7 @@ QUERIES: dict[str, Query] = {
 # benchmark_decontam, dup_ngram_fraction, heaps_fit, bpe_merges,
 # pagerank_neardup_lsh, bpe_batched_merges) is named debt that must
 # LEAD round 15's window — at r15 those rows are 4 rounds old, one
-# past budget; after it ~22 slots remain for r15-touched rows and
+# past budget; after it ~21 slots remain for r15-touched rows and
 # the oldest of the r12 block. The 160-query registry cycles in
 # ~3.2 windows, so a <=4-round worst case stays structural until the
 # window grows or the registry shrinks.
@@ -1103,7 +1107,8 @@ _VERIFY_FIRST: list[str] = [
     "pq_codes",
     "pq_adc_topk",
     "pq_train_gain",
-    # -- (c) first 20 of the last-green-r11 block, registry order --
+    "ivf_persist_roundtrip",
+    # -- (c) first 19 of the last-green-r11 block, registry order --
     "tpch_q7_volume",
     "tpch_q8_market_share",
     "tpch_q10_returns",
@@ -1123,7 +1128,6 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q20_excess_suppliers",
     "distinct_suppliers_by_brand",
     "set_ops_customers",
-    "bucketed_join_lineitem",
 ]
 
 QUERIES = {

@@ -245,6 +245,10 @@ def ivf_topk_from_index(
 
 IVF_INDEX_PREFIX = "ivf_index_"
 
+#: Bump on any ivf_index_write semantics change the params below
+#: don't capture (the persistent cross-session cache keys on these).
+IVF_INDEX_FMT = 1
+
 
 def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index persisted to parquet and searched after reload: the
@@ -252,17 +256,19 @@ def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments come back from the partitioned on-disk index instead
     of the in-memory build. Oracle = the exact same SQL as
     q_ann_ivf_topk — a row lost, re-assigned, or type-mangled by the
-    parquet roundtrip breaks the hash. Build-once/reload-many via the
-    shared formats.session_index_dir registry (bench cold = build,
-    warm = reload)."""
-    from data_framework_spark.sources.formats import session_index_dir
+    parquet roundtrip breaks the hash. Build-at-most-once ACROSS
+    sessions via formats.persistent_index_dir (r14, the ivfpq
+    precedent: cold = reload when a matching persisted index exists,
+    else build; warm = reload)."""
+    from data_framework_spark.sources.formats import persistent_index_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = session_index_dir(
+    path = persistent_index_dir(
         spark,
         sf_dir,
         IVF_INDEX_PREFIX,
         lambda p: ivf_index_write(emb, p, "vec_id", "embedding", ncells=16),
+        params={"fmt": IVF_INDEX_FMT, "ncells": 16, "id": "vec_id"},
     )
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk_from_index(

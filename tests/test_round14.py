@@ -387,17 +387,17 @@ def test_r14_verify_window_arithmetic():
     """The driver verifies the FIRST 50 registry entries. Round 14's
     window, exactly as the r13 rotation comment bound it: the 18-query
     last-green-r10 tail (one past the 3-round staleness budget) LEADS,
-    then the 12 queries round 14 itself touched (the CCL integral-div
+    then the 13 queries round 14 itself touched (the CCL integral-div
     tile keys; the three find_structures queries on the shared
     island-family upstream; the 5 ivfpq-family queries on the
     persistent cross-session index cache, the refine pair also
     carrying the wired R ~ pool/10 shortlist policy; the 3 pq-family
-    queries whose trained_codebooks now reloads persisted books —
-    TOUCH policy hoists kernel/plan changes, all hashes verified
-    unchanged) in registry order, filled from the last-green-r11
-    block in REGISTRY ORDER (the fill is pinned as the exact prefix,
-    not a subset). The 28-query r11 remainder is the named tail that
-    must lead r15."""
+    queries whose trained_codebooks now reloads persisted books, and
+    ivf_persist_roundtrip on the same persistent route — TOUCH policy
+    hoists kernel/plan changes, all hashes verified unchanged) in
+    registry order, filled from the last-green-r11 block in REGISTRY
+    ORDER (the fill is pinned as the exact prefix, not a subset). The
+    28-query r11 remainder is the named tail that must lead r15."""
     import json
     import os
 
@@ -435,16 +435,17 @@ def test_r14_verify_window_arithmetic():
         "pq_codes",
         "pq_adc_topk",
         "pq_train_gain",
+        "ivf_persist_roundtrip",
     ]
-    assert _VERIFY_FIRST[18:30] == touched_r14
+    assert _VERIFY_FIRST[18:31] == touched_r14
     # (c) fill = the FIRST 23 of the last-green-r11 block in registry
     # order (pinned exactly, not as a subset)
     r11_block = [
         q for q in QUERIES if q in last_green_r11 and q not in touched_r14
     ]
-    assert _VERIFY_FIRST[30:] == r11_block[:20]
+    assert _VERIFY_FIRST[31:] == r11_block[:19]
     # the named r15 lead debt: the 28-query r11 remainder
-    assert len(r11_block[20:]) == 28
+    assert len(r11_block[19:]) == 28
 
 
 # --- cross-session PQ codebook persistence (r13 verdict, pq_adc cold) ---------
