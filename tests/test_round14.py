@@ -495,3 +495,49 @@ def test_pq_books_fmt_bump_diverges(spark, cache_root, monkeypatch):
     files2 = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
     # same path-digest -> superseded file evicted, one live codebook
     assert len(files2) == 1 and files2 != files
+
+
+def test_sharded_salting_randomized_sweep(spark):
+    """Randomized geometries (isotropic, clustered, mixed-norm) ×
+    salt ∈ {1, 2, 5}: the salted sharded route must equal the flat
+    in-driver route on every corpus — the r13 deep-sweep precedent
+    applied to the r14 salting escape."""
+    import numpy as np
+
+    from data_framework_spark.similarity.semantic import (
+        _assign_clusters_arrow,
+        _assign_clusters_sharded,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(20260816 + seed)
+        n, k, dim = 150 + 50 * seed, 9 + seed, 16
+        if seed % 2:
+            centers = rng.standard_normal((3, dim))
+            X = centers[rng.integers(0, 3, n)] + 0.05 * rng.standard_normal(
+                (n, dim)
+            )
+        else:
+            X = rng.standard_normal((n, dim))
+        X *= rng.uniform(0.2, 5.0, size=(n, 1))  # mixed norms
+        C = X[:k] * rng.uniform(0.5, 2.0, size=(k, 1))
+        cents_rows = [(i, [float(x) for x in C[i]]) for i in range(k)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        cents_df = spark.createDataFrame(
+            cents_rows, "cent_id long, cent array<double>"
+        )
+        flat = {
+            r["vec_id"]: r["cluster"]
+            for r in _assign_clusters_arrow(emb, cents_rows).collect()
+        }
+        for s in (1, 2, 5):
+            got = {
+                r["vec_id"]: r["cluster"]
+                for r in _assign_clusters_sharded(
+                    emb, cents_df, salt=s
+                ).collect()
+            }
+            assert got == flat and len(got) == n, (seed, s)
