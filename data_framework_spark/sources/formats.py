@@ -175,7 +175,11 @@ def persistent_index_dir(
     ).hexdigest()[:20]
     key = (app, sf_dir, prefix, fp)
     got = _INDEX_DIRS.get(key)
-    if got and os.path.isfile(os.path.join(got, "manifest.json")):
+    # the session registry key omits params (get_index_dir's 4-tuple
+    # contract), so the fast path validates the manifest DIGEST: a
+    # same-prefix call with different params in one session must miss
+    # here and resolve its own directory, never be served this one
+    if got and _manifest_ok(got, digest):
         return got
     root = _index_cache_root()
     os.makedirs(root, exist_ok=True)

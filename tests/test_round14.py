@@ -541,3 +541,23 @@ def test_sharded_salting_randomized_sweep(spark):
                 ).collect()
             }
             assert got == flat and len(got) == n, (seed, s)
+
+
+def test_persistent_index_same_session_param_change_not_served(spark, cache_root):
+    """Two same-prefix calls with DIFFERENT params inside one session:
+    the second must never be served the first's directory (the session
+    registry keys on (app, sf_dir, prefix, fingerprint) only — the
+    fast path must re-validate the manifest digest)."""
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    builds = []
+    p1 = persistent_index_dir(
+        spark, SF_SMALL, "r14unit_", lambda p: builds.append(p),
+        params={"fmt": 1, "ncells": 16},
+    )
+    # NO session-registry forget — same session, different params
+    p2 = persistent_index_dir(
+        spark, SF_SMALL, "r14unit_", lambda p: builds.append(p),
+        params={"fmt": 1, "ncells": 64},
+    )
+    assert p2 != p1 and len(builds) == 2
