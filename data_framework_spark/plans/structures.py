@@ -675,23 +675,31 @@ def q_find_structures_contract(spark, sf_dir: str):
     for i, (pz, px) in enumerate(opts):
         rows.append((f"o{i}_z", round(float(pz), 4) + 0.0))
         rows.append((f"o{i}_x", round(float(px), 4) + 0.0))
-    # one job over the cached kernel frame for all three counts
+    # ONE action for all three mask counts AND the flux range: the
+    # two 1-row aggregates are crossJoined (the repo's one-row-stats
+    # crossJoin convention) so the driver pays one job round-trip,
+    # not two (r14 profile: the contract was the family's most
+    # expensive warm query on driver-side job count)
     names = ("separatrices", "o_structures", "current_sheets")
-    crow = ds.masks_df.agg(
-        *[F.count(F.when(F.col(n) != 0.0, F.lit(1))).alias(n) for n in names]
-    ).collect()[0]
-    for name in names:
-        rows.append((f"{name}_cells", float(crow[name])))
-    flux_mm = (
-        ds.variables["flux_fn"]
-        .df.agg(
-            F.round(F.min("value"), 4).alias("lo"),
-            F.round(F.max("value"), 4).alias("hi"),
+    crow = (
+        ds.masks_df.agg(
+            *[
+                F.count(F.when(F.col(n) != 0.0, F.lit(1))).alias(n)
+                for n in names
+            ]
+        )
+        .crossJoin(
+            ds.variables["flux_fn"].df.agg(
+                F.round(F.min("value"), 4).alias("lo"),
+                F.round(F.max("value"), 4).alias("hi"),
+            )
         )
         .collect()[0]
     )
-    rows.append(("fluxfn_min", float(flux_mm["lo"])))
-    rows.append(("fluxfn_max", float(flux_mm["hi"])))
+    for name in names:
+        rows.append((f"{name}_cells", float(crow[name])))
+    rows.append(("fluxfn_min", float(crow["lo"])))
+    rows.append(("fluxfn_max", float(crow["hi"])))
     for df in getattr(ds, "scratch_cached", []):
         df.unpersist()
     return spark.createDataFrame(rows, schema="metric string, value double")
