@@ -520,19 +520,51 @@ def _build_island_family_fields(spark) -> DataFrame:
     )
 
 
+#: Bump on any family-construction or upstream-derivation change —
+#: the cross-session parquet cache keys on it.
+ISLAND_FAMILY_FMT = 1
+
+
 def island_family_upstream(
     spark, sf_dir: str, tmap: list[tuple[float, int]]
 ) -> DataFrame:
     """The session-cached family upstream sliced to `tmap`'s
     [(query_t, phase_index)] pairs, with family t (= phase index)
-    remapped to the query's own timestep values."""
-    from data_framework_spark.similarity.ann import cached_route
+    remapped to the query's own timestep values.
 
+    The derived frame additionally persists to parquet ACROSS
+    sessions (r14, the persistent-index-cache convention): the family
+    is a deterministic synthetic artifact, so a fresh session reloads
+    the 8×7680-row parquet instead of re-running the smoothing/flux
+    jobs. binary64 roundtrips parquet exactly, and every kernel
+    groups by t, so row order is immaterial — bitwise outputs either
+    way (the slice-vs-standalone test covers the reloaded route for
+    every session after the first)."""
+    from data_framework_spark.similarity.ann import cached_route
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    def _materialize(path: str) -> None:
+        _build_island_family_fields(spark).write.mode("overwrite").parquet(
+            f"{path}/fields"
+        )
+
+    fam_dir = persistent_index_dir(
+        spark,
+        sf_dir,
+        "island_family_",
+        _materialize,
+        params={
+            "fmt": ISLAND_FAMILY_FMT,
+            "nt": ISLAND_FAMILY_NT,
+            "smoothing": ISLAND_FAMILY_SMOOTHING,
+            "grid": "120x64",
+        },
+    )
     fam = cached_route(
         spark,
         sf_dir,
         "island_family_fields",
-        lambda: _build_island_family_fields(spark),
+        lambda: spark.read.parquet(f"{fam_dir}/fields"),
     )
     remap = F.create_map(
         *[F.lit(v) for qt, p in tmap for v in (float(p), float(qt))]
