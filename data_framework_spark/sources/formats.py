@@ -207,11 +207,18 @@ def persistent_index_dir(
         tmp = f"{final}.build-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        build(tmp)
-        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
-            json.dump(
-                {"digest": digest, "sf_dir": sf_abs, "params": params}, fh
-            )
+        try:
+            build(tmp)
+            with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+                json.dump(
+                    {"digest": digest, "sf_dir": sf_abs, "params": params},
+                    fh,
+                )
+        except BaseException:
+            # a failed build must not orphan its tmp tree (eviction
+            # deliberately never touches in-flight ".build-" dirs)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, final)
         except OSError:

@@ -561,3 +561,29 @@ def test_persistent_index_same_session_param_change_not_served(spark, cache_root
         params={"fmt": 1, "ncells": 64},
     )
     assert p2 != p1 and len(builds) == 2
+
+
+def test_persistent_index_failed_build_leaves_no_tmp(spark, cache_root):
+    """A build that raises must clean its .build- tmp tree (eviction
+    deliberately never touches in-flight dirs, so a leak here would
+    be permanent) and leave the cache serviceable for a retry."""
+    import glob
+
+    import pytest as _pytest
+
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    def bad(p):
+        raise RuntimeError("boom")
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        persistent_index_dir(
+            spark, SF_SMALL, "r14unit_", bad, params={"fmt": 1}
+        )
+    assert glob.glob(os.path.join(cache_root, "*.build-*")) == []
+    ok = []
+    p = persistent_index_dir(
+        spark, SF_SMALL, "r14unit_", lambda q: ok.append(q),
+        params={"fmt": 1},
+    )
+    assert ok and os.path.isdir(p)
