@@ -224,14 +224,23 @@ def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
     most once ACROSS sessions (r14, the ivfpq persistent-index
     precedent: production retrieval serving reloads the postings, it
     does not re-tokenize the corpus per session)."""
-    from data_framework_spark.sources.formats import persistent_index_dir
+    from data_framework_spark.functions import text as text_mod
+    from data_framework_spark.sources.formats import (
+        build_source_fp,
+        persistent_index_dir,
+    )
 
     return persistent_index_dir(
         spark,
         sf_dir,
         BM25_INDEX_PREFIX,
         lambda p: bm25_index_write(load_table(spark, sf_dir, "documents"), p),
-        params=_BM25_INDEX_PARAMS,
+        params={
+            **_BM25_INDEX_PARAMS,
+            # tokenization lives in functions/text.py — outside the
+            # auto-folded defining module of the build lambda
+            "dep_src": build_source_fp(text_mod),
+        },
     )
 
 

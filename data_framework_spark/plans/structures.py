@@ -540,8 +540,13 @@ def island_family_upstream(
     groups by t, so row order is immaterial — bitwise outputs either
     way (the slice-vs-standalone test covers the reloaded route for
     every session after the first)."""
+    from data_framework_spark.kernels import ndimage as ndimage_mod
+    from data_framework_spark.plans import tile_kernel as tile_mod
     from data_framework_spark.similarity.ann import cached_route
-    from data_framework_spark.sources.formats import persistent_index_dir
+    from data_framework_spark.sources.formats import (
+        build_source_fp,
+        persistent_index_dir,
+    )
 
     def _materialize(path: str) -> None:
         _build_island_family_fields(spark).write.mode("overwrite").parquet(
@@ -558,6 +563,9 @@ def island_family_upstream(
             "nt": ISLAND_FAMILY_NT,
             "smoothing": ISLAND_FAMILY_SMOOTHING,
             "grid": "120x64",
+            # the smoothing/tile kernels the build composes live
+            # outside the auto-folded defining module
+            "dep_src": build_source_fp(ndimage_mod, tile_mod),
         },
     )
     fam = cached_route(

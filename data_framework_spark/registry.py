@@ -1056,16 +1056,19 @@ QUERIES: dict[str, Query] = {
 # pivot_events, asof_attribution, range_join_clicks,
 # scalar_fns_events, sessionize_events, text_stats, lang_profile,
 # winnow_fingerprint, token_regex_profile, corpus_mix,
-# pack_sequences, ivf_persist_roundtrip, embedding_near_dups,
+# pack_sequences, embedding_near_dups,
 # embedding_dedup_lsh, ann_recall_contract, orc_roundtrip,
 # rolling_median_events, hll_union_contract_events,
 # benchmark_decontam, dup_ngram_fraction, heaps_fit, bpe_merges,
 # pagerank_neardup_lsh, bpe_batched_merges) is named debt that must
 # LEAD round 15's window — at r15 those rows are 4 rounds old, one
-# past budget; after it ~21 slots remain for r15-touched rows and
-# the oldest of the r12 block. The 160-query registry cycles in
-# ~3.2 windows, so a <=4-round worst case stays structural until the
-# window grows or the registry shrinks.
+# past budget (ivf_persist_roundtrip, originally in this block, was
+# hoisted into and verified green in r14's touched block (b), so the
+# remainder is exactly these 28 names — r14 advisory); after it ~21
+# slots remain for r15-touched rows and the oldest of the r12 block.
+# The 160-query registry cycles in ~3.2 windows, so a <=4-round
+# worst case stays structural until the window grows or the registry
+# shrinks.
 #
 # Retire-or-keep (r13 verdict ask 7, decided): the registry stays
 # FLAT at 160 this round — r14 added no queries (the R-policy

@@ -260,7 +260,11 @@ def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions via formats.persistent_index_dir (r14, the ivfpq
     precedent: cold = reload when a matching persisted index exists,
     else build; warm = reload)."""
-    from data_framework_spark.sources.formats import persistent_index_dir
+    from data_framework_spark.similarity import ann as ann_mod
+    from data_framework_spark.sources.formats import (
+        build_source_fp,
+        persistent_index_dir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = persistent_index_dir(
@@ -268,7 +272,14 @@ def q_ivf_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         IVF_INDEX_PREFIX,
         lambda p: ivf_index_write(emb, p, "vec_id", "embedding", ncells=16),
-        params={"fmt": IVF_INDEX_FMT, "ncells": 16, "id": "vec_id"},
+        params={
+            "fmt": IVF_INDEX_FMT,
+            "ncells": 16,
+            "id": "vec_id",
+            # cell assignment leans on ann.cosine — outside the
+            # auto-folded defining module of the build lambda
+            "dep_src": build_source_fp(ann_mod),
+        },
     )
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk_from_index(

@@ -409,7 +409,10 @@ def session_ivfpq_index(
     an ncells adoption or a Lloyd-round change diverges the cache key
     and rebuilds — hashes can never be served from a stale index."""
     from data_framework_spark.similarity import train
-    from data_framework_spark.sources.formats import persistent_index_dir
+    from data_framework_spark.sources.formats import (
+        build_source_fp,
+        persistent_index_dir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     return persistent_index_dir(
@@ -424,6 +427,10 @@ def session_ivfpq_index(
             "pq_k": int(PQ_K),
             "coarse_rounds": int(train.COARSE_ROUNDS),
             "book_rounds": int(train.BOOK_ROUNDS),
+            # the Lloyd trainer lives in train.py — outside the
+            # auto-folded defining module of the build lambda, so a
+            # training-semantics edit there must diverge the key too
+            "train_src": build_source_fp(train),
         },
     )
 

@@ -134,16 +134,18 @@ def trained_codebooks(emb: DataFrame) -> np.ndarray:
     for k in [k for k in _BOOKS_CACHE if k[0] != app]:
         del _BOOKS_CACHE[k]
     got = _BOOKS_CACHE.get(key)
-    if got is None:
-        got = _load_persisted_books(local, stamp, _stable_plan_fp(emb))
+    plan_fp = _stable_plan_fp(emb) if got is None else None
+    if got is None and plan_fp is not None:
+        got = _load_persisted_books(local, stamp, plan_fp)
     if got is None:
         got = lloyd_subspace_books(emb, "embedding", _codebooks(emb))
-        _persist_books(local, stamp, _stable_plan_fp(emb), got)
+        if plan_fp is not None:
+            _persist_books(local, stamp, plan_fp, got)
     _BOOKS_CACHE[key] = got
     return got
 
 
-def _stable_plan_fp(df: DataFrame) -> str:
+def _stable_plan_fp(df: DataFrame) -> str | None:
     """Cross-SESSION plan fingerprint: the analyzed logical plan's
     string with exprIds (#NNN — fresh per session) stripped, hashed.
     semanticHash() serves the SESSION cache (it is what the round-10
@@ -152,15 +154,17 @@ def _stable_plan_fp(df: DataFrame) -> str:
     across sessions for the identical plan; the stripped-plan hash
     keeps the same derived-frame-distinctness property (a filter or
     projection changes the plan TEXT) while being stable across
-    sessions. Any JVM hiccup degrades to retrain, never to a wrong
-    codebook."""
+    sessions. A JVM/py4j hiccup returns None and the caller skips
+    BOTH persisted-load and persist (retrain-only) — a shared
+    fallback token would let two DIFFERENT frames over the same
+    source file cross-serve each other's books (r14 advisory)."""
     import hashlib
     import re
 
     try:
         s = df._jdf.queryExecution().analyzed().toString()
     except Exception:
-        return "no-plan"
+        return None
     return hashlib.sha256(re.sub(r"#\d+", "#", s).encode()).hexdigest()[:20]
 
 
@@ -171,15 +175,19 @@ PQ_BOOKS_FMT = 1
 
 def _books_digests(local: str, stamp: tuple, plan_fp: str) -> tuple[str, str]:
     """(path-digest, content-digest) for the cross-session codebook
-    file: the path digest groups all stamps of one source file (so a
-    rewrite evicts its superseded codebooks), the content digest keys
-    the exact (stamp, plan, knobs) the training consumed."""
+    file: the path digest groups all stamps of one (source file, plan)
+    pair (so a source rewrite evicts its superseded codebooks without
+    two distinct plans over the same file thrashing each other's
+    persisted books — r14 advisory), the content digest keys the
+    exact (stamp, plan, knobs, build-code) the training consumed."""
     import hashlib
     import json
+    import sys
 
     from data_framework_spark.similarity import train
+    from data_framework_spark.sources.formats import build_source_fp
 
-    pd_ = hashlib.sha256(local.encode()).hexdigest()[:10]
+    pd_ = hashlib.sha256(f"{local}\x00{plan_fp}".encode()).hexdigest()[:10]
     cd = hashlib.sha256(
         json.dumps(
             {
@@ -190,6 +198,10 @@ def _books_digests(local: str, stamp: tuple, plan_fp: str) -> tuple[str, str]:
                 "pq_m": PQ_M,
                 "pq_k": PQ_K,
                 "book_rounds": train.BOOK_ROUNDS,
+                # source hash of this module + the Lloyd trainer: a
+                # build-code change diverges the key even when
+                # PQ_BOOKS_FMT is forgotten (r14 verdict ask 3)
+                "build_src": build_source_fp(sys.modules[__name__], train),
             },
             sort_keys=True,
         ).encode()

@@ -127,6 +127,36 @@ def _index_cache_root() -> str:
     )
 
 
+def build_source_fp(*objs) -> str:
+    """sha256 over the SOURCE of each object's defining module —
+    folded into every persistent-cache digest so changed build code
+    can never serve an artifact persisted by older code, even when
+    the author forgets to bump the family's ``*_FMT`` constant (r14
+    verdict ask 3: the FMT constants remain as documentation and as
+    the knob for semantics a source hash can't see, but correctness
+    no longer depends on remembering them). Module-granular on
+    purpose: any edit to the module that defines the build path
+    invalidates the cache — a spurious rebuild is a bounded cold-path
+    cost, a stale index is silent wrongness. Falls back to the
+    object's own source, then to its compiled bytecode, for objects
+    without an importable module (REPL/test lambdas)."""
+    import inspect
+
+    h = hashlib.sha256()
+    for obj in objs:
+        try:
+            h.update(inspect.getsource(inspect.getmodule(obj)).encode())
+            continue
+        except (TypeError, OSError):
+            pass
+        try:
+            h.update(inspect.getsource(obj).encode())
+        except (TypeError, OSError):
+            code = getattr(obj, "__code__", None)
+            h.update(code.co_code if code is not None else repr(obj).encode())
+    return h.hexdigest()[:12]
+
+
 def _manifest_ok(index_dir: str, digest: str) -> bool:
     """True iff index_dir holds a parseable manifest whose digest
     matches — the serve-eligibility check (a missing, truncated, or
@@ -153,15 +183,29 @@ def persistent_index_dir(
     Safety is the digest: `params` must name every build-affecting
     knob (cell counts, Lloyd rounds, codebook sizes, plus a fmt
     version the call site bumps on any build-code change the knobs
-    don't capture). A knob or source-data change diverges the digest,
-    so a stale index is unreachable; superseded directories for the
-    same (prefix, sf_dir) are deleted before the new build publishes
-    (the session_index_dir eviction convention — N rewrites must not
+    don't capture), and the digest additionally folds in
+    build_source_fp(build) — the source hash of the build callable's
+    defining module — so even a FORGOTTEN fmt bump cannot serve a
+    stale artifact after a build-code change (r14 verdict ask 3). A
+    knob, build-code, or source-data change diverges the digest, so a
+    stale index is unreachable; superseded directories for the same
+    (prefix, sf_dir) are deleted before the new build publishes (the
+    session_index_dir eviction convention — N rewrites must not
     hoard N dead index trees). Publication is build-into-tmp +
     atomic os.rename, so a reader never sees a half-written index;
     losing the rename race adopts the winner's identical directory.
     Built (and reloaded) entries are also registered in the session
-    registry so get_index_dir reflects them."""
+    registry so get_index_dir reflects them.
+
+    Concurrency (r14 advisory): the cache root assumes ONE writer
+    code-version per root at a time. Eviction + publish run under an
+    advisory flock per prefix, so two concurrent same-version
+    processes serialize their builds instead of clobbering each
+    other's tmp/publish; but a process running DIFFERENT code or
+    params can still evict a directory another live session already
+    resolved and is lazily reading (Spark scans hold no lock) —
+    point concurrent divergent-version runs at separate roots via
+    SPARK_GRAFT_INDEX_CACHE."""
     app = spark.sparkContext.applicationId
     for key in [k for k in _INDEX_DIRS if k[0] != app]:
         del _INDEX_DIRS[key]
@@ -169,7 +213,11 @@ def persistent_index_dir(
     fp = _sf_fingerprint(sf_dir)
     digest = hashlib.sha256(
         json.dumps(
-            {"sf_dir": sf_abs, "fingerprint": fp, "params": params},
+            {
+                "sf_dir": sf_abs,
+                "fingerprint": fp,
+                "params": {**params, "build_src": build_source_fp(build)},
+            },
             sort_keys=True,
         ).encode()
     ).hexdigest()[:20]
@@ -185,48 +233,8 @@ def persistent_index_dir(
     os.makedirs(root, exist_ok=True)
     final = os.path.join(root, prefix + digest)
     if not _manifest_ok(final, digest):
-        shutil.rmtree(final, ignore_errors=True)  # dead/corrupt tree
-        # evict superseded persisted indexes for this (prefix, sf_dir):
-        # same prefix, different digest, same source directory (or an
-        # unreadable manifest — a dead tree). In-flight ".build-" tmp
-        # dirs of a concurrent builder are never touched.
-        for d in os.listdir(root):
-            if (
-                not d.startswith(prefix)
-                or d == prefix + digest
-                or ".build-" in d
-            ):
-                continue
-            try:
-                with open(os.path.join(root, d, "manifest.json")) as fh:
-                    m = json.load(fh)
-            except (OSError, ValueError):
-                m = None
-            if m is None or m.get("sf_dir") == sf_abs:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        tmp = f"{final}.build-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        try:
-            build(tmp)
-            with open(os.path.join(tmp, "manifest.json"), "w") as fh:
-                json.dump(
-                    {"digest": digest, "sf_dir": sf_abs, "params": params},
-                    fh,
-                )
-        except BaseException:
-            # a failed build must not orphan its tmp tree (eviction
-            # deliberately never touches in-flight ".build-" dirs)
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            # lost the publish race — the winner wrote the same digest,
-            # hence byte-equivalent content (deterministic build)
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not _manifest_ok(final, digest):
-                raise
+        with _prefix_lock(root, prefix):
+            _evict_and_build(root, prefix, digest, final, sf_abs, params, build)
     # register stale-entry eviction + get_index_dir visibility exactly
     # like the session path (a fingerprint change pops the old key and
     # rmtrees its directory — correct for persisted indexes too)
@@ -239,6 +247,83 @@ def persistent_index_dir(
             _SCRATCH_DIRS.remove(stale)
     _INDEX_DIRS[key] = final
     return final
+
+
+def _prefix_lock(root: str, prefix: str):
+    """Advisory per-prefix flock serializing concurrent same-root
+    evict/build/publish cycles (r14 advisory) — see the Concurrency
+    note on persistent_index_dir for what it does NOT protect."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        lock_path = os.path.join(root, f".{prefix}lock")
+        fh = open(lock_path, "a")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to no lock
+                pass
+            yield
+        finally:
+            fh.close()  # releases the flock
+    return _cm()
+
+
+def _evict_and_build(
+    root: str, prefix: str, digest: str, final: str,
+    sf_abs: str, params: dict, build,
+) -> None:
+    """The under-lock body of persistent_index_dir: re-check the
+    final tree (the lock winner may have just published it), evict
+    superseded trees, build into tmp, publish atomically."""
+    if _manifest_ok(final, digest):
+        return
+    shutil.rmtree(final, ignore_errors=True)  # dead/corrupt tree
+    # evict superseded persisted indexes for this (prefix, sf_dir):
+    # same prefix, different digest, same source directory (or an
+    # unreadable manifest — a dead tree). In-flight ".build-" tmp
+    # dirs of a concurrent builder are never touched.
+    for d in os.listdir(root):
+        if (
+            not d.startswith(prefix)
+            or d == prefix + digest
+            or ".build-" in d
+            or d == f".{prefix}lock"
+        ):
+            continue
+        try:
+            with open(os.path.join(root, d, "manifest.json")) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            m = None
+        if m is None or m.get("sf_dir") == sf_abs:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    tmp = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(
+                {"digest": digest, "sf_dir": sf_abs, "params": params},
+                fh,
+            )
+    except BaseException:
+        # a failed build must not orphan its tmp tree (eviction
+        # deliberately never touches in-flight ".build-" dirs)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost the publish race — the winner wrote the same digest,
+        # hence byte-equivalent content (deterministic build)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not _manifest_ok(final, digest):
+            raise
 
 
 def get_index_dir(spark, sf_dir: str, prefix: str) -> str | None:

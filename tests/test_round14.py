@@ -438,7 +438,7 @@ def test_r14_verify_window_arithmetic():
         "ivf_persist_roundtrip",
     ]
     assert _VERIFY_FIRST[18:31] == touched_r14
-    # (c) fill = the FIRST 23 of the last-green-r11 block in registry
+    # (c) fill = the FIRST 19 of the last-green-r11 block in registry
     # order (pinned exactly, not as a subset)
     r11_block = [
         q for q in QUERIES if q in last_green_r11 and q not in touched_r14
