@@ -1,0 +1,156 @@
+"""Round-15 additions: the forgotten-FMT-bump hardening of the
+persistent caches (r14 verdict ask 3 — every cross-session digest now
+folds a source hash of the build code, so changed build semantics can
+never serve an artifact persisted by older code even when the
+family's *_FMT constant is not bumped), plus the r14-advisory pq
+fixes (plan-fp=None degrades to retrain-only; per-(file, plan)
+eviction of persisted codebooks)."""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import os
+import sys
+import textwrap
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def cache_root(tmp_path, monkeypatch):
+    """Throwaway persistent-cache root + cleared session registry for
+    the unit prefixes (the test_round14 convention)."""
+    from data_framework_spark.sources import formats
+
+    root = tmp_path / "index_cache"
+    monkeypatch.setenv(formats.INDEX_CACHE_ENV, str(root))
+    _forget("r15unit_")
+    yield str(root)
+    _forget("r15unit_")
+
+
+def _forget(prefix: str) -> None:
+    from data_framework_spark.sources.formats import _INDEX_DIRS
+
+    for k in [k for k in _INDEX_DIRS if k[2] == prefix]:
+        del _INDEX_DIRS[k]
+
+
+def _import_temp_module(path: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_BUILD_MODULE_SRC = textwrap.dedent(
+    """\
+    import os
+
+    SCALE = {scale}
+
+    def build(path):
+        with open(os.path.join(path, "payload.txt"), "w") as fh:
+            fh.write(str(SCALE))
+    """
+)
+
+
+def test_build_source_fp_tracks_module_source(tmp_path):
+    """The fingerprint is the MODULE source: an edit anywhere in the
+    defining module (here: a build-semantics change the params don't
+    name) diverges it; re-reading identical source does not."""
+    from data_framework_spark.sources.formats import build_source_fp
+
+    p = tmp_path / "r15_build_mod.py"
+    p.write_text(_BUILD_MODULE_SRC.format(scale=1))
+    m1 = _import_temp_module(str(p), "r15_build_mod_a")
+    fp1 = build_source_fp(m1.build)
+    m1b = _import_temp_module(str(p), "r15_build_mod_a2")
+    assert build_source_fp(m1b.build) == fp1  # same source, same fp
+
+    p.write_text(_BUILD_MODULE_SRC.format(scale=2))  # forgotten-bump edit
+    m2 = _import_temp_module(str(p), "r15_build_mod_b")
+    assert build_source_fp(m2.build) != fp1
+
+
+def test_forgotten_fmt_bump_cannot_serve_stale_index(
+    spark, cache_root, tmp_path
+):
+    """END-TO-END (the r14 verdict's Done criterion): build code
+    changes, params/fmt unchanged → persistent_index_dir must resolve
+    a DIFFERENT directory and re-run the build, never reload the
+    artifact the old code persisted."""
+    from data_framework_spark.sources.formats import persistent_index_dir
+
+    p = tmp_path / "r15_build_mod.py"
+    params = {"fmt": 1}  # never bumped — that is the point
+
+    p.write_text(_BUILD_MODULE_SRC.format(scale=1))
+    old = _import_temp_module(str(p), "r15_fmt_mod_v1")
+    d1 = persistent_index_dir(spark, SF_SMALL, "r15unit_", old.build, params)
+    assert open(os.path.join(d1, "payload.txt")).read() == "1"
+
+    # 'new session' running EDITED build code with the same params
+    _forget("r15unit_")
+    p.write_text(_BUILD_MODULE_SRC.format(scale=2))
+    new = _import_temp_module(str(p), "r15_fmt_mod_v2")
+    d2 = persistent_index_dir(spark, SF_SMALL, "r15unit_", new.build, params)
+    assert d2 != d1
+    assert open(os.path.join(d2, "payload.txt")).read() == "2"
+
+
+def test_pq_books_digest_folds_build_source(monkeypatch):
+    """The PQ codebook content digest must respond to the build-code
+    fingerprint (proves the fold is wired, not just present in
+    formats): patching build_source_fp changes cd, nothing else."""
+    from data_framework_spark.similarity import pq
+    from data_framework_spark.sources import formats
+
+    stamp = (123, 456)
+    pd1, cd1 = pq._books_digests("/x/emb.parquet", stamp, "planA")
+    monkeypatch.setattr(
+        formats, "build_source_fp", lambda *objs: "ffffffffffff"
+    )
+    pd2, cd2 = pq._books_digests("/x/emb.parquet", stamp, "planA")
+    assert pd2 == pd1  # path digest is (file, plan) only
+    assert cd2 != cd1  # content digest folds the build source
+
+
+def test_pq_path_digest_is_per_file_and_plan():
+    """r14 advisory: two distinct plans over the same source file get
+    DISTINCT path digests, so persisting one no longer evicts the
+    other (the eviction loop globs on the path digest)."""
+    from data_framework_spark.similarity import pq
+
+    stamp = (123, 456)
+    pd_a, _ = pq._books_digests("/x/emb.parquet", stamp, "planA")
+    pd_b, _ = pq._books_digests("/x/emb.parquet", stamp, "planB")
+    pd_a2, _ = pq._books_digests("/x/emb.parquet", (9, 9), "planA")
+    assert pd_a != pd_b  # plan distinguishes the eviction group
+    assert pd_a == pd_a2  # a stamp change stays WITHIN the group
+
+
+def test_plan_fp_failure_degrades_to_retrain_only(
+    spark, cache_root, monkeypatch
+):
+    """r14 advisory (medium): when _stable_plan_fp returns None (py4j
+    hiccup), trained_codebooks must neither LOAD nor PERSIST a
+    cross-session codebook — retrain-only, so two different frames
+    over the same file can never cross-serve through a shared
+    fallback key."""
+    from data_framework_spark.similarity import pq
+    from data_framework_spark.sources.tables import load_table
+
+    monkeypatch.setattr(pq, "_stable_plan_fp", lambda df: None)
+    pq._BOOKS_CACHE.clear()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = pq.trained_codebooks(emb)
+    assert books is not None
+    persisted = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    assert persisted == []  # nothing persisted under a degraded key
+    pq._BOOKS_CACHE.clear()
