@@ -111,8 +111,11 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = stream.select(
         (F.col("user_id") % STREAM_HH_BUCKETS).alias("bucket"), "user_id"
     )
+    # 2 partitions: only STREAM_HH_BUCKETS=8 group keys exist, so
+    # extra partitions buy no Python-side parallelism and pay extra
+    # per-partition state-store commits (r15 ablation)
     updates, progress = run_stateful_to_completion(
-        spark, streaming_bucket_sketches(keyed)
+        spark, streaming_bucket_sketches(keyed), shuffle_partitions=2
     )
     n_batches = len([p for p in progress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"

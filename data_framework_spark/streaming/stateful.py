@@ -85,7 +85,15 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
             }
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # prune to the two consumed columns BEFORE the stateful UDF:
+    # applyInPandasWithState Arrow-ships every input column of every
+    # group to the Python worker — no automatic column pruning through
+    # a Python UDF boundary. At sf0.1 the full events row set doubled
+    # the per-batch cost (~1.15 s -> ~0.5 s addBatch, r15 probe); at
+    # 100 TB an unpruned stateful UDF ships the whole table.
+    return stream.select("user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         track,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -175,23 +183,50 @@ def run_stateful_to_completion(
     every caller materializes them to the driver anyway.
 
     Stateful streaming maintains one state store (four for
-    stream-stream joins) per shuffle partition per micro-batch; at the
-    replay's key cardinality (~150 users) the per-store commit
-    overhead dominates the actual work, so the stream runs on
-    `shuffle_partitions` partitions — the conf is captured at stream
-    start and restored afterwards (measured 30s -> 8s at sf0.1 for the
-    interval join). At production cardinality this knob scales up with
-    keys, not data volume."""
+    stream-stream joins) per shuffle partition per micro-batch, so
+    `shuffle_partitions` follows a per-plan tradeoff (r14 verdict
+    ask 4, measured at sf0.1): applyInPandasWithState over many keys
+    wants PARALLEL Python workers (user-totals: 8 partitions beat 2
+    by ~2x — the per-group pandas overhead dominates), while the
+    stream-stream join's 4-stores-per-partition commit cycle wants
+    FEW (interval join: 2 partitions beat 8 by ~2.5x). The conf is
+    captured at stream start and restored afterwards. At production
+    cardinality this knob scales up with keys, not data volume.
+
+    Two fixed harness cuts (hashes verified unchanged on all four
+    replay queries, scripts/ablate_streaming.py): NO-DATA micro-
+    batches are disabled for the run — they exist to advance the
+    watermark for state eviction and outer-join/appendable-window
+    emission, none of which a bounded inner-join/update-mode replay
+    needs, and the interval join was paying a full 4-store commit
+    cycle (~2.3 s) for a zero-row batch; and the checkpoint (state
+    store + offsets) goes to tmpfs when /dev/shm exists — the replay
+    state is per-run scratch, not a recovery point (production
+    points checkpointLocation at durable storage), and ext4 fsyncs
+    were the bulk of the per-batch commit time."""
+    import shutil
+
     name = f"stateful_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    ckpt = (
+        os.path.join("/dev/shm", f"spark_graft_ckpt_{name}")
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else None
+    )
     try:
-        q = (
+        w = (
             stream_out.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .start()
         )
+        if ckpt:
+            w = w.option("checkpointLocation", ckpt)
+        q = w.start()
         try:
             q.processAllAvailable()
             progress = list(q.recentProgress)
@@ -199,6 +234,11 @@ def run_stateful_to_completion(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     sink = spark.table(name)
     pdf = sink.toPandas()
     spark.catalog.dropTempView(name)
@@ -263,7 +303,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     emitted, progress = run_stateful_to_completion(
-        spark, deduped, output_mode="append"
+        spark, deduped, output_mode="append", shuffle_partitions=2
     )
     n_batches = len([p for p in progress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
@@ -321,8 +361,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_value",
         (F.unix_micros("ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+    # 2 partitions: the join's per-batch cost is its 4 state stores
+    # PER PARTITION, not the row work (see run_stateful_to_completion)
     emitted, progress = run_stateful_to_completion(
-        spark, joined, output_mode="append"
+        spark, joined, output_mode="append", shuffle_partitions=2
     )
     n_batches = len([p for p in progress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
