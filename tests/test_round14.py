@@ -383,69 +383,10 @@ def test_refine_r_sql_matches_python_policy():
 # --- r14 verify-window rotation (r13 verdict ask 1) ---------------------------
 
 
-def test_r14_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 14's
-    window, exactly as the r13 rotation comment bound it: the 18-query
-    last-green-r10 tail (one past the 3-round staleness budget) LEADS,
-    then the 13 queries round 14 itself touched (the CCL integral-div
-    tile keys; the three find_structures queries on the shared
-    island-family upstream; the 5 ivfpq-family queries on the
-    persistent cross-session index cache, the refine pair also
-    carrying the wired R ~ pool/10 shortlist policy; the 3 pq-family
-    queries whose trained_codebooks now reloads persisted books, and
-    ivf_persist_roundtrip on the same persistent route — TOUCH policy
-    hoists kernel/plan changes, all hashes verified unchanged) in
-    registry order, filled from the last-green-r11 block in REGISTRY
-    ORDER (the fill is pinned as the exact prefix, not a subset). The
-    28-query r11 remainder is the named tail that must lead r15."""
-    import json
-    import os
-
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r10 = load(10) - load(11) - load(12) - load(13)
-    last_green_r11 = load(11) - load(12) - load(13)
-    # (a) the whole last-green-r10 tail, registry order
-    tail_r10 = [q for q in QUERIES if q in last_green_r10]
-    assert len(tail_r10) == 18
-    assert _VERIFY_FIRST[:18] == tail_r10
-    # (b) round-14 touched, registry order
-    touched_r14 = [
-        "distributed_label_contract",
-        "find_structures_island",
-        "find_structures_contract",
-        "find_structures_multi8",
-        "ivfpq_persist_topk",
-        "ivfpq_recall_contract",
-        "ivfpq_refine_topk",
-        "ivfpq_refine_recall",
-        "ivfpq_nprobe_curve",
-        "pq_codes",
-        "pq_adc_topk",
-        "pq_train_gain",
-        "ivf_persist_roundtrip",
-    ]
-    assert _VERIFY_FIRST[18:31] == touched_r14
-    # (c) fill = the FIRST 19 of the last-green-r11 block in registry
-    # order (pinned exactly, not as a subset)
-    r11_block = [
-        q for q in QUERIES if q in last_green_r11 and q not in touched_r14
-    ]
-    assert _VERIFY_FIRST[31:] == r11_block[:19]
-    # the named r15 lead debt: the 28-query r11 remainder
-    assert len(r11_block[19:]) == 28
+# The r14 rotation-window test was superseded by
+# tests/test_round15.py::test_r15_verify_window_arithmetic — each
+# round's window replaces the previous round's arithmetic pin (the
+# r13 -> r14 precedent).
 
 
 # --- cross-session PQ codebook persistence (r13 verdict, pq_adc cold) ---------
