@@ -261,12 +261,18 @@ def q_stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_batches = len([p for p in progress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
-    # keep only each user's final state (n_events is monotone per user)
-    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    # keep only each user's final state (n_events is strictly monotone
+    # per user — a user emits only when a batch adds rows): a max-by
+    # struct aggregate with map-side combine, not a sort-the-
+    # partition row_number window (r15 bench trim, same rows)
     final = (
-        updates.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("user_id", "n_events", "total_value")
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("f"))
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.total_value").alias("total_value"),
+        )
         .orderBy("user_id")
     )
     # materialize before the memory sink table is dropped/overwritten
@@ -332,8 +338,13 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/rangejoin.py, same predicate). In production the
     delay is tuned to the source's real disorder bound; correctness
     degrades to 'matches within the watermark' beyond it."""
+    # ONE streaming source, self-joined: both sides replay the same
+    # chunks, and two independent readStream sources meant two
+    # parquet scans + two offset-log commits per trigger for
+    # identical bytes (r15 bench trim; Spark stream-stream self-joins
+    # keep per-side watermarks and emit the same matches)
     left = chunked_events_source(spark, sf_dir, n_chunks=3)
-    right = chunked_events_source(spark, sf_dir, n_chunks=3)
+    right = left
 
     errors = (
         left.filter(F.col("event_type") == "error")
