@@ -305,3 +305,61 @@ def test_r15_verify_window_arithmetic():
     assert _VERIFY_FIRST[36:] == r12_block[:14]
     # the named r16 lead debt: the 25-query r12 remainder
     assert len(r12_block[14:]) == 25
+
+
+# --- concurrency lock + fingerprint fallbacks (r14 advisory, low) -------------
+
+
+def test_prefix_lock_serializes_concurrent_builders(tmp_path):
+    """Two same-root processes must SERIALIZE their evict/build/publish
+    cycles: while a subprocess holds the prefix flock, entering
+    _prefix_lock in this process blocks until release."""
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path)
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, sys, time;"
+                f"fh = open({root!r} + '/.r15lk_lock', 'a');"
+                "fcntl.flock(fh, fcntl.LOCK_EX);"
+                "print('held', flush=True);"
+                "time.sleep(2.0)"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        from data_framework_spark.sources.formats import _prefix_lock
+
+        t0 = time.perf_counter()
+        with _prefix_lock(root, "r15lk_"):
+            waited = time.perf_counter() - t0
+        # entered only after the holder's sleep released the flock
+        assert waited >= 1.0, waited
+    finally:
+        holder.wait(timeout=10)
+
+
+def test_build_source_fp_fallback_is_deterministic():
+    """An object with no importable module and no file-backed source
+    (exec'd code) must still fingerprint deterministically via its
+    bytecode — never raise, never produce a run-varying token (which
+    would rebuild every call)."""
+    from data_framework_spark.sources.formats import build_source_fp
+
+    ns1, ns2 = {}, {}
+    code = "def build(path):\n    return path * 2\n"
+    exec(compile(code, "<r15-string>", "exec"), ns1)
+    exec(compile(code, "<r15-string>", "exec"), ns2)
+    f1, f2 = ns1["build"], ns2["build"]
+    f1.__module__ = f2.__module__ = "r15_nonexistent_module_xyz"
+    fp1, fp2 = build_source_fp(f1), build_source_fp(f2)
+    assert fp1 == fp2
+    assert len(fp1) == 12 and int(fp1, 16) >= 0
