@@ -223,7 +223,7 @@ def _load_persisted_books(
     from data_framework_spark.sources.formats import _index_cache_root
 
     pd_, cd = _books_digests(local, stamp, plan_fp)
-    path = os.path.join(_index_cache_root(), f"pq_books_{pd_}_{cd}.npy")
+    path = os.path.join(_index_cache_root(), f"pq_books2_{pd_}_{cd}.npy")
     try:
         books = np.load(path)
     except (OSError, ValueError):
@@ -250,8 +250,16 @@ def _persist_books(
     root = _index_cache_root()
     try:
         os.makedirs(root, exist_ok=True)
-        final = os.path.join(root, f"pq_books_{pd_}_{cd}.npy")
-        for old in glob.glob(os.path.join(root, f"pq_books_{pd_}_*.npy")):
+        final = os.path.join(root, f"pq_books2_{pd_}_{cd}.npy")
+        # evict superseded stamps of this (file, plan) group, plus any
+        # legacy pre-r15 "pq_books_" files — the old per-file path
+        # scheme no longer matches any loader path, so without this
+        # sweep they would sit orphaned in the cache root forever
+        # (r15 review)
+        stale = glob.glob(
+            os.path.join(root, f"pq_books2_{pd_}_*.npy")
+        ) + glob.glob(os.path.join(root, "pq_books_*.npy"))
+        for old in stale:
             if old != final:
                 try:
                     os.remove(old)

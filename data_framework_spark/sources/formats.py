@@ -137,13 +137,36 @@ def build_source_fp(*objs) -> str:
     no longer depends on remembering them). Module-granular on
     purpose: any edit to the module that defines the build path
     invalidates the cache — a spurious rebuild is a bounded cold-path
-    cost, a stale index is silent wrongness. Falls back to the
-    object's own source, then to its compiled bytecode, for objects
-    without an importable module (REPL/test lambdas)."""
+    cost, a stale index is silent wrongness.
+
+    For callables the LOADED bytecode is folded in too, via
+    marshal.dumps(__code__) — marshal covers constants and nested
+    code objects, unlike co_code alone, so a constant-only semantics
+    change diverges the digest even on the no-file fallback path
+    (r15 review). It also narrows the on-disk-vs-loaded race: a
+    mid-session edit of the defining module makes a live session
+    compute a MIXED digest (old loaded code + new source) that no
+    restarted process ever recomputes, so an artifact built by stale
+    loaded code becomes unreachable at the next session; helpers
+    deeper in the module remain source-covered only, so the residual
+    exposure is editing a helper mid-session — don't edit build
+    modules under a live session (the single-writer assumption).
+    Falls back to the object's own source, then to its marshalled
+    bytecode, for objects without an importable module (REPL/test
+    lambdas)."""
     import inspect
+    import marshal
 
     h = hashlib.sha256()
     for obj in objs:
+        code = getattr(obj, "__code__", None)
+        if code is not None:
+            # position info stripped: two textually-identical builds
+            # must fingerprint equal wherever they sit in a file —
+            # the digest tracks semantics (co_code + co_consts +
+            # names), not layout
+            norm = code.replace(co_firstlineno=1, co_linetable=b"")
+            h.update(marshal.dumps(norm))
         try:
             h.update(inspect.getsource(inspect.getmodule(obj)).encode())
             continue
@@ -152,8 +175,8 @@ def build_source_fp(*objs) -> str:
         try:
             h.update(inspect.getsource(obj).encode())
         except (TypeError, OSError):
-            code = getattr(obj, "__code__", None)
-            h.update(code.co_code if code is not None else repr(obj).encode())
+            if code is None:
+                h.update(repr(obj).encode())
     return h.hexdigest()[:12]
 
 
@@ -264,7 +287,11 @@ def _prefix_lock(root: str, prefix: str):
                 import fcntl
 
                 fcntl.flock(fh, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: fall back to no lock
+            except (ImportError, OSError):
+                # non-POSIX, or a filesystem without flock support
+                # (NFS without lockd): degrade to the unlocked r14
+                # behavior — the lock is advisory hardening, never a
+                # new hard-failure mode (r15 review)
                 pass
             yield
         finally:

@@ -152,9 +152,13 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events")
         .orderBy("user_id")
     )
-    # materialize before releasing the persisted counts
-    pdf = out.toPandas()
-    counts.unpersist()
+    # materialize before releasing the persisted counts; the release
+    # must survive a failed materialization or retries re-persist a
+    # fresh copy per attempt (r15 review)
+    try:
+        pdf = out.toPandas()
+    finally:
+        counts.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 

@@ -428,12 +428,12 @@ def test_pq_books_fmt_bump_diverges(spark, cache_root, monkeypatch):
     import glob
     import os
 
-    files = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    files = glob.glob(os.path.join(cache_root, "pq_books2_*.npy"))
     assert len(files) == 1
     pq._BOOKS_CACHE.clear()
     monkeypatch.setattr(pq, "PQ_BOOKS_FMT", pq.PQ_BOOKS_FMT + 1)
     pq.trained_codebooks(emb)
-    files2 = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    files2 = glob.glob(os.path.join(cache_root, "pq_books2_*.npy"))
     # same path-digest -> superseded file evicted, one live codebook
     assert len(files2) == 1 and files2 != files
 

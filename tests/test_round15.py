@@ -151,7 +151,7 @@ def test_plan_fp_failure_degrades_to_retrain_only(
     emb = load_table(spark, SF_SMALL, "embeddings")
     books = pq.trained_codebooks(emb)
     assert books is not None
-    persisted = glob.glob(os.path.join(cache_root, "pq_books_*.npy"))
+    persisted = glob.glob(os.path.join(cache_root, "pq_books2_*.npy"))
     assert persisted == []  # nothing persisted under a degraded key
     pq._BOOKS_CACHE.clear()
 
@@ -350,16 +350,25 @@ def test_prefix_lock_serializes_concurrent_builders(tmp_path):
 def test_build_source_fp_fallback_is_deterministic():
     """An object with no importable module and no file-backed source
     (exec'd code) must still fingerprint deterministically via its
-    bytecode — never raise, never produce a run-varying token (which
-    would rebuild every call)."""
+    MARSHALLED bytecode — never raise, never produce a run-varying
+    token (which would rebuild every call), and a constant-only
+    semantics change must still diverge it (co_code alone would not:
+    literals live in co_consts — r15 review)."""
     from data_framework_spark.sources.formats import build_source_fp
 
-    ns1, ns2 = {}, {}
-    code = "def build(path):\n    return path * 2\n"
-    exec(compile(code, "<r15-string>", "exec"), ns1)
-    exec(compile(code, "<r15-string>", "exec"), ns2)
-    f1, f2 = ns1["build"], ns2["build"]
-    f1.__module__ = f2.__module__ = "r15_nonexistent_module_xyz"
+    def mk(code, tag):
+        ns = {}
+        exec(compile(code, "<r15-string>", "exec"), ns)
+        fn = ns["build"]
+        fn.__module__ = "r15_nonexistent_module_xyz"
+        return fn
+
+    code_v1 = "def build(path):\n    return path + '1'\n"
+    f1 = mk(code_v1, "a")
+    f2 = mk(code_v1, "b")
     fp1, fp2 = build_source_fp(f1), build_source_fp(f2)
-    assert fp1 == fp2
+    assert fp1 == fp2  # identical code, identical fp
     assert len(fp1) == 12 and int(fp1, 16) >= 0
+    # constant-only change — same co_code, different co_consts
+    f3 = mk("def build(path):\n    return path + '2'\n", "c")
+    assert build_source_fp(f3) != fp1
