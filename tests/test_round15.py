@@ -372,3 +372,38 @@ def test_build_source_fp_fallback_is_deterministic():
     # constant-only change — same co_code, different co_consts
     f3 = mk("def build(path):\n    return path + '2'\n", "c")
     assert build_source_fp(f3) != fp1
+
+
+# --- structural pins for the streaming-replay trims ---------------------------
+
+
+def test_interval_join_replays_one_source_three_batches(spark, monkeypatch):
+    """Pins the two structural r15 trims on the stream-stream join:
+    the self-joined plan must run exactly ONE streaming source (a
+    regression back to two independent readStreams doubles scans and
+    offset commits per trigger), and the bounded replay must drain in
+    exactly 3 data micro-batches with NO trailing zero-row
+    watermark-only batch (no-data micro-batches are disabled for the
+    replay)."""
+    from data_framework_spark.streaming import stateful as st
+
+    captured = {}
+    orig = st.run_stateful_to_completion
+
+    def capture(spark_, stream_out, output_mode="update",
+                shuffle_partitions=8):
+        out, progress = orig(
+            spark_, stream_out, output_mode, shuffle_partitions
+        )
+        captured["progress"] = progress
+        return out, progress
+
+    monkeypatch.setattr(st, "run_stateful_to_completion", capture)
+    n = st.q_streaming_interval_join(spark, SF_SMALL).count()
+    assert n > 0
+    progress = captured["progress"]
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3
+    assert len(progress) == 3  # no trailing no-data batch
+    for p in progress:
+        assert len(p["sources"]) == 1  # self-join: ONE replay source
