@@ -97,4 +97,50 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_partitions()
+    else:
+        main()
+
+
+def sweep_partitions() -> None:
+    """Reproduces the r15 partition sweeps behind the
+    run_stateful_to_completion docstring numbers: user-totals (keys-
+    bound, wants MANY partitions at scale) and the interval join
+    (state-store-bound, wants FEW), both on the 10x corpus.
+    Usage: python scripts/measure_streaming_scale.py sweep
+    """
+    if not os.path.isfile(f"{OUT}/events.parquet"):
+        build_events()
+
+    from data_framework_spark.registry import QUERIES
+    from data_framework_spark.session import get_spark
+    from data_framework_spark.streaming import stateful as st
+
+    spark = get_spark("streaming-scale-sweep")
+    orig = st.run_stateful_to_completion
+    QUERIES["streaming_dedup_events"].fn(spark, OUT).count()  # warm chunks
+    for qn, parts_list in (
+        ("stateful_user_totals_live", (8, 16, 32)),
+        ("streaming_interval_join", (2, 4, 8)),
+    ):
+        for p in parts_list:
+            def run(s, so, output_mode="update", shuffle_partitions=8, _p=p):
+                return orig(s, so, output_mode, _p)
+
+            st.run_stateful_to_completion = run
+            try:
+                secs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = QUERIES[qn].fn(spark, OUT).count()
+                    secs.append(round(time.perf_counter() - t0, 2))
+            finally:
+                st.run_stateful_to_completion = orig
+            print(
+                json.dumps(
+                    {"query": qn, "parts": p, "warm_min": min(secs),
+                     "secs": secs, "rows": rows}
+                ),
+                flush=True,
+            )
