@@ -96,11 +96,7 @@ def main() -> None:
             )
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
-        sweep_partitions()
-    else:
-        main()
+
 
 
 def sweep_partitions() -> None:
@@ -144,3 +140,10 @@ def sweep_partitions() -> None:
                 ),
                 flush=True,
             )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_partitions()
+    else:
+        main()
