@@ -407,3 +407,23 @@ def test_interval_join_replays_one_source_three_batches(spark, monkeypatch):
     assert len(progress) == 3  # no trailing no-data batch
     for p in progress:
         assert len(p["sources"]) == 1  # self-join: ONE replay source
+
+
+def test_legacy_pq_books_files_are_swept(spark, cache_root):
+    """The r15 path-scheme change (pq_books_ -> pq_books2_) must not
+    orphan pre-r15 files: a legacy-named file in the cache root is
+    removed by the next persist (r15 review)."""
+    import numpy as np
+
+    from data_framework_spark.similarity import pq
+    from data_framework_spark.sources.tables import load_table
+
+    os.makedirs(cache_root, exist_ok=True)
+    legacy = os.path.join(cache_root, "pq_books_deadbeef00_feedface.npy")
+    np.save(legacy, np.zeros((2, 2)))
+    pq._BOOKS_CACHE.clear()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pq.trained_codebooks(emb)  # trains and persists under pq_books2_
+    pq._BOOKS_CACHE.clear()
+    assert not os.path.exists(legacy)
+    assert glob.glob(os.path.join(cache_root, "pq_books2_*.npy"))
