@@ -214,10 +214,21 @@ def binary_dilation(mask: np.ndarray) -> np.ndarray:
 
 
 def gap_fill(array: np.ndarray) -> np.ndarray:
-    """The reference's 1-px gap closer (vpicdataset.py:71-113):
-    a pixel fills if opposing neighbors are set — left&right, up&down,
-    or both diagonal pairs — built from np.roll, so edges WRAP AROUND
-    (the reference's quirk, kept deliberately). Returns int64 0/1.
+    """The reference's 1-px gap closer (vpicdataset.py:71-113): a
+    pixel fills when a DIRECT neighbor on one side is set AND ANY of
+    the THREE cells on the opposite side (opposite direct neighbor or
+    either opposite diagonal) is set — one term per direction
+    (opp_left/right/up/down) — plus the two both-diagonals pairs
+    (ul&dr, ur&dl). Built from np.roll, so edges WRAP AROUND (the
+    reference's quirk, kept deliberately). Returns int64 0/1.
+
+    Round-16 correction: the previous version required strict opposing
+    PAIRS only (left&right, up&down, diagonals), a strict subset of
+    the reference's rule — under-filled 19/256 cells on the driver's
+    own sf0.01 mask (r15 verdict). The any-of-three disjunction below
+    is transcribed term-by-term from the reference's np.roll formula
+    and differentially tested against a verbatim copy of that formula
+    in tests/test_reference_formulas.py.
     """
     a = array.astype(bool)
     left = np.roll(a, 1, axis=1)
@@ -231,10 +242,12 @@ def gap_fill(array: np.ndarray) -> np.ndarray:
     filled = np.logical_or.reduce(
         [
             a,
-            np.logical_and(left, right),
-            np.logical_and(up, down),
-            np.logical_and(ul, dr),
-            np.logical_and(ur, dl),
+            left & (ur | dr | right),   # opp_left  (vpicdataset.py:78-81)
+            right & (dl | ul | left),   # opp_right (vpicdataset.py:84-87)
+            up & (dl | dr | down),      # opp_up    (vpicdataset.py:90-93)
+            down & (ul | ur | up),      # opp_down  (vpicdataset.py:96-99)
+            ul & dr,                    # opp_diag  (vpicdataset.py:101-108)
+            ur & dl,
         ]
     )
     return filled.astype(np.int64)

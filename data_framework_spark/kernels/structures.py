@@ -119,10 +119,16 @@ def classify_nulls(hess_det: np.ndarray, nulls: np.ndarray):
 
 
 def _rasterize(points: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """Mark the cell `tuple(point.astype(np.int64))` for each point —
+    the reference's TRUNCATING rasterization (vpicdataset.py:451,
+    :458), not nearest-rounding (r16 correction; contour/X-point
+    coords are nonnegative, so truncation == floor). The clip is a
+    no-op on valid inputs (coords lie in [0, n-1]) and only guards
+    degenerate callers."""
     mask = np.zeros(shape, dtype=bool)
     if len(points):
-        r = np.clip(np.rint(points[:, 0]).astype(int), 0, shape[0] - 1)
-        c = np.clip(np.rint(points[:, 1]).astype(int), 0, shape[1] - 1)
+        r = np.clip(points[:, 0].astype(np.int64), 0, shape[0] - 1)
+        c = np.clip(points[:, 1].astype(np.int64), 0, shape[1] - 1)
         mask[r, c] = True
     return mask
 
@@ -134,77 +140,111 @@ def separatrices_and_o_structures(
     de_tol: float,
 ):
     """Separatrix mask + O-structure decomposition
-    (vpicdataset.py:444-479).
+    (vpicdataset.py:441-479), per-X-point as the reference does it:
 
-    For each X point: take the flux iso-contours at the X point's
-    (interpolated) flux value, keep contours approaching within
-    d_per_de·de_tol grid cells, rasterize; dilate each X point into
-    the mask; gap-fill. Then flood-decompose the complement from
-    deterministic seeds (min scan-order unfilled cell — the
-    reference's seeded-RNG pick is order-independent, SURVEY §2.8)
-    and keep interior regions (not touching the boundary) as
-    O-structures. Returns (separatrix int mask, o_structure int mask).
+    for EACH X point — flux iso-contours at the X point's
+    bilinearly-interpolated flux value (the reference's
+    RegularGridInterpolator over the index mesh, :389-395); keep
+    contours whose closest approach to the X point is within
+    d_per_de·de_tol (:455-456); rasterize their points by truncation
+    (:458); mark + dilate the X point cell (:450-452); gap_fill THIS
+    X point's local mask (:461); OR it into the global separatrix
+    mask; then flood-decompose the complement of the LOCAL filled
+    mask and keep regions not touching the boundary as O-structures
+    (:465-479). The per-X-point structure matters: gap_fill runs
+    before the union (gaps between different X points' contours stay
+    open), and a region interior w.r.t. one X point's mask can span
+    cells another X point's contours would cover (r16 correction —
+    the previous version unioned first, then gap-filled and
+    decomposed once, a different operator on multi-X fields).
+
+    Seeds are deterministic (min scan-order unfilled cell); the
+    reference picks random 0-cells, but each 0-region is processed
+    exactly once so the union is order-independent (SURVEY §2.8).
+    Returns (separatrix int mask, o_structure int mask).
     """
     shape = flux.shape
     sep = np.zeros(shape, dtype=bool)
-    radius = max(d_per_de * de_tol, 1.0)
+    o_mask = np.zeros(shape, dtype=bool)
+    radius = d_per_de * de_tol  # no floor — the reference has none
     x_flux = bilinear_at(flux, x_points)
     for k in range(len(x_points)):
         contours = find_contours(flux, float(x_flux[k]))
+        local = binary_dilation(_rasterize(x_points[k : k + 1], shape))
         for c in contours:
             dist = np.sqrt(((c - x_points[k][None, :]) ** 2).sum(axis=1)).min()
             if dist <= radius:
-                sep |= _rasterize(c, shape)
-        sep |= binary_dilation(_rasterize(x_points[k : k + 1], shape))
-    sep_filled = gap_fill(sep).astype(bool)
+                local |= _rasterize(c, shape)
+        local_filled = gap_fill(local).astype(bool)
+        sep |= local_filled
 
-    # flood-decompose the complement; keep regions not touching border
-    o_mask = np.zeros(shape, dtype=bool)
-    remaining = ~sep_filled
-    while remaining.any():
-        seed = np.argwhere(remaining)[0]
-        region = flood(remaining, (int(seed[0]), int(seed[1])))
-        touches_border = (
-            region[0, :].any()
-            or region[-1, :].any()
-            or region[:, 0].any()
-            or region[:, -1].any()
-        )
-        if not touches_border:
-            o_mask |= region
-        remaining &= ~region
-    return sep_filled.astype(np.int64), o_mask.astype(np.int64)
+        # flood-decompose THIS X point's complement; keep interior regions
+        remaining = ~local_filled
+        while remaining.any():
+            seed = np.argwhere(remaining)[0]
+            region = flood(remaining, (int(seed[0]), int(seed[1])))
+            touches_border = (
+                region[0, :].any()
+                or region[-1, :].any()
+                or region[:, 0].any()
+                or region[:, -1].any()
+            )
+            if not touches_border:
+                o_mask |= region
+            remaining &= ~region
+    return sep.astype(np.int64), o_mask.astype(np.int64)
 
 
 def current_sheets(
     jy_smooth: np.ndarray, cs_limit: float = 0.5
 ) -> np.ndarray:
-    """Signed current-sheet mask (vpicdataset.py:482-520).
+    """Signed current-sheet mask (vpicdataset.py:482-520), transcribed
+    step-for-step from the reference:
 
-    Local 10×10 extrema of the smoothed out-of-plane current; keep
-    peaks beyond the 3σ (population) outlier thresholds; flood each
-    surviving peak over the region above cs_limit·peak (positive
-    side) / below 0.5·peak (negative side — the reference hardcodes
-    0.5 there instead of cs_limit, vpicdataset.py:516; quirk kept).
-    Returns int mask in {-1, 0, +1} (positive minus negative sheets,
-    vpicdataset.py:530-533).
+    - cs_maxes/cs_mins = the FULL 10×10 max/min-filtered arrays
+      (:483-484) — NOT the values at local-max cells;
+    - thresholds = mean ± 3·std over those FILTERED arrays (:485-486;
+      np.std = population std);
+    - label the connected regions where the filtered array beats its
+      threshold (:489-490, cross connectivity — scipy.ndimage.label
+      default);
+    - per REGION (not per cell): seed = scan-order-first argmax
+      (argmin) of jy_smooth within the region (:492-495,
+      nd.maximum_position tie rule), peak = region max/min of
+      jy_smooth (:497-500);
+    - flood the STRICT mask jy > peak·cs_limit from the seed
+      (:508-509; negative side jy < peak·0.5 — the reference
+      hardcodes 0.5 instead of cs_limit at :516, quirk kept). When a
+      peak is ≤ 0 the seed cell itself is outside the mask and flood
+      grows the seed's False region — the reference's quirk, kept
+      (skimage.flood floods the seed's VALUE).
+
+    r16 correction: the previous version thresholded on stats over
+    local-max CELL VALUES and flooded from every qualifying cell with
+    non-strict comparisons — a different operator; it is now verbatim
+    (differential test: tests/test_reference_formulas.py).
+    Returns int mask in {-1, 0, +1} (pos minus neg, :530-533).
     """
-    maxf = extrema_filter(jy_smooth, (10, 10), "max")
-    minf = extrema_filter(jy_smooth, (10, 10), "min")
-    max_mask = jy_smooth == maxf
-    min_mask = jy_smooth == minf
-    cs_maxes = jy_smooth[max_mask]
-    cs_mins = jy_smooth[min_mask]
-    hi = cs_maxes.mean() + cs_maxes.std() * 3  # np.std = population
-    lo = cs_mins.mean() - cs_mins.std() * 3
-    pos = np.zeros(jy_smooth.shape, dtype=bool)
-    for r, c in np.argwhere(max_mask & (jy_smooth > hi)):
-        peak = jy_smooth[r, c]
-        above = jy_smooth >= cs_limit * peak
-        pos |= flood(above, (int(r), int(c)))
-    neg = np.zeros(jy_smooth.shape, dtype=bool)
-    for r, c in np.argwhere(min_mask & (jy_smooth < lo)):
-        peak = jy_smooth[r, c]
-        below = jy_smooth <= 0.5 * peak  # reference's 0.5 literal
-        neg |= flood(below, (int(r), int(c)))
+    shape = jy_smooth.shape
+    cs_maxes = extrema_filter(jy_smooth, (10, 10), "max")
+    cs_mins = extrema_filter(jy_smooth, (10, 10), "min")
+    max_thresh = cs_maxes.mean() + cs_maxes.std() * 3
+    min_thresh = cs_mins.mean() - cs_mins.std() * 3
+    max_labels, max_num = label(cs_maxes > max_thresh)
+    min_labels, min_num = label(cs_mins < min_thresh)
+
+    pos = np.zeros(shape, dtype=bool)
+    for i in range(1, max_num + 1):
+        masked = np.where(max_labels == i, jy_smooth, -np.inf)
+        seed = np.unravel_index(np.argmax(masked), shape)
+        peak = masked[seed]
+        cs_pos = jy_smooth > peak * cs_limit
+        pos |= flood(cs_pos, (int(seed[0]), int(seed[1])))
+    neg = np.zeros(shape, dtype=bool)
+    for i in range(1, min_num + 1):
+        masked = np.where(min_labels == i, jy_smooth, np.inf)
+        seed = np.unravel_index(np.argmin(masked), shape)
+        trough = masked[seed]
+        cs_neg = jy_smooth < trough * 0.5  # reference's 0.5 literal (:516)
+        neg |= flood(cs_neg, (int(seed[0]), int(seed[1])))
     return pos.astype(np.int64) - neg.astype(np.int64)

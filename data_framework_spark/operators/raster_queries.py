@@ -217,8 +217,10 @@ Q_GAP_FILL_GRID_SQL = f"""
 WITH m AS ({MASK_SQL})
 SELECT g.i0, g.i1,
        (g.b
-        OR (l.b AND r.b)
-        OR (u.b AND d.b)
+        OR (l.b AND (ur.b OR dr.b OR r.b))
+        OR (r.b AND (dl.b OR ul.b OR l.b))
+        OR (u.b AND (dl.b OR dr.b OR d.b))
+        OR (d.b AND (ul.b OR ur.b OR u.b))
         OR (ul.b AND dr.b)
         OR (ur.b AND dl.b))::BIGINT AS filled
 FROM m g

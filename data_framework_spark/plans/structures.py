@@ -94,6 +94,15 @@ def _uniform(mesh: np.ndarray, atol: float = 1e-3) -> bool:
     return bool(np.allclose(d, d[0], atol=atol))
 
 
+def compute_d_per_de(d0: float, d1: float, de: float = 1.0) -> int:
+    """Grid POINTS per de, int-truncated (vpicdataset.py:346-349):
+    the reference computes dz_per_de = 1/spacing with the mesh in de
+    units; `de` generalizes to physical-unit meshes (de/spacing).
+    Differentially tested against the reference's verbatim expression
+    in tests/test_reference_formulas.py."""
+    return int(((de / d0) + (de / d1)) / 2)
+
+
 def _validate_pair(v1: SparkVariable, v2: SparkVariable) -> None:
     """The calc_fluxfn preconditions (vpicdataset.py:267-282)."""
     if v1.ndim != 2 or v2.ndim != 2:
@@ -211,8 +220,11 @@ def find_structures(
     d0 = float(mesh0[1] - mesh0[0])
     d1 = float(mesh1[1] - mesh1[0])
     de = float(ds.params.get("de", 1.0))
-    # grid spacing in de units, int-truncated (vpicdataset.py:346-349)
-    d_per_de = int(((d0 / de) + (d1 / de)) / 2)
+    # r16 correction: earlier rounds had the ratio inverted
+    # (spacing/de), the reciprocal of the reference's value for any
+    # spacing != 1.
+    d_per_de = compute_d_per_de(d0, d1, de)
+    ds.add_param("d_per_de", d_per_de)  # vpicdataset.py:349
 
     if upstream is not None:
         # Session-shared upstream (the island-family cache,
@@ -414,7 +426,7 @@ def find_structures(
         t_key = float(pdf["t"].iloc[0])
         x_idx_t = x_idx_local.get(t_key, np.zeros((0, 2)))
         sep, o_mask = separatrices_and_o_structures(
-            psi, x_idx_t, max(d_per_de, 1), de_tol
+            psi, x_idx_t, d_per_de, de_tol
         )
         cs = current_sheets(jys, cs_limit)
         out = pdf[["t", "i0", "i1", "c0", "c1"]].copy()
@@ -750,6 +762,16 @@ def q_find_structures_contract(spark, sf_dir: str):
 # INTENDED semantics change; any unintended drift goes driver-red).
 # Analytic cross-check: X points at sin(kx)=0 ∧ tanh(z)=0 → (z=0, x=0)
 # and (z=0, x=2π=6.2832); O point at (z=0, x=π=3.1416).
+# Re-pinned r16 after the reference-fidelity corrections (verbatim
+# gap_fill, per-X-point separatrix decomposition, d_per_de 1/spacing,
+# verbatim current-sheet thresholds): separatrices 140→257,
+# o_structures 425→383, current_sheets 692→0. The 0 is the reference's
+# real behavior on this fixture — mean+3σ over the FULL 10×10
+# max-filtered jy array never fires on the island field's broad
+# current band; current-sheet LIVENESS is pinned separately by
+# tests/test_reference_formulas.py::test_current_sheets_match_reference,
+# whose spiked random fields assert ≥5 nonzero sheet masks match the
+# reference's verbatim formula.
 Q_FIND_STRUCTURES_CONTRACT_SQL = """
 SELECT * FROM (VALUES
   ('n_x_points', 2.0::DOUBLE),
@@ -760,9 +782,9 @@ SELECT * FROM (VALUES
   ('x1_x', 6.2832::DOUBLE),
   ('o0_z', 0.0::DOUBLE),
   ('o0_x', 3.1416::DOUBLE),
-  ('separatrices_cells', 140.0::DOUBLE),
-  ('o_structures_cells', 425.0::DOUBLE),
-  ('current_sheets_cells', 692.0::DOUBLE),
+  ('separatrices_cells', 257.0::DOUBLE),
+  ('o_structures_cells', 383.0::DOUBLE),
+  ('current_sheets_cells', 0.0::DOUBLE),
   ('fluxfn_min', -7.6527::DOUBLE),
   ('fluxfn_max', 0.3227::DOUBLE)
 ) AS t(metric, value)

@@ -1029,107 +1029,92 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-15 rotation, executed exactly as round 14's comment (and the
-# r14 verdict's ask 1, with the advisory-corrected 28-name remainder)
-# bound it: (a) the 28-query last-green-r11 REMAINDER leads — at r15
-# those rows are 4 rounds old, one past budget, and may not be
-# deferred again; then (b) the 8 queries round 15 ITSELF touched, in
-# registry order (TOUCH policy: kernel/plan change outranks
-# merely-old rows; every hash verified unchanged at sf0.01 before
-# the rotation): the 3 pq-family queries (codebook persist keys now
-# per-(file, plan) with a build-source fold, and a plan-fp failure
-# degrades to retrain-only — the r14 advisory pair), the 4 bounded-
-# replay streaming queries (no-data micro-batches disabled, tmpfs
-# checkpoints, per-plan shuffle partitions, and the stateful UDF's
-# column pruning — r14 verdict ask 4), and semantic_dedup_scaled
-# (assignment now routed through assign_clusters_auto's test-pinned
-# driver-memory rule — r14 verdict ask 5); then (c) the first 14 of
-# the 39-query last-green-r12 block in registry order (r14 verdict
-# ask 6: returned slots go to the OLDEST rows). 28+8+14 = exactly 50.
+# Round-16 rotation, executed exactly as the r15 comment and the r15
+# verdict's ask 3 bound it: (a) the 25-query last-green-r12 REMAINDER
+# leads (ann_lsh_topk onward in registry order — at r16 those rows
+# are 4 rounds old, one past budget, and may not be deferred again);
+# then (b) the 4 queries round 16 ITSELF re-hashed, in registry order
+# (TOUCH policy: kernel/plan change outranks merely-old rows): the
+# reference-fidelity corrections — gap_fill rewritten to the
+# reference's verbatim six-term rule with the oracle corrected in
+# lockstep (r15 verdict ask 1; the hash MOVES: 19/256 cells on the
+# driver's mask), and the three island-family queries whose kernels
+# changed (per-X-point separatrix/O-structure decomposition with
+# truncating rasterization, verbatim current-sheet thresholds,
+# d_per_de un-inverted to the reference's 1/spacing — contract mask
+# literals re-derived 140/425/692 → 257/383/0; multi8's X/O census
+# is upstream of all three fixes and verified unchanged, hoisted
+# under the TOUCH policy anyway); then (c) the FIRST 21 of the
+# 37-query last-green-r13 block in registry order (gap_fill_grid,
+# also r13, already sits in the touched block). 25+4+21 = exactly 50.
 #
-# Touched-but-NOT-hoisted, defended (r14 verdict ask 6 explicitly
-# prefers oldest rows over re-hoisting anything green@r13+): the
-# ivfpq/ivf/bm25-postings/island-family queries (all green@r14) saw
-# only a cache-KEY derivation change this round (the build-source
-# fold + dep_src params) — the artifact REBUILDS once under the new
-# key, but its build code, serve plan, and values are bit-identical,
-# and the reload paths are exercised end-to-end by the
-# test_round14/test_round15 persistence suites; hoisting all 11
-# would evict 11 r12-block rows already one round from their budget
-# edge.
+# After this window: staleness histogram is 50@r16 / 50@r15 / 44@r14
+# / 16@r13 — nothing older than 3 rounds. The named debt that must
+# LEAD round 17: the 16-query r13 remainder (stratified_split onward
+# in registry order), then the oldest r14 rows with returned slots.
 #
-# After this window: staleness histogram is 50@r15 / 25@r12-block
-# remainder / the rest @r13-r14 — nothing older than 3 rounds, and
-# the 25-query r12 remainder (dataset/dedup/ANN early block from
-# ann_lsh_topk onward in registry order) is the named debt that must
-# LEAD round 16's window; after it ~25 slots remain for r16-touched
-# rows and the oldest of the r13 block. The 160-query registry
-# cycles in ~3.2 windows, so a <=4-round worst case stays structural
-# until the window grows or the registry shrinks.
-#
-# Retire-or-keep (r14 verdict ask 7, decided): the registry stays
-# FLAT at 160 this round — the ask-5 routing rule is pinned as
-# pytest contracts (tests/test_round15.py), not a new registry
-# query, because route selection is invisible to any query hash by
-# construction (both engines are bitwise-equal); no query was
-# retired.
+# Retire-or-keep (r12-r15 precedent, decided): the registry stays
+# FLAT at 160 — round 16's corrections change no contracts, only
+# values; the new reference-formula differential layer lives in
+# tests/test_reference_formulas.py (Spark-free, not a registry
+# query, because it pins kernel-vs-reference parity that no DuckDB
+# oracle can see — the r15 self-referential-oracle lesson).
 _VERIFY_FIRST: list[str] = [
-    # -- (a) the last-green-r11 remainder, one past budget, registry
-    # -- order (the r14 comment's corrected 28-name debt list) --
-    "bucketed_join_lineitem",
-    "sketch_accuracy_events",
-    "profile_percentiles",
-    "moving_average_events",
-    "cube_orders",
-    "pivot_events",
-    "asof_attribution",
-    "range_join_clicks",
-    "scalar_fns_events",
-    "sessionize_events",
-    "text_stats",
-    "lang_profile",
-    "winnow_fingerprint",
-    "token_regex_profile",
-    "corpus_mix",
-    "pack_sequences",
-    "embedding_near_dups",
-    "embedding_dedup_lsh",
-    "ann_recall_contract",
-    "orc_roundtrip",
-    "rolling_median_events",
-    "hll_union_contract_events",
-    "benchmark_decontam",
-    "dup_ngram_fraction",
-    "heaps_fit",
-    "bpe_merges",
-    "pagerank_neardup_lsh",
-    "bpe_batched_merges",
-    # -- (b) round-15 touched, registry order: pq persist-key
-    # -- semantics, the trimmed streaming replay harness, the
-    # -- auto-routed scaled assignment (hashes all unchanged) --
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_train_gain",
-    "stateful_user_totals_live",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    "semantic_dedup_scaled",
-    "streaming_heavy_hitters",
-    # -- (c) first 14 of the last-green-r12 block, registry order --
-    "timeslice_events",
-    "zoom_lineitem",
-    "select_vars_substring",
-    "array_ingest_roundtrip",
-    "dataset_api_events",
-    "bounds_events",
-    "sigma_threshold_lineitem",
-    "label_extrema_events",
-    "lang_id",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "simhash_near_dups",
-    "ngram_jaccard_pairs",
+    # -- (a) the last-green-r12 remainder, one past budget, registry
+    # -- order (the r15 comment's named 25-query debt) --
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cosine_topk",
+    "partitioned_prune_roundtrip",
+    "ann_hamming_rerank",
+    "quality_filter",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "shard_assign",
+    "contamination_check",
+    "bigram_topk",
+    "label_centroids",
+    "curation_funnel",
+    "curation_funnel_mat",
+    "weighted_sample",
+    "heavy_hitters",
+    "pii_scrub",
+    "compaction_roundtrip",
+    "dedup_incremental",
+    "ivf_recall_contract",
+    "chunk_documents",
+    "chunk_dedup",
+    "bm25_topk",
+    "dup_span_extract",
+    "sq8_quantize",
+    # -- (b) round-16 re-hashed (reference-fidelity corrections),
+    # -- registry order --
+    "gap_fill_grid",
+    "find_structures_island",
+    "find_structures_contract",
+    "find_structures_multi8",
+    # -- (c) first 21 of the last-green-r13 block, registry order --
+    "bounds_lineitem",
+    "label_extrema_lineitem",
+    "gaussian_smooth_grid",
+    "extrema_filter_grid",
+    "dilate_grid",
+    "flood_label_grid",
+    "flood_region_grid",
+    "contours_grid",
+    "running_sum_events",
+    "gradient_events",
+    "fluxfn_grid",
+    "interp_events",
+    "line_slice_linear",
+    "line_slice_nearest",
+    "multimodal_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "format_roundtrip",
 ]
 
 QUERIES = {

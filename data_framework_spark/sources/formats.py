@@ -156,17 +156,37 @@ def build_source_fp(*objs) -> str:
     lambdas)."""
     import inspect
     import marshal
+    import types
+
+    def norm_code(code):
+        # position info stripped RECURSIVELY: nested defs/lambdas
+        # live in co_consts as code objects and must be normalized
+        # too, or the "textually-identical builds fingerprint equal
+        # wherever they sit in a file" guarantee fails for any build
+        # callable containing an inner function (r15 advisory). The
+        # digest tracks semantics (co_code + co_consts + names), not
+        # layout.
+        consts = tuple(
+            norm_code(c) if isinstance(c, types.CodeType) else c
+            for c in code.co_consts
+        )
+        try:
+            return code.replace(
+                co_firstlineno=1, co_linetable=b"", co_consts=consts
+            )
+        except TypeError:
+            # co_linetable is a Python >=3.10 kwarg; on older
+            # interpreters (PySpark still supports 3.9) normalize
+            # only what exists. Residual line-table noise can only
+            # cause a spurious cold rebuild, never a stale serve —
+            # and cross-interpreter marshal bytes differ anyway.
+            return code.replace(co_firstlineno=1, co_consts=consts)
 
     h = hashlib.sha256()
     for obj in objs:
         code = getattr(obj, "__code__", None)
         if code is not None:
-            # position info stripped: two textually-identical builds
-            # must fingerprint equal wherever they sit in a file —
-            # the digest tracks semantics (co_code + co_consts +
-            # names), not layout
-            norm = code.replace(co_firstlineno=1, co_linetable=b"")
-            h.update(marshal.dumps(norm))
+            h.update(marshal.dumps(norm_code(code)))
         try:
             h.update(inspect.getsource(inspect.getmodule(obj)).encode())
             continue
@@ -176,7 +196,15 @@ def build_source_fp(*objs) -> str:
             h.update(inspect.getsource(obj).encode())
         except (TypeError, OSError):
             if code is None:
-                h.update(repr(obj).encode())
+                # a stable token, NOT repr(): default reprs embed the
+                # memory address, which would vary the fingerprint
+                # every run and silently evict/rebuild the artifact
+                # each session. Such objects get code-change-
+                # INSENSITIVE fingerprints (their semantics are
+                # invisible here); the *_FMT constants remain the
+                # invalidation knob for them.
+                t = type(obj)
+                h.update(f"{t.__module__}.{t.__qualname__}".encode())
     return h.hexdigest()[:12]
 
 

@@ -25,6 +25,7 @@ exactly what the driver-checked query below asserts against DuckDB.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from typing import Any, Iterator
 
@@ -212,6 +213,24 @@ def run_stateful_to_completion(
     import shutil
 
     name = f"stateful_{uuid.uuid4().hex[:12]}"
+    # The capture/set/run/restore cycle mutates two SESSION-global
+    # confs; two concurrent calls on one SparkSession could interleave
+    # and restore each other's transient values (r15 advisory — the
+    # per-plan partition knobs make concurrent use likelier). The
+    # module lock serializes whole runs; replay harness runs are
+    # already sequential per session, so there is no lost parallelism.
+    with _CONF_SWAP_LOCK:
+        return _run_stateful_locked(
+            spark, stream_out, output_mode, shuffle_partitions, name
+        )
+
+
+_CONF_SWAP_LOCK = threading.Lock()
+
+
+def _run_stateful_locked(spark, stream_out, output_mode, shuffle_partitions, name):
+    import shutil
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nd = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"

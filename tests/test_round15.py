@@ -244,67 +244,10 @@ def test_scaled_dedup_routes_hier_below_cap(spark, monkeypatch):
 # --- r15 verify-window rotation (r14 verdict ask 1) ---------------------------
 
 
-def test_r15_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 15's
-    window, exactly as the r14 rotation comment (advisory-corrected to
-    the true 28-name remainder) bound it: the 28-query last-green-r11
-    REMAINDER leads (one past the 3-round staleness budget), then the
-    8 queries round 15 itself touched (pq persist-key semantics, the
-    trimmed streaming-replay harness, the auto-routed scaled
-    assignment — TOUCH policy hoists kernel/plan changes, all hashes
-    verified unchanged) in registry order, filled with the FIRST 14 of
-    the last-green-r12 block in registry order (r14 verdict ask 6:
-    returned slots go to the oldest rows; the fill is pinned as the
-    exact prefix, not a subset). The 25-query r12 remainder is the
-    named debt that must lead round 16."""
-    import json
-    import os
-
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r11 = load(11) - load(12) - load(13) - load(14)
-    last_green_r12 = load(12) - load(13) - load(14)
-    touched_r15 = [
-        "pq_codes",
-        "pq_adc_topk",
-        "pq_train_gain",
-        "stateful_user_totals_live",
-        "streaming_dedup_events",
-        "streaming_interval_join",
-        "semantic_dedup_scaled",
-        "streaming_heavy_hitters",
-    ]
-    # (a) the whole last-green-r11 remainder (everything r11-green
-    # that r14's window did not verify), registry order
-    remainder_r11 = [
-        q for q in QUERIES if q in last_green_r11 and q not in touched_r15
-    ]
-    assert len(remainder_r11) == 28
-    assert _VERIFY_FIRST[:28] == remainder_r11
-    # (b) round-15 touched: pinned literally AND position-checked
-    assert _VERIFY_FIRST[28:36] == [
-        q for q in QUERIES if q in set(touched_r15)
-    ] == touched_r15
-    # (c) fill = the FIRST 14 of the last-green-r12 block in registry
-    # order (pinned exactly, not as a subset)
-    r12_block = [
-        q for q in QUERIES if q in last_green_r12 and q not in touched_r15
-    ]
-    assert _VERIFY_FIRST[36:] == r12_block[:14]
-    # the named r16 lead debt: the 25-query r12 remainder
-    assert len(r12_block[14:]) == 25
+# The r15 rotation-window test was superseded by
+# tests/test_round16.py::test_r16_verify_window_arithmetic — each
+# round's window replaces the previous round's arithmetic pin (the
+# r13 -> r14 -> r15 precedent).
 
 
 # --- concurrency lock + fingerprint fallbacks (r14 advisory, low) -------------
