@@ -443,7 +443,27 @@ def q_ivfpq_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. Build-at-most-once ACROSS sessions via
     session_ivfpq_index / formats.persistent_index_dir (cold =
     reload when a matching persisted index exists, else build;
-    warm = reload)."""
+    warm = reload).
+
+    SELF-POPULATES its session route entry ("ivfpq_topk"): the bench
+    evicts the route right before timing this query (honesty hook),
+    so the timed run is always a genuine rebuild — but the rebuilt
+    entry now lands back in the route cache, so the recall contract
+    that composes on it measures its own recall arithmetic instead of
+    silently re-executing the whole IVFADC route a second time (the
+    r15 verdict's ivfpq_recall_contract warm question: 1.33 s ≈ 1.0 s
+    route plan/query-collect rebuild + 0.7 s route re-execution, 0.3 s
+    with a warm entry — measured r16; 'the cache serves the family,
+    not one query')."""
+    from data_framework_spark.similarity.ann import cached_route
+
+    return cached_route(
+        spark, sf_dir, "ivfpq_topk",
+        lambda: _ivfpq_persist_topk_build(spark, sf_dir),
+    )
+
+
+def _ivfpq_persist_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = session_ivfpq_index(spark, sf_dir)
     q_rows = (
@@ -534,14 +554,12 @@ def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): recall@5 of q_ivfpq_persist_topk against the exact
     squared-L2 baseline, via the SHARED ann.recall_vs_exact arithmetic
     + a floor boolean the oracle states as literal TRUE."""
-    from data_framework_spark.similarity.ann import cached_route, recall_vs_exact
+    from data_framework_spark.similarity.ann import recall_vs_exact
 
-    approx = cached_route(
-        spark,
-        sf_dir,
-        "ivfpq_topk",
-        lambda: q_ivfpq_persist_topk(spark, sf_dir),
-    )
+    # q_ivfpq_persist_topk self-populates the "ivfpq_topk" route, so
+    # this composes on the session-cached frame (or builds it exactly
+    # once) without a second wrapper
+    approx = q_ivfpq_persist_topk(spark, sf_dir)
     return recall_vs_exact(
         exact_l2_topk(spark, sf_dir), approx, "ivfpq", IVFPQ_RECALL_FLOOR
     )
@@ -801,7 +819,20 @@ def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted vector index: ADC prunes the corpus to a 100-row
     shortlist per query, exact L2 fixes ADC's quantization-error
     ranking within it. Shares the persisted index with
-    q_ivfpq_persist_topk via session_ivfpq_index (no rebuild)."""
+    q_ivfpq_persist_topk via session_ivfpq_index (no rebuild).
+    Self-populates its "ivfpq_refine_topk" route entry (same regime
+    as q_ivfpq_persist_topk — the bench's eviction keeps this query's
+    own timing honest while the refine recall contract composes on
+    the cached frame instead of re-running the route)."""
+    from data_framework_spark.similarity.ann import cached_route
+
+    return cached_route(
+        spark, sf_dir, "ivfpq_refine_topk",
+        lambda: _ivfpq_refine_topk_build(spark, sf_dir),
+    )
+
+
+def _ivfpq_refine_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = session_ivfpq_index(spark, sf_dir)
     return ivfpq_refine_topk(spark, path, sf_dir)
 
@@ -825,14 +856,10 @@ def q_ivfpq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ann.recall_vs_exact arithmetic. Expected ≥ the plain ADC
     route's recall at every SF (refine re-ranks a superset of the
     ADC top-k with the exact metric)."""
-    from data_framework_spark.similarity.ann import cached_route, recall_vs_exact
+    from data_framework_spark.similarity.ann import recall_vs_exact
 
-    approx = cached_route(
-        spark,
-        sf_dir,
-        "ivfpq_refine_topk",
-        lambda: q_ivfpq_refine_topk(spark, sf_dir),
-    )
+    # q_ivfpq_refine_topk self-populates its route entry
+    approx = q_ivfpq_refine_topk(spark, sf_dir)
     return recall_vs_exact(
         exact_l2_topk(spark, sf_dir),
         approx,
