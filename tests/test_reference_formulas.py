@@ -530,3 +530,140 @@ def test_bilinear_at_matches_independent_expression():
     got = bilinear_at(field, pts)
     ref = np.array([_ref_interp_linear(field, p) for p in pts])
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# null finding — vpicdataset.py:396-426, verbatim nested loops
+# (the all-pairs segment sweep the repo vectorizes in find_nulls)
+# --------------------------------------------------------------------------
+
+
+def ref_find_nulls(b1, b2):
+    zeros_b2 = ndimage.find_contours(b2, 0)  # :383
+    zeros_b1 = ndimage.find_contours(b1, 0)  # :384
+    nulls_list = []
+    for contour_2 in zeros_b2:  # :401-424, verbatim loop structure
+        endpt_2_1 = contour_2[:-1]
+        endpt_2_2 = contour_2[1:]
+        for contour_1 in zeros_b1:
+            endpt_1_1 = contour_1[:-1]
+            endpt_1_2 = contour_1[1:]
+            for i in range(endpt_2_1.shape[0]):
+                e21 = endpt_2_1[i].reshape(-1, 2)
+                e22 = endpt_2_2[i].reshape(-1, 2)
+                intersects = np.nonzero(
+                    ref_intersect_true(endpt_1_1, endpt_1_2, e21, e22)
+                )[0]
+                if len(intersects) != 0:
+                    nulls_list.append(
+                        ref_line_intersect(
+                            endpt_1_1[intersects], endpt_1_2[intersects],
+                            e21, e22,
+                        )
+                    )
+    if not nulls_list:
+        return np.empty((0, 2))
+    return np.concatenate(nulls_list, axis=0)  # :425
+
+
+def test_find_nulls_matches_reference_as_a_set():
+    # the repo vectorizes the all-pairs sweep, so null ORDER differs;
+    # every downstream consumer (classification, per-X-point masks,
+    # the contract's sorted emission) is order-independent, so the
+    # parity claim is set equality
+    from data_framework_spark.kernels.structures import find_nulls
+
+    rng = np.random.default_rng(43)
+    found_any = 0
+    for trial in range(20):
+        shape = (int(rng.integers(12, 24)), int(rng.integers(12, 24)))
+        b1 = _random_smooth_field(rng, shape)
+        b2 = _random_smooth_field(rng, shape)
+        ref = ref_find_nulls(b1, b2)
+        got = find_nulls(b1, b2)
+        assert len(got) == len(ref), f"trial {trial}"
+        if len(ref):
+            found_any += 1
+            ref_sorted = ref[np.lexsort((ref[:, 1], ref[:, 0]))]
+            got_sorted = got[np.lexsort((got[:, 1], got[:, 0]))]
+            np.testing.assert_allclose(
+                got_sorted, ref_sorted, rtol=0, atol=1e-9,
+                err_msg=f"trial {trial}",
+            )
+    assert found_any >= 10  # the comparison exercised real nulls
+
+
+def test_classify_nulls_matches_reference_sign_rule():
+    # vpicdataset.py:431-439: O where sign(interp(hess_det)) == 1,
+    # X where == -1 (sign 0 discarded by both)
+    from data_framework_spark.kernels.structures import classify_nulls
+
+    rng = np.random.default_rng(47)
+    for _ in range(25):
+        hess = _random_smooth_field(rng, (15, 18))
+        pts = np.stack(
+            [rng.uniform(0.5, 13.5, size=12), rng.uniform(0.5, 16.5, size=12)],
+            axis=1,
+        )
+        signs = np.array(
+            [np.sign(_ref_interp_linear(hess, p)) for p in pts]
+        )
+        ref_o = pts[signs == 1]
+        ref_x = pts[signs == -1]
+        got_x, got_o = classify_nulls(hess, pts)
+        np.testing.assert_array_equal(got_x, ref_x)
+        np.testing.assert_array_equal(got_o, ref_o)
+
+
+# --------------------------------------------------------------------------
+# smoothing-spec normalization — vpicdataset.py:352-361, verbatim
+# --------------------------------------------------------------------------
+
+
+def ref_norm_smoothing(smoothing):
+    if not hasattr(smoothing, "__len__"):
+        full_smoothing = [0, smoothing, smoothing]
+    elif len(smoothing) == 1:
+        full_smoothing = [0] + list(smoothing) + list(smoothing)
+    elif len(smoothing) == 2:
+        full_smoothing = [0] + list(smoothing)
+    elif len(smoothing) == 3:
+        full_smoothing = smoothing
+    else:
+        raise ValueError(f"incompatible smoothing value {smoothing}")
+    return [float(s) for s in full_smoothing]
+
+
+def test_norm_smoothing_matches_reference():
+    from data_framework_spark.plans.structures import _norm_smoothing
+
+    for spec in (3, 0, 2.5, [1], [1, 2], [0.5, 1, 2], (4,), (1.5, 2.5)):
+        assert _norm_smoothing(spec) == ref_norm_smoothing(spec), spec
+    with pytest.raises(ValueError):
+        _norm_smoothing([1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        ref_norm_smoothing([1, 2, 3, 4])
+
+
+# --------------------------------------------------------------------------
+# uniform-spacing check — vpicdataset.py:18-22, verbatim
+# --------------------------------------------------------------------------
+
+
+def test_uniform_check_matches_reference():
+    from data_framework_spark.plans.structures import _uniform
+
+    def ref_uniform(array, atol=1e-3):
+        return np.allclose(np.diff(array), np.diff(array)[0], atol=atol)
+
+    rng = np.random.default_rng(53)
+    for _ in range(100):
+        n = int(rng.integers(3, 30))
+        mesh = np.cumsum(rng.uniform(0.5, 1.5, size=n))
+        assert _uniform(mesh) == ref_uniform(mesh)
+        even = np.arange(n) * float(rng.uniform(0.1, 3.0))
+        assert _uniform(even) == ref_uniform(even) is True
+        # the atol quirk: a 1e-4 wobble passes, 1e-2 fails
+        assert _uniform(even + rng.uniform(-5e-5, 5e-5, size=n)) is True
+    bad = np.array([0.0, 1.0, 2.5, 3.0])
+    assert _uniform(bad) == ref_uniform(bad) is False
