@@ -318,10 +318,20 @@ _TAGGED_CACHE: dict[str, DataFrame] = {}
 def cached_route(
     spark: SparkSession, sf_dir: str, route: str, build
 ) -> DataFrame:
-    from data_framework_spark.sources.formats import _sf_fingerprint
+    from data_framework_spark.sources.formats import (
+        _index_cache_root,
+        _sf_fingerprint,
+    )
 
     app = spark.sparkContext.applicationId
     fp = _sf_fingerprint(sf_dir)
+    # the persistent-index cache root is part of the key: some route
+    # builds (ivfpq/refine) read from the on-disk index under that
+    # root, so a frame cached under one root must not be served after
+    # the root moves (constant in production; tests redirect it per
+    # fixture via SPARK_GRAFT_INDEX_CACHE — r16, found by the route
+    # self-population change)
+    root = _index_cache_root()
     # prune entries from previous sessions (their DataFrames are
     # unusable against the live session and would pin memory forever
     # in a long-lived process) AND superseded fingerprints of this
@@ -332,7 +342,7 @@ def cached_route(
             stale = _ROUTE_CACHE.pop(k)
             if k[0] == app:
                 stale.unpersist()
-    key = (app, sf_dir, fp, route)
+    key = (app, sf_dir, fp, route, root)
     df = _ROUTE_CACHE.get(key)
     if df is None:
         df = build().persist()
@@ -347,10 +357,13 @@ def evict_route(spark: SparkSession, sf_dir: str, route: str) -> None:
     a dict lookup (round-5 verdict finding 2), while entries built by
     the OTHER route queries stay for the recall contracts' internal
     reuse."""
-    from data_framework_spark.sources.formats import _sf_fingerprint
+    from data_framework_spark.sources.formats import (
+        _index_cache_root,
+        _sf_fingerprint,
+    )
 
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir, _sf_fingerprint(sf_dir), route)
+    key = (app, sf_dir, _sf_fingerprint(sf_dir), route, _index_cache_root())
     df = _ROUTE_CACHE.pop(key, None)
     if df is not None:
         df.unpersist()

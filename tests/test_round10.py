@@ -104,10 +104,13 @@ def test_route_cache_evicts_on_source_rewrite(spark, sf_dir, tmp_path):
     assert df2 is not df1
     assert not df1.storageLevel.useMemory  # stale entry unpersisted
     app = spark.sparkContext.applicationId
-    assert (app, wdir, fp1, "t10_route") not in _ROUTE_CACHE
-    assert (app, wdir, fp2, "t10_route") in _ROUTE_CACHE
+    from data_framework_spark.sources.formats import _index_cache_root
+
+    root = _index_cache_root()
+    assert (app, wdir, fp1, "t10_route", root) not in _ROUTE_CACHE
+    assert (app, wdir, fp2, "t10_route", root) in _ROUTE_CACHE
     # cleanup so later tests see no leftover persisted frames
-    _ROUTE_CACHE.pop((app, wdir, fp2, "t10_route")).unpersist()
+    _ROUTE_CACHE.pop((app, wdir, fp2, "t10_route", root)).unpersist()
 
 
 # --- widen_scan exact node-name matching ------------------------------------

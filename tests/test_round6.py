@@ -135,11 +135,14 @@ def test_evict_route_forces_reexecution(spark, sf_dir):
     from data_framework_spark.sources.formats import _sf_fingerprint
 
     df1 = q_cosine_topk(spark, sf_dir)
+    from data_framework_spark.sources.formats import _index_cache_root
+
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _sf_fingerprint(sf_dir),
         "cosine_topk",
+        _index_cache_root(),
     )
     assert key in _ROUTE_CACHE
     evict_route(spark, sf_dir, "cosine_topk")
