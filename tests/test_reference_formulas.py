@@ -667,3 +667,92 @@ def test_uniform_check_matches_reference():
         assert _uniform(even + rng.uniform(-5e-5, 5e-5, size=n)) is True
     bad = np.array([0.0, 1.0, 2.5, 3.0])
     assert _uniform(bad) == ref_uniform(bad) is False
+
+
+# --------------------------------------------------------------------------
+# line-slice interpolation weights — the reference delegates to
+# scipy.interpolate.RegularGridInterpolator (statmeshvar.py:135-136,
+# method 'linear' | 'nearest'); the repo re-expresses it as corner
+# rows + a weighted join. Differential here: an INDEPENDENT
+# reimplementation of RGI's documented algorithm on NON-UNIFORM
+# rectilinear meshes (the oracle queries only exercise the uniform
+# lineitem-derived mesh), including scipy's nearest tie rule
+# (normalized distance <= 0.5 -> lower index).
+# --------------------------------------------------------------------------
+
+
+def _rgi_eval(mesh, field, p, method):
+    """RegularGridInterpolator's algorithm, written independently:
+    per-dim interval + normalized distance, then tensor-product
+    linear weights or the <=0.5-goes-lower nearest rule."""
+    idx, norm = [], []
+    for d, m in enumerate(mesh):
+        j = int(np.searchsorted(m, p[d])) - 1
+        j = max(0, min(j, len(m) - 2))
+        idx.append(j)
+        norm.append((p[d] - m[j]) / (m[j + 1] - m[j]))
+    if method == "nearest":
+        pick = tuple(
+            j if yi <= 0.5 else j + 1 for j, yi in zip(idx, norm)
+        )
+        return field[pick]
+    val = 0.0
+    ndim = len(mesh)
+    for corner in range(1 << ndim):
+        w = 1.0
+        pos = []
+        for d in range(ndim):
+            hi = (corner >> d) & 1
+            w *= norm[d] if hi else (1.0 - norm[d])
+            pos.append(idx[d] + hi)
+        val += w * field[tuple(pos)]
+    return val
+
+
+def _corner_rows_eval(mesh, field, points, method):
+    """Evaluate the repo's corner-row decomposition the way the Spark
+    join does: sum(weight * field[corner indices]) per sample."""
+    from data_framework_spark.operators.interpolate import _corner_rows
+
+    s_vals = np.arange(len(points), dtype=float)
+    rows = _corner_rows(mesh, s_vals, np.asarray(points, float), method)
+    out = {}
+    for row in rows:
+        k = row[0]
+        idxs = row[2:-1]
+        w = row[-1]
+        out[k] = out.get(k, 0.0) + w * field[tuple(int(i) for i in idxs)]
+    return [out.get(k) for k in range(len(points))]
+
+
+def test_line_slice_weights_match_rgi_on_nonuniform_meshes():
+    rng = np.random.default_rng(59)
+    for trial in range(60):
+        ndim = int(rng.integers(1, 4))
+        mesh = [
+            np.unique(np.cumsum(rng.uniform(0.2, 2.0, size=int(rng.integers(4, 12)))))
+            for _ in range(ndim)
+        ]
+        field = rng.normal(size=tuple(len(m) for m in mesh))
+        pts = np.stack(
+            [rng.uniform(m[0], m[-1], size=25) for m in mesh], axis=1
+        )
+        for method in ("linear", "nearest"):
+            got = _corner_rows_eval(mesh, field, pts, method)
+            ref = [_rgi_eval(mesh, field, p, method) for p in pts]
+            assert all(g is not None for g in got), f"trial {trial} dropped a point"
+            np.testing.assert_allclose(
+                got, ref, rtol=0, atol=1e-12,
+                err_msg=f"trial {trial} {method}",
+            )
+
+
+def test_line_slice_nearest_tie_goes_lower():
+    # a point EXACTLY halfway between mesh nodes: scipy's rule keeps
+    # the lower index (norm distance <= 0.5), and the repo documents
+    # and implements the same (operators/interpolate.py)
+    mesh = [np.array([0.0, 2.0, 6.0])]
+    field = np.array([10.0, 20.0, 30.0])
+    got = _corner_rows_eval(mesh, field, np.array([[1.0], [4.0]]), "nearest")
+    ref = [_rgi_eval(mesh, field, p, "nearest") for p in [[1.0], [4.0]]]
+    assert got == ref == [10.0, 20.0]
