@@ -477,6 +477,25 @@ ISLAND_FAMILY_NT = 8
 ISLAND_FAMILY_SMOOTHING = 1
 
 
+def island_jy(zz: np.ndarray, xx: np.ndarray, k: float = 1.0) -> np.ndarray:
+    """The island-chain fixture's out-of-plane current, shared by
+    every island construction (the 3 plan sites and the family-parity
+    test must stay bit-identical): the modulated z=0 band + ripple
+    lattice, PLUS two localized Gaussian blobs (r16) — one positive
+    at (z=3, x=4), one negative at (z=-4, x=6.5) — sized so the
+    verbatim current-sheet thresholds genuinely FIRE on this field
+    (pos/neg sheet cells ≈ 59/56 at 120×64). Without them the broad
+    band never beats the filtered-array 3σ rule and the driver-hashed
+    current-sheet census pins 0, leaving the sheets kernel outside
+    the correctness gate."""
+    return (
+        8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx))
+        + 0.5 * np.cos(4.7 * zz) * np.cos(4.5 * xx)
+        + 20.0 * np.exp(-(((zz - 3.0) ** 2) + (xx - 4.0) ** 2) / 0.5)
+        - 12.0 * np.exp(-(((zz + 4.0) ** 2) + (xx - 6.5) ** 2) / 0.5)
+    )
+
+
 def _island_family_dataset(spark) -> SparkDataset:
     """The canonical 8-phase island-chain dataset (t = phase index;
     b1 phase-shifted by 0.35·t — the multi8 construction verbatim)."""
@@ -486,9 +505,7 @@ def _island_family_dataset(spark) -> SparkDataset:
     x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
     zz, xx = np.meshgrid(z, x, indexing="ij")
     b2 = np.tanh(zz)
-    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
-        4.7 * zz
-    ) * np.cos(4.5 * xx)
+    jy = island_jy(zz, xx, k)
     ts = np.arange(n_t, dtype=float)
     b1_t = np.stack([eps * k * np.sin(k * xx - 0.35 * t) for t in ts])
     ds = SparkDataset()
@@ -617,9 +634,7 @@ def q_find_structures_island(spark, sf_dir: str):
     x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
     zz, xx = np.meshgrid(z, x, indexing="ij")
     b2 = np.tanh(zz)
-    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
-        4.7 * zz
-    ) * np.cos(4.5 * xx)
+    jy = island_jy(zz, xx, k)
     b1_t = np.stack(
         [eps * k * np.sin(k * xx), eps * k * np.sin(k * xx - phase)]
     )
@@ -685,10 +700,7 @@ def _island_field_t0(spark) -> SparkDataset:
     zz, xx = np.meshgrid(z, x, indexing="ij")
     b1 = (eps * k * np.sin(k * xx))[np.newaxis]
     b2 = np.tanh(zz)[np.newaxis]
-    jy = (
-        8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx))
-        + 0.5 * np.cos(4.7 * zz) * np.cos(4.5 * xx)
-    )[np.newaxis]
+    jy = island_jy(zz, xx, k)[np.newaxis]
     ts = np.array([0.0])
     ds = SparkDataset()
     ds.add_var(SparkVariable.from_numpy(spark, "b1", ts, [z, x], b1))
@@ -765,13 +777,14 @@ def q_find_structures_contract(spark, sf_dir: str):
 # Re-pinned r16 after the reference-fidelity corrections (verbatim
 # gap_fill, per-X-point separatrix decomposition, d_per_de 1/spacing,
 # verbatim current-sheet thresholds): separatrices 140→257,
-# o_structures 425→383, current_sheets 692→0. The 0 is the reference's
-# real behavior on this fixture — mean+3σ over the FULL 10×10
-# max-filtered jy array never fires on the island field's broad
-# current band; current-sheet LIVENESS is pinned separately by
-# tests/test_reference_formulas.py::test_current_sheets_match_reference,
-# whose spiked random fields assert ≥5 nonzero sheet masks match the
-# reference's verbatim formula.
+# o_structures 425→383. current_sheets went 692→0 under the verbatim
+# thresholds (the broad island band never beats the filtered-array 3σ
+# rule), which would have left the sheets kernel OUTSIDE the driver's
+# correctness gate — so the fixture's jy gained two localized blobs
+# (island_jy, r16) sized to make both polarities fire: 115 cells
+# (59 positive at z=3,x=4 / 56 negative at z=-4,x=6.5), cross-checked
+# against the verbatim reference formula by
+# tests/test_reference_formulas.py::test_current_sheets_match_reference.
 Q_FIND_STRUCTURES_CONTRACT_SQL = """
 SELECT * FROM (VALUES
   ('n_x_points', 2.0::DOUBLE),
@@ -784,7 +797,7 @@ SELECT * FROM (VALUES
   ('o0_x', 3.1416::DOUBLE),
   ('separatrices_cells', 257.0::DOUBLE),
   ('o_structures_cells', 383.0::DOUBLE),
-  ('current_sheets_cells', 0.0::DOUBLE),
+  ('current_sheets_cells', 115.0::DOUBLE),
   ('fluxfn_min', -7.6527::DOUBLE),
   ('fluxfn_max', 0.3227::DOUBLE)
 ) AS t(metric, value)

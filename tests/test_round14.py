@@ -184,14 +184,14 @@ def _island_2t_dataset(spark):
     from data_framework_spark.dataset import SparkDataset
     from data_framework_spark.variable import SparkVariable
 
+    from data_framework_spark.plans.structures import island_jy
+
     k, eps, phase = 1.0, 0.3, 0.7
     z = np.linspace(-8.0, 8.0, 120)
     x = np.linspace(-np.pi / 2, 2.5 * np.pi, 64)
     zz, xx = np.meshgrid(z, x, indexing="ij")
     b2 = np.tanh(zz)
-    jy = 8.0 / np.cosh(zz) ** 2 * (1 + 0.3 * np.cos(k * xx)) + 0.5 * np.cos(
-        4.7 * zz
-    ) * np.cos(4.5 * xx)
+    jy = island_jy(zz, xx, k)  # must match the family fields bitwise
     b1_t = np.stack(
         [eps * k * np.sin(k * xx), eps * k * np.sin(k * xx - phase)]
     )

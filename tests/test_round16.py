@@ -87,7 +87,10 @@ def test_contract_sql_carries_r16_rederived_literals():
     sql = Q_FIND_STRUCTURES_CONTRACT_SQL
     assert "('separatrices_cells', 257.0::DOUBLE)" in sql
     assert "('o_structures_cells', 383.0::DOUBLE)" in sql
-    assert "('current_sheets_cells', 0.0::DOUBLE)" in sql
+    # 115 = 59 positive + 56 negative sheet cells from island_jy's two
+    # blobs — nonzero BY CONSTRUCTION so the sheets kernel sits inside
+    # the driver's hash gate (0 would mean an all-zero mask passes)
+    assert "('current_sheets_cells', 115.0::DOUBLE)" in sql
     assert "140.0" not in sql and "425.0" not in sql and "692.0" not in sql
 
 
