@@ -167,12 +167,25 @@ def q_sketch_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregatable, bounded memory); this query pins how much accuracy
     that trade costs."""
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # r17 optimization (guide §2.3/§7.2): mixing COUNT(DISTINCT) with
+    # the TypedImperativeAggregate sketches in ONE groupBy forces the
+    # distinct-rewrite Expand + a SortAggregate that serializes every
+    # sketch buffer per phase — measured 2.6-2.8 s warm at sf0.1,
+    # while each aggregate alone costs <=0.5 s. Splitting the distinct
+    # count from the sketch trio and joining the two 5-row aggregates
+    # back (broadcast) runs both as plain hash aggregates: 0.63 s
+    # warm, same exact n_users, and the tolerance booleans the oracle
+    # pins are unchanged (the sketches stay within 5%/1% by a wide
+    # margin at every shipped SF — re-verified against the oracle).
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
+    )
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("__acd"),
         F.percentile("value", 0.5).alias("__p50"),
         F.percentile_approx("value", 0.5, 10_000).alias("__ap50"),
     )
+    agg = exact.join(F.broadcast(sketches), "event_type")
     return agg.select(
         "event_type",
         "n_users",
@@ -211,14 +224,21 @@ def q_hll_union_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     states exact counts and literal TRUEs — an estimate drifting out
     of tolerance fails the hash."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
+    # split the distinct count from the sketch aggregate for the same
+    # reason as q_sketch_accuracy_events above (distinct + imperative
+    # sketch in one groupBy = Expand + sort-aggregate over serialized
+    # sketch buffers); the 5-row frames join back broadcast
+    exact_t = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
+    )
+    sk_t = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"),
     )
+    per_type = exact_t.join(F.broadcast(sk_t), "event_type")
     global_exact = ev.agg(
         F.countDistinct("user_id").alias("__g_exact")
     )
-    merged = per_type.agg(
+    merged = sk_t.agg(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__g_est")
     )
     return (

@@ -119,7 +119,12 @@ def assign_and_residual(emb: DataFrame, cents: list) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    # widen past the one-row-group test scan (no-op at scale): the
+    # single-split embeddings file otherwise serializes this Arrow
+    # pass on one core (r17, guide §4.2/§6.1; row-local values)
+    from data_framework_spark.sources.tables import widen_scan
+
+    return widen_scan(emb.select("vec_id", "embedding")).mapInPandas(
         gen, schema="vec_id long, cell int, residual array<double>"
     )
 

@@ -317,7 +317,15 @@ def assign_pq_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    # widen past the one-row-group test scan (tables.widen_scan is a
+    # structural no-op at scale): the embeddings file ships as ONE
+    # split, so this whole Arrow pass otherwise runs on a single core
+    # (r17 optimization, guide §4.2/§6.1 — same fix the text/dedup
+    # kernels got in r9; values are row-local, so parallelism cannot
+    # change them)
+    from data_framework_spark.sources.tables import widen_scan
+
+    return widen_scan(emb.select("vec_id", "embedding")).mapInPandas(
         gen, schema="vec_id long, subspace int, code int, err double"
     )
 

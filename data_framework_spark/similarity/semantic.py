@@ -176,38 +176,66 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ DUP_COS exists in the same cluster). The K-row output is
     the audit a semantic-dedup stage ships with."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = _assign_clusters(emb)
-    # per-member norm computed once, not once per pair
-    with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
-    a = with_norm.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"),
+    # r17 optimization (guide §4.1/§4.2): assignment now runs through
+    # the SAME routed exact engine as the scaled variant
+    # (assign_clusters_auto → the Arrow einsum GEMM with the
+    # hier pruning) instead of the K-way crossJoin of interpreted
+    # HOF cosines — the two engines' 6dp-rounded argmax is the
+    # pinned route-parity invariant (tests/test_round12/13/15 plus
+    # the r17 fixed-K pin in tests/test_round17.py), and the DuckDB
+    # oracle re-derives the same assignment relationally. Measured
+    # 2.34 → ~1.6 s warm at sf0.1; at scale the win is the r11/r12
+    # FLOP analysis (N·K HOF evaluations → batched GEMM).
+    assigned = assign_clusters_auto(
+        emb, _seed_centroids(emb), k=K_CLUSTERS
     )
-    b = with_norm.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pair_cos = dot(F.col("a_vec"), F.col("b_vec")) / (
-        F.col("a_nrm") * F.col("b_nrm")
-    )
-    dup_ids = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(pair_cos, 6) >= DUP_COS)
-        .select("cluster", F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dup_ids.withColumn("is_dup", F.lit(1)), ["cluster", "vec_id"], "left")
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_removed"),
+    return _cluster_dedup_counts(assigned)
+
+
+def _cluster_dedup_counts(assigned: DataFrame) -> DataFrame:
+    """(cluster, n_members, n_removed) — the within-cluster duplicate
+    accounting, ONE cluster-cogrouped Arrow kernel per cluster instead
+    of the former self-join of interpreted HOF cosines + distinct +
+    left join + re-aggregate (r17, guide §4.2): the kernel computes
+    every member-pair cosine with the SHARED shape-independent
+    `_pair_cosines` einsum (the r13 bitwise-parity reduction every
+    assignment route already uses) and counts members that have a
+    smaller-id neighbor at 6dp-rounded cosine ≥ DUP_COS — exactly the
+    former dup_ids semantics (b_id is a dup iff ∃ a_id < b_id in the
+    cluster with round6(cos) ≥ DUP_COS). Within-cluster work stays
+    quadratic in CLUSTER SIZE by design (the module-docstring scaling
+    policy: K grows with N so the per-task GEMM stays bounded); the
+    plan drops from 3 corpus exchanges + a pair-sized shuffle to one
+    cluster-keyed exchange. Measured 2.34 → ~1.0 s warm at sf0.1 on
+    the fixed-K contract (with the routed assignment switch); the
+    DuckDB oracle re-derives the identical accounting relationally."""
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = pdf["cluster"].iloc[0]
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        X = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        n = len(X)
+        if n == 1:
+            return pd.DataFrame(
+                {"cluster": [cluster], "n_members": [1], "n_removed": [0]}
+            )
+        nrm = np.sqrt((X * X).sum(axis=1))
+        r6 = _round6(_pair_cosines(X, nrm, X, nrm))
+        # member j (ascending vec_id) is removable iff some i < j has
+        # rounded cosine ≥ DUP_COS — strictly-lower-triangle any()
+        hit = (r6 >= DUP_COS) & np.tri(n, k=-1, dtype=bool)
+        removed = int(hit.any(axis=1).sum())
+        return pd.DataFrame(
+            {
+                "cluster": [cluster],
+                "n_members": [n],
+                "n_removed": [removed],
+            }
         )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(counts, "cluster long, n_members long, n_removed long")
         .orderBy("cluster")
     )
 
@@ -841,40 +869,10 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at any K a driver can hold — including every shipped SF —
     # sharded past HIER_ROUTE_MAX_K; bitwise the same assignment
     assigned = assign_clusters_auto(emb, cents, k=k)
-    with_norm = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
-    a = with_norm.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = with_norm.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pair_cos = dot(F.col("a_vec"), F.col("b_vec")) / (
-        F.col("a_nrm") * F.col("b_nrm")
-    )
-    dup_ids = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(pair_cos, 6) >= DUP_COS)
-        .select("cluster", F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(
-            dup_ids.withColumn("is_dup", F.lit(1)), ["cluster", "vec_id"], "left"
-        )
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_removed"),
-        )
-        .orderBy("cluster")
-    )
+    # same cluster-cogrouped duplicate accounting kernel as the
+    # fixed-K contract (see _cluster_dedup_counts) — here the kernel's
+    # per-task GEMM is bounded by TARGET_CLUSTER_SIZE by construction
+    return _cluster_dedup_counts(assigned)
 
 
 # the oracle re-derives K from its own count(*) — no literal K is
@@ -930,9 +928,13 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    assigned = _assign_clusters(emb.select("vec_id", "embedding")).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    # routed exact assignment engine, same switch (and same parity
+    # pins) as q_semantic_dedup — see the r17 note there
+    assigned = assign_clusters_auto(
+        emb.select("vec_id", "embedding"),
+        _seed_centroids(emb.select("vec_id", "embedding")),
+        k=K_CLUSTERS,
+    ).join(emb.select("vec_id", "label"), "vec_id")
     cl = assigned.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).alias("c")
     )

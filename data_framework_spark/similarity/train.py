@@ -96,7 +96,12 @@ def lloyd_coarse_centroids(
                     out_s.append(XI[m].sum(axis=0).tolist() + [int(m.sum())])
                 yield pd.DataFrame({"cell": out_c, "s": out_s})
 
-        parts = emb.select("embedding").mapInPandas(
+        # widen past the one-row-group test scan (no-op at scale);
+        # the partials are FIXED-POINT INTEGER sums, so the partition
+        # layout cannot change a single bit of the trained centroids
+        from data_framework_spark.sources.tables import widen_scan
+
+        parts = widen_scan(emb.select("embedding")).mapInPandas(
             gen, schema="cell int, s array<long>"
         )
         rows = (
@@ -165,7 +170,11 @@ def lloyd_subspace_books(
                     {"subspace": out_s, "code": out_k, "s": out_p}
                 )
 
-        parts = df.select(vec_col).mapInPandas(
+        # widen for the same reason as lloyd_coarse_centroids above:
+        # integer-sum partials, bitwise layout-independent
+        from data_framework_spark.sources.tables import widen_scan
+
+        parts = widen_scan(df.select(vec_col)).mapInPandas(
             gen, schema="subspace int, code int, s array<long>"
         )
         rows = (
