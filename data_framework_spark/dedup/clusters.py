@@ -202,6 +202,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_minhash_near_dups(spark, sf_dir).select("a", "b")
     cc = connected_components(pairs)
+    # r17 (guide §1.2 / the pagerank small-route rationale): when the
+    # small-graph gate routed the components driver-side, `cc` is a
+    # LOCAL relation — finishing with a distributed groupBy + join +
+    # sort over it paid 3 more shuffle jobs for rows already in driver
+    # memory. A local frame finishes in pandas (exact integer counts,
+    # same rows); the distributed tail below is unchanged for the
+    # label-propagation route.
+    if cc.isLocal():
+        import pandas as pd
+
+        pdf = cc.toPandas()
+        pdf["cluster_size"] = pdf.groupby("component")[
+            "component"
+        ].transform("size").astype("int64")
+        out = (
+            pdf.rename(
+                columns={"vertex": "doc_id", "component": "cluster_rep"}
+            )
+            .sort_values("doc_id", kind="stable")
+            .reset_index(drop=True)
+        )
+        return spark.createDataFrame(
+            out, "doc_id long, cluster_rep long, cluster_size long"
+        )
     # no broadcast hint: sizes has one row per component, which at
     # corpus scale is itself huge; both sides are already partitioned
     # by component, so the sort-merge/AQE choice is the safe one.

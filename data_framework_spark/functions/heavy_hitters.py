@@ -113,6 +113,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokens exceeding 1/HH_K of all token occurrences —
     sketch-pruned, exactly re-counted, hash-equal to the oracle's
     plain GROUP BY / HAVING over the full token stream."""
+    # r17: widen_scan was TRIED here and measured SLOWER (1.37 →
+    # 1.63 s warm min, interleaved A/B at sf0.1): the raw-text
+    # exchange plus 32 per-partition MG summaries (bigger candidate
+    # union, more Python workers) costs more than the single-core
+    # explode saves on this corpus. Left on the scan partitioning.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(toks, HH_K)

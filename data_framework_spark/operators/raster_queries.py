@@ -465,8 +465,14 @@ def q_halo_smooth_multi_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, tile stitching, or the kernel moves a checksum."""
     from data_framework_spark.plans.tile_kernel import tile_apply_halo
 
+    # r17 (guide §2.3 project-before-the-exchange / §4.1): the halo
+    # runner ships EVERY input column through the patch-replicating
+    # explode, the (t, patch) shuffle AND the Arrow boundary — c0/c1
+    # are dead weight for this query (the kernel scatters by i0/i1,
+    # the summary reads t/value), ~1/3 of the 8.4M-row shuffle bytes.
+    # Values untouched: same kernel, same cells.
     out = tile_apply_halo(
-        _halo_mt_field(spark),
+        _halo_mt_field(spark).select("t", "i0", "i1", "value"),
         lambda a: ndimage.gaussian_filter(a, (1.0, 1.0)),
         radius=4,
         tile=256,

@@ -101,6 +101,65 @@ class TestSemanticDedupKernel:
         assert [tuple(r) for r in old] == [tuple(r) for r in new]
 
 
+class TestDedupClustersLocalFinish:
+    def test_local_finish_matches_distributed_tail(self, spark):
+        """When the CC small-graph gate routes driver-side,
+        q_dedup_clusters finishes the size/representative accounting
+        in pandas; forcing the distributed label-propagation route
+        (and its groupBy+join tail) must give identical rows."""
+        import data_framework_spark.dedup.clusters as C
+
+        a = C.q_dedup_clusters(spark, SF01).collect()
+        real_cc = C.connected_components
+        C.connected_components = lambda pairs, **kw: real_cc(
+            pairs, small_graph_edges=0
+        )
+        try:
+            b = C.q_dedup_clusters(spark, SF01).collect()
+        finally:
+            C.connected_components = real_cc
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestFunnelOnePass:
+    def test_one_pass_funnel_matches_stagewise(self, spark):
+        """The r17 one-pass funnel (per-user stage arrays + HOF
+        recurrence) must reproduce the former stage-by-stage
+        persist/count form exactly."""
+        from pyspark.sql import functions as F
+
+        from data_framework_spark.operators.analytics import (
+            FUNNEL_STAGES,
+            q_funnel_stages,
+        )
+        from data_framework_spark.sources.tables import load_table
+
+        for sf in (SF001, SF01):
+            new = q_funnel_stages(spark, sf).collect()
+            # the pre-r17 stagewise reference, verbatim
+            ev = load_table(spark, sf, "events").select(
+                "user_id", "ts", "event_type"
+            )
+            stage = (
+                ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+            counts = [stage.count()]
+            for ev_type in FUNNEL_STAGES[1:]:
+                stage = (
+                    ev.filter(F.col("event_type") == ev_type)
+                    .join(stage, "user_id")
+                    .filter(F.col("ts") > F.col("t"))
+                    .groupBy("user_id")
+                    .agg(F.min("ts").alias("t"))
+                )
+                counts.append(stage.count())
+            assert [new[0][c] for c in (
+                "n_signup", "n_view", "n_click", "n_purchase"
+            )] == counts
+
+
 class TestPagerankSmallGraphRoute:
     def test_driver_route_equals_distributed_route(self, spark):
         """The r17 driver-side rank iteration (PR_SMALL_GRAPH_EDGES
