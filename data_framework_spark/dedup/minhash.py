@@ -143,6 +143,12 @@ def candidate_pairs(
     """
     if max_bucket is not None:
         bands = _cap_buckets(bands, max_bucket)
+    # r17 (guide §2.4/§5): the bucket self-join consumes the band
+    # subtree on both sides — without materialization the whole
+    # shingle→signature→band pipeline executes twice per query (the
+    # simhash.hamming_pairs finding, same fix). The frame is 4 rows
+    # per doc (doc, band, band_hash).
+    bands = bands.localCheckpoint(eager=True)
     right = bands.alias("r")
     if probe is None:
         return (

@@ -104,7 +104,16 @@ def hamming_pairs(
     bit_count(xor) per candidate. With `probe` (column `doc`) the left
     side shrinks to the probe set — cost linear in |probe|·bucket.
     """
-    sig = simhash(docs, id_col, text_col)
+    # r17 (guide §2.4/§5): the band self-join consumes the signature
+    # subtree on BOTH sides, and exchange reuse does not cover the
+    # per-occurrence md5 + 32-bit-sum aggregate feeding it — the full
+    # signature build ran twice per query. One eager localCheckpoint
+    # of the doc-sized (doc, simhash) frame materializes it once
+    # (2.23 → 1.79 s warm min at sf0.1, interleaved A/B; identical
+    # rows). Same materialize-shared-subtree pattern as
+    # dedup/clusters.connected_components; at scale the checkpointed
+    # frame is 16 B/doc vs re-hashing every token occurrence.
+    sig = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     bands = sig.select(
         "doc",
         "simhash",
