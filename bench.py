@@ -36,6 +36,37 @@ import sys
 import time
 
 
+def _warm_python_workers(spark) -> None:
+    """Measurement fix (r18, VERDICT item 5; guide §1.4 'measure the
+    computation'): the session warm-up covered the JVM and parquet
+    footers but NOT the Python worker pool or the Arrow UDF
+    serialization path, so the alphabetically-FIRST Python-touching
+    query (ann_hamming_rerank in every pass, including the cold3
+    re-run) absorbed a ~1-2 s per-session daemon/worker spin-up that
+    is a session constant, not that query's plan cost — its cold
+    entries have been unreadable across rounds. One trivial
+    pandas_udf evaluation per fresh session moves that constant into
+    the (untimed) warm-up, exactly like the existing lineitem.count()
+    does for the JVM. Change documented in OPTIMIZATION_r18.md; the
+    timed protocol (3 passes + cold2/cold3, noop sink) is unchanged
+    and prior-round records keep their recorded values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    (
+        spark.range(256)
+        .repartition(32)
+        .select(_warm(F.col("id")).alias("x"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -48,6 +79,7 @@ def main() -> None:
     # warm the JVM + parquet footers once so the first query isn't
     # charged for session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    _warm_python_workers(spark)
     # one-time bucketed layout build, outside the per-query timings
     from data_framework_spark.operators.bucketed import bucketed_tables
 
@@ -167,6 +199,7 @@ def main() -> None:
             spark.read.parquet(
                 os.path.join(sf_dir, "lineitem.parquet")
             ).count()
+            _warm_python_workers(spark)
             cold2 = run_subset(subsets["r1"])
             out["r1_subset_cold2_value"] = round(sum(cold2.values()), 4)
             out["r1_subset_cold_min"] = round(
@@ -208,6 +241,7 @@ def main() -> None:
         spark.stop()
         spark = get_spark("data_framework_spark-bench-cold3")
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        _warm_python_workers(spark)
         if any(k.startswith("bucketed_") for k in top10):
             bucketed_tables(spark, sf_dir)  # layout stays outside timings
         cold3 = run_subset(top10)
@@ -252,6 +286,34 @@ def main() -> None:
     compact["slowest5"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
+    # Top per-query warm movers vs the committed PREVIOUS-round record
+    # (BENCH_PREV_DETAIL.json, refreshed each round from the prior
+    # round's BENCH_DETAIL.json): the driver's ~2000-char stdout tail
+    # cannot see the full per-query dict, so its PERF comparator has
+    # had per_query: {} every round — this keyed addition (r17 verdict
+    # ask 9; additions-only, existing keys byte-compatible) puts the
+    # eight largest round-over-round warm deltas where the tail
+    # capture can see them (eight, not more: the compact line must
+    # stay under the ~2000-char tail or its PREFIX gets cut and the
+    # whole record is unparseable — the BENCH_r02 failure mode).
+    # Guarded: a missing/stale prev file degrades to an absent key,
+    # never a lost bench artifact.
+    try:
+        with open(os.path.join(here, "BENCH_PREV_DETAIL.json")) as f:
+            prev_warm = json.load(f)["queries_warm"]
+        movers = sorted(
+            (
+                (k, round(timings_warm[k] - prev_warm[k], 2))
+                for k in timings_warm
+                if k in prev_warm
+            ),
+            key=lambda kv: -abs(kv[1]),
+        )[:8]
+        compact["warm_movers_vs_prev"] = {
+            k: f"{prev_warm[k]:.2f}->{timings_warm[k]:.2f}" for k, _ in movers
+        }
+    except Exception as exc:  # noqa: BLE001 — instrumentation only
+        compact["warm_movers_error"] = repr(exc)[:100]
     print(json.dumps(compact))
 
 

@@ -60,6 +60,26 @@ def connected_components(
     driver-side union-find (identical min-label result — pinned by
     tests/test_property_parity.py — without per-round job overhead);
     pass small_graph_edges=0 to force the distributed path."""
+    df, _ = connected_components_routed(
+        edges, a, b, max_rounds, small_graph_edges
+    )
+    return df
+
+
+def connected_components_routed(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> tuple[DataFrame, bool]:
+    """connected_components plus an EXPLICIT `driver_side` flag (r18,
+    r17 advisory): callers wanting the local finish previously probed
+    `cc.isLocal()`, which is true only because _cc_driver_side's
+    createDataFrame-from-pandas happens to yield a LocalRelation in
+    this PySpark version — an implementation detail that could
+    silently turn the optimization off. The route decision is made
+    HERE, so it is returned here."""
     # eager localCheckpoint: iterative plans grow lineage every round —
     # without truncation each action re-analyzes (and can re-execute)
     # the whole chain back to the edge producer. Checkpointing the
@@ -78,7 +98,7 @@ def connected_components(
     )
     n_edges = sym.count()  # cheap: scans the checkpoint, not the producer
     if n_edges < small_graph_edges:
-        return _cc_driver_side(sym)
+        return _cc_driver_side(sym), True
     parts = max(
         _MIN_PARTITIONS,
         min(_MAX_PARTITIONS, -(-n_edges // _EDGES_PER_PARTITION)),
@@ -86,7 +106,7 @@ def connected_components(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        return _cc_rounds(sym, max_rounds)
+        return _cc_rounds(sym, max_rounds), False
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -201,15 +221,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_framework_spark.dedup.minhash import q_minhash_near_dups
 
     pairs = q_minhash_near_dups(spark, sf_dir).select("a", "b")
-    cc = connected_components(pairs)
+    cc, cc_driver_side = connected_components_routed(pairs)
     # r17 (guide §1.2 / the pagerank small-route rationale): when the
     # small-graph gate routed the components driver-side, `cc` is a
     # LOCAL relation — finishing with a distributed groupBy + join +
     # sort over it paid 3 more shuffle jobs for rows already in driver
     # memory. A local frame finishes in pandas (exact integer counts,
     # same rows); the distributed tail below is unchanged for the
-    # label-propagation route.
-    if cc.isLocal():
+    # label-propagation route. The route flag comes from
+    # connected_components_routed itself (r18, r17 advisory — no more
+    # cc.isLocal() plan-shape probing).
+    if cc_driver_side:
         import pandas as pd
 
         pdf = cc.toPandas()

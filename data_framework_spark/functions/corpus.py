@@ -816,7 +816,29 @@ def release_funnel_scratch() -> None:
 
 
 def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
-    """Stages 1-5 of the funnel over a materialized base projection."""
+    """Stages 1-5 of the funnel over a materialized base projection.
+
+    r18 restructure (guide §2.4; VERDICT item 6 — the profiler showed
+    twin ~0.86 s jobs re-executing the per-doc flag/HOF subtree for
+    each consumer, 14 jobs total): same rows, three structural
+    changes, each oracle-pinned identical:
+    - the stage-3 group-rep election is a WINDOW min over the
+      signature instead of groupBy + join-back: a doc is the rep iff
+      it equals its group's min doc_id, so no keepers frame and no
+      doc-keyed re-shuffle of the corpus. Non-clean docs get a
+      doc-unique salt as h0 ('#'||doc_id — can never collide with an
+      md5 hex), so they form singleton window partitions instead of
+      one giant NULL-key partition (guide §2.5), and their uniq_ok is
+      false via clean_ok anyway.
+    - the per-doc frame (flags + signature + uniq_ok, toks dropped)
+      is localCheckpoint'ed ONCE; the contam probe and the final
+      rollup both read the materialized slim rows instead of
+      re-deriving the HOF pass (the LSH-band fix pattern).
+    - the contam set (distinct contaminated doc_ids — small by the
+      decontam contract) joins back BROADCAST instead of by another
+      doc-keyed shuffle. At a scale where contamination were corpus-
+      sized, drop the hint and this reverts to the shuffle join.
+    """
     train = base.filter(~F.col("b")).drop("b")
 
     # stage 2a: per-doc top-token ratio via the shared sorted-run fold
@@ -843,7 +865,8 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
     # is lexicographic on both engines, identical to the relational
     # min aggregate), so the signature build needs no explode and no
     # doc-keyed shuffle; the only exchange left in this stage is the
-    # unavoidable signature-keyed group-rep election.
+    # unavoidable signature-keyed group-rep election. `when(clean_ok)`
+    # keeps the K md5 transforms lazy for non-clean rows.
     from data_framework_spark.dedup.minhash import K as MH_K
 
     def _component(k: int):
@@ -853,22 +876,32 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
         tag = F.lit(f"#{k}")
         return lambda s: F.md5(F.concat(s, tag))
 
-    sig = flags.filter("clean_ok").select(
-        F.col("doc_id").alias("doc"),
-        *[
+    sig_cols = [
+        F.when(
+            F.col("clean_ok"),
             F.array_min(
                 F.transform(F.array_distinct("toks"), _component(k))
-            ).alias(f"h{k}")
-            for k in range(MH_K)
-        ],
+            ),
+        ).alias(f"h{k}")
+        for k in range(MH_K)
+    ]
+    with_sig = flags.select(
+        "doc_id", "source", "n_tok", "q_ok", "clean_ok", "g", *sig_cols
+    ).withColumn(
+        "h0",
+        F.when(F.col("clean_ok"), F.col("h0")).otherwise(
+            F.concat(F.lit("#"), F.col("doc_id").cast("string"))
+        ),
     )
-    keepers = (
-        sig.groupBy(*[f"h{k}" for k in range(MH_K)])
-        .agg(F.min("doc").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("is_rep"))
-    )
-    flags = flags.join(keepers, "doc_id", "left").withColumn(
-        "uniq_ok", F.col("clean_ok") & F.coalesce("is_rep", F.lit(False))
+    w_sig = W.partitionBy(*[f"h{k}" for k in range(MH_K)])
+    flags = (
+        with_sig.withColumn(
+            "uniq_ok",
+            F.col("clean_ok")
+            & (F.col("doc_id") == F.min("doc_id").over(w_sig)),
+        )
+        .drop(*[f"h{k}" for k in range(MH_K)])
+        .localCheckpoint(eager=True)
     )
 
     # stage 4: benchmark decontam — bench shingle set is tiny →
@@ -884,7 +917,7 @@ def _funnel_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("is_contam", F.lit(True))
     )
-    flags = flags.join(contam, "doc_id", "left").withColumn(
+    flags = flags.join(F.broadcast(contam), "doc_id", "left").withColumn(
         "kept_ok", F.col("uniq_ok") & ~F.coalesce(F.col("is_contam"), F.lit(False))
     )
 

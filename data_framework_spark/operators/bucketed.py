@@ -185,7 +185,16 @@ def q_sketch_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.5).alias("__p50"),
         F.percentile_approx("value", 0.5, 10_000).alias("__ap50"),
     )
-    agg = exact.join(F.broadcast(sketches), "event_type")
+    # null-safe equi-join (r18, r17 advisory): the former plain inner
+    # join would silently DROP a NULL event_type group that the
+    # pre-split single aggregate kept as a row. The shipped corpora
+    # have zero NULL event_type values (verified), so rows/values are
+    # identical; <=> keeps the split future-proof against a generator
+    # change, and BroadcastHashJoin handles EqualNullSafe keys.
+    agg = exact.join(
+        F.broadcast(sketches),
+        exact["event_type"].eqNullSafe(sketches["event_type"]),
+    ).drop(sketches["event_type"])
     return agg.select(
         "event_type",
         "n_users",
@@ -234,7 +243,11 @@ def q_hll_union_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_t = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"),
     )
-    per_type = exact_t.join(F.broadcast(sk_t), "event_type")
+    # null-safe for the same reason as q_sketch_accuracy_events above
+    per_type = exact_t.join(
+        F.broadcast(sk_t),
+        exact_t["event_type"].eqNullSafe(sk_t["event_type"]),
+    ).drop(sk_t["event_type"])
     global_exact = ev.agg(
         F.countDistinct("user_id").alias("__g_exact")
     )

@@ -19,7 +19,7 @@ broadcasts. No query here materializes to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_framework_spark.sources.tables import load_table
@@ -56,11 +56,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated-min subquery.
 
     Plan: derived partsupp (one shuffle) ⋈ broadcast(region-filtered
-    supplier dim); the per-part min is a window-free groupBy + semi
-    join back on (partkey, cost) — both sides of that re-join share
-    the partkey shuffle key, and the min side is tiny (one row per
-    part) so it broadcasts. No correlated re-execution, unlike the
-    literal SQL's nested subquery.
+    supplier dim); the per-part min is a WINDOW min over ps_partkey +
+    an equality filter — identical rows to the former groupBy +
+    broadcast-join-back (ties at the min all survive both forms), but
+    the rps subtree executes ONCE: the join form re-ran the whole
+    lineitem aggregation for the min side (no plan-level subtree
+    reuse through an aggregate), 2 full lineitem passes per call
+    (r18, guide §2.4 — the same shared-subtree pathology as the LSH
+    band self-joins, fixed structurally instead of by checkpoint).
+    No correlated re-execution, unlike the literal SQL's nested
+    subquery.
     """
     ps = _derived_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(
@@ -82,15 +87,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part.select("p_partkey", "p_brand")),
         ps.ps_partkey == F.col("p_partkey"),
     )
-    min_cost = rps.groupBy(F.col("ps_partkey").alias("__mc_pk")).agg(
-        F.min("ps_supplycost").alias("__min_cost")
-    )
+    w = W.partitionBy("ps_partkey")
     return (
-        rps.join(
-            F.broadcast(min_cost),
-            (F.col("ps_partkey") == F.col("__mc_pk"))
-            & (F.col("ps_supplycost") == F.col("__min_cost")),
-        )
+        rps.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",

@@ -1029,92 +1029,97 @@ QUERIES: dict[str, Query] = {
 # stay <= 3-4/round so the 50-slot window can service the budget; each
 # round's window arithmetic below is derived from that budget.
 #
-# Round-16 rotation, executed exactly as the r15 comment and the r15
-# verdict's ask 3 bound it: (a) the 25-query last-green-r12 REMAINDER
-# leads (ann_lsh_topk onward in registry order — at r16 those rows
-# are 4 rounds old, one past budget, and may not be deferred again);
-# then (b) the 4 queries round 16 ITSELF re-hashed, in registry order
-# (TOUCH policy: kernel/plan change outranks merely-old rows): the
-# reference-fidelity corrections — gap_fill rewritten to the
-# reference's verbatim six-term rule with the oracle corrected in
-# lockstep (r15 verdict ask 1; the hash MOVES: 19/256 cells on the
-# driver's mask), and the three island-family queries whose kernels
-# changed (per-X-point separatrix/O-structure decomposition with
-# truncating rasterization, verbatim current-sheet thresholds,
-# d_per_de un-inverted to the reference's 1/spacing — contract mask
-# literals re-derived 140/425/692 → 257/383/0; multi8's X/O census
-# is upstream of all three fixes and verified unchanged, hoisted
-# under the TOUCH policy anyway); then (c) the FIRST 21 of the
-# 37-query last-green-r13 block in registry order (gap_fill_grid,
-# also r13, already sits in the touched block). 25+4+21 = exactly 50.
+# Round-18 rotation (the r17 verdict's top-ranked ask — the r17
+# window did NOT rotate, so the r16 comment's named debt aged one
+# more round; at r18 the past-budget set is 16@r13 + 44@r14 = 60
+# queries for 50 slots, and the TOUCH policy additionally demands
+# driver rows for the r17-rewritten paths, 22 of which have none).
+# Composition, in priority order:
+# (a) the FULL 16-query last-green-r13 cohort (5 rounds stale, may
+#     not be deferred again; includes 4 r17-rewritten paths:
+#     semantic_dedup, cluster_purity, pagerank_neardup,
+#     funnel_stages), registry order;
+# (b) the 18 remaining r17-rewritten/touched paths with no r17
+#     driver row (TOUCH policy: plan/kernel change outranks merely-
+#     old rows) — 9 from the r14 cohort (minhash_near_dup_pairs,
+#     dedup_clusters, ivf_persist_roundtrip + the ivfpq family) and
+#     9 from the r15 cohort (sketch/hll splits, simhash pair
+#     enumeration, the pq widens, pagerank_neardup_lsh,
+#     semantic_dedup_scaled), registry order within each;
+# (c) 6 slots reserved for the paths round 18 itself plans to touch
+#     (streaming block ×4, benchmark_decontam, and
+#     tpch_q2_min_cost_supplier — the last also r14-stale);
+# (d) the FIRST 10 of the remaining r14 cohort in registry order.
+# 16 + 18 + 6 + 10 = exactly 50.
 #
-# After this window: staleness histogram is 50@r16 / 50@r15 / 44@r14
-# / 16@r13 — nothing older than 3 rounds. The named debt that must
-# LEAD round 17: the 16-query r13 remainder (stratified_split onward
-# in registry order), then the oldest r14 rows with returned slots.
+# After this window: staleness histogram is 50@r18 / 50@r17 / 36@r15
+# / 24@r14. The 24-query r14 remainder (tpch_q8_market_share onward
+# in registry order, minus the rows serviced here) is the named debt
+# that must LEAD the next rotation; the r15 block follows. The
+# r17-touched trio already driver-certified in r17
+# (dedup_incremental, chunk_dedup, dup_span_extract) and the
+# r17-green curation/ann rows deliberately yield their slots to the
+# stale cohorts.
 #
-# Retire-or-keep (r12-r15 precedent, decided): the registry stays
-# FLAT at 160 — round 16's corrections change no contracts, only
-# values; the new reference-formula differential layer lives in
-# tests/test_reference_formulas.py (Spark-free, not a registry
-# query, because it pins kernel-vs-reference parity that no DuckDB
-# oracle can see — the r15 self-referential-oracle lesson).
+# Retire-or-keep: registry stays FLAT at 160 — optimization rounds
+# change no contracts, only plans; every rewrite is oracle-pinned.
 _VERIFY_FIRST: list[str] = [
-    # -- (a) the last-green-r12 remainder, one past budget, registry
-    # -- order (the r15 comment's named 25-query debt) --
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "cosine_topk",
-    "partitioned_prune_roundtrip",
-    "ann_hamming_rerank",
-    "quality_filter",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "shard_assign",
-    "contamination_check",
-    "bigram_topk",
-    "label_centroids",
-    "curation_funnel",
-    "curation_funnel_mat",
-    "weighted_sample",
-    "heavy_hitters",
-    "pii_scrub",
-    "compaction_roundtrip",
-    "dedup_incremental",
-    "ivf_recall_contract",
-    "chunk_documents",
-    "chunk_dedup",
-    "bm25_topk",
-    "dup_span_extract",
-    "sq8_quantize",
-    # -- (b) round-16 re-hashed (reference-fidelity corrections),
-    # -- registry order --
-    "gap_fill_grid",
-    "find_structures_island",
-    "find_structures_contract",
-    "find_structures_multi8",
-    # -- (c) first 21 of the last-green-r13 block, registry order --
-    "bounds_lineitem",
-    "label_extrema_lineitem",
-    "gaussian_smooth_grid",
-    "extrema_filter_grid",
-    "dilate_grid",
-    "flood_label_grid",
-    "flood_region_grid",
-    "contours_grid",
-    "running_sum_events",
-    "gradient_events",
-    "fluxfn_grid",
-    "interp_events",
-    "line_slice_linear",
-    "line_slice_nearest",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
-    "format_roundtrip",
+    # -- (a) the full last-green-r13 cohort, registry order --
+    "stratified_split",
+    "unigram_logprob",
+    "zipf_fit",
+    "semantic_dedup",
+    "domain_mix",
+    "ks_drift",
+    "cluster_purity",
+    "cdc_chunks",
+    "snapshot_diff",
+    "k_anonymity",
+    "pagerank_neardup",
+    "multimodal_embed_topk",
+    "text_normalize",
+    "incremental_agg_refresh",
+    "funnel_stages",
+    "bpe_detok_roundtrip",
+    # -- (b) r17-rewritten paths without an r17 driver row --
+    # r14-stale members, registry order:
+    "minhash_near_dup_pairs",
+    "dedup_clusters",
+    "ivf_persist_roundtrip",
+    "halo_smooth_multi_t",
+    "ivfpq_persist_topk",
+    "ivfpq_recall_contract",
+    "ivfpq_refine_topk",
+    "ivfpq_refine_recall",
+    "ivfpq_nprobe_curve",
+    # r15-stale members, registry order:
+    "sketch_accuracy_events",
+    "hll_union_contract_events",
+    "dedup_simhash",
+    "simhash_near_dups",
+    "semantic_dedup_scaled",
+    "pq_codes",
+    "pq_adc_topk",
+    "pagerank_neardup_lsh",
+    "pq_train_gain",
+    # -- (c) round-18 planned-touch reservations --
+    "stateful_user_totals_live",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "streaming_heavy_hitters",
+    "benchmark_decontam",
+    "tpch_q2_min_cost_supplier",
+    # -- (d) first 10 of the remaining r14 cohort, registry order --
+    "distributed_label_contract",
+    "json_props_events",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_orders",
+    "group_rollup",
+    "tpch_q4_semijoin",
+    "tpch_q7_volume",
 ]
 
 QUERIES = {

@@ -226,6 +226,15 @@ def ivfpq_index_write(
             )
             .select("vec_id", "subspace", "code")
             .join(res.select("vec_id", "cell"), "vec_id")
+            # cluster by cell before the partitioned write: the r17
+            # widen_scan made the build 32-way parallel, so WITHOUT
+            # this every task held rows of every cell and the
+            # partitionBy write fanned out to ~cells×tasks tiny files
+            # (measured 409-903 files vs 32) — a layout tax every
+            # warm ADC scan re-paid (the r17 ivfpq warm regression).
+            # One ~|corpus|·M-row shuffle at build buys 1 file/cell
+            # (guide §6: aim for few, larger files per partition).
+            .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{path}/codes")
@@ -234,10 +243,29 @@ def ivfpq_index_write(
         res.unpersist()
 
 
+# (applicationId, index path) -> (cents, books). The path is
+# CONTENT-ADDRESSED (persistent_index_dir folds the data fingerprint,
+# build knobs and builder-source hash into the directory name), so a
+# stale entry is unreachable by construction — any change moves the
+# path. This caches the bounded driver-side components (ncells
+# centroid rows + PQ_M·PQ_K codebook rows) once per session, the same
+# load-once posture production index serving has; the per-query ADC
+# work (query collect, LUT build, codes scan, scoring plan) is NOT
+# cached and re-executes every call (r18, VERDICT item 10 — the
+# repeated 2-collect reload was ~0.2 s of driver job latency on every
+# ivfpq-family query).
+_INDEX_COMPONENTS: dict[tuple[str, str], tuple] = {}
+
+
 def _load_index_driver_side(spark: SparkSession, path: str):
     """(cents, books): the two bounded index components every search
-    needs driver-side — ncells centroid rows + PQ_M·PQ_K codebook
-    rows."""
+    needs driver-side — session-cached per content-addressed path."""
+    key = (spark.sparkContext.applicationId, path)
+    hit = _INDEX_COMPONENTS.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _INDEX_COMPONENTS if k[0] != key[0]]:
+        del _INDEX_COMPONENTS[k]  # dead sessions' entries
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     )
@@ -263,6 +291,7 @@ def _load_index_driver_side(spark: SparkSession, path: str):
     books = np.zeros((PQ_M, kk, _SUB), dtype=np.float64)
     for r in book_rows:
         books[r["subspace"], r["code"]] = [float(x) for x in r["vec"]]
+    _INDEX_COMPONENTS[key] = (cents, books)
     return cents, books
 
 

@@ -192,6 +192,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_dedup_counts(assigned)
 
 
+def _count_removed(X: np.ndarray, blk_elems: int = 4_000_000) -> int:
+    """Members of one cluster (rows of X, ASCENDING vec_id order) that
+    have a smaller-id neighbor at 6dp-rounded cosine ≥ DUP_COS.
+
+    Chunked over ROW blocks (r18, the r17 advisory): the former
+    one-shot n×n float64 matrix + n×n mask held ~7.7 GB in a single
+    task at ~31k members (the fixed-K contract's cluster size grows
+    ~N/K), where the old self-join could at least spill; streaming
+    blocks of rows against the full column prefix caps peak memory at
+    O(block·n) while `_pair_cosines`' shape-independent einsum
+    guarantees every evaluated pair the IDENTICAL float the full
+    matrix would yield (the r13 parity property; chunked == full
+    pinned in tests/test_round18.py). Row 0 can never be removed."""
+    n = len(X)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    removed = 0
+    blk = max(1, blk_elems // n)  # ≤ ~32 MB of float64 per block
+    for s in range(1, n, blk):
+        e = min(s + blk, n)
+        r6 = _round6(_pair_cosines(X[s:e], nrm[s:e], X[:e], nrm[:e]))
+        hit = (r6 >= DUP_COS) & (
+            np.arange(e)[None, :] < np.arange(s, e)[:, None]
+        )
+        removed += int(hit.any(axis=1).sum())
+    return removed
+
+
 def _cluster_dedup_counts(assigned: DataFrame) -> DataFrame:
     """(cluster, n_members, n_removed) — the within-cluster duplicate
     accounting, ONE cluster-cogrouped Arrow kernel per cluster instead
@@ -219,12 +246,7 @@ def _cluster_dedup_counts(assigned: DataFrame) -> DataFrame:
             return pd.DataFrame(
                 {"cluster": [cluster], "n_members": [1], "n_removed": [0]}
             )
-        nrm = np.sqrt((X * X).sum(axis=1))
-        r6 = _round6(_pair_cosines(X, nrm, X, nrm))
-        # member j (ascending vec_id) is removable iff some i < j has
-        # rounded cosine ≥ DUP_COS — strictly-lower-triangle any()
-        hit = (r6 >= DUP_COS) & np.tri(n, k=-1, dtype=bool)
-        removed = int(hit.any(axis=1).sum())
+        removed = _count_removed(X)
         return pd.DataFrame(
             {
                 "cluster": [cluster],

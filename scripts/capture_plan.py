@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') for registry queries to plans/r17/.
+"""Capture .explain('formatted') for registry queries to plans/<round>/.
 
 Usage: python scripts/capture_plan.py <suffix> <query> [<query> ...]
-Writes plans/r17/<query>_<suffix>.txt for each query.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (default r18).
 """
 
 from __future__ import annotations
@@ -15,7 +15,9 @@ def main() -> int:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r17")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from data_framework_spark.registry import QUERIES

@@ -3,6 +3,8 @@ beyond the oracle parity check: known-graph components, convergence on
 chains, and the sampling guarantee that actually matters — the kept
 set depends only on keys, never on partitioning or row order."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_framework_spark.dedup.clusters import connected_components
@@ -33,6 +35,7 @@ def test_cc_known_graph(spark):
         assert out == want, f"threshold={threshold}"
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_cc_long_chain_converges(spark):
     """A 30-vertex path needs many propagation rounds — the fixpoint
     loop must actually reach it, not stop early."""

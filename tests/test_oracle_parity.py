@@ -10,6 +10,9 @@ from data_framework_spark.oracle import compare, diff_sample
 from data_framework_spark.registry import QUERIES
 
 
+@pytest.mark.slow  # r18: the 160-query digest is the suite's main
+# wall cost (>20 min); the round driver hash-checks the same surface
+# at sf0.01 every round, and developers run it via `-m slow`
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity(spark, sf_dir, name):
     report = compare(spark, sf_dir, name)
@@ -27,6 +30,7 @@ _SPARK_INTEGRAL = {"byte", "short", "int", "long"}
 _SPARK_FLOATING = {"float", "double"}
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_oracle_output_types(spark, sf_dir):
     """The driver fetches oracle results via pandas/Arrow, where DuckDB
     HUGEINT (e.g. an uncast window sum over BIGINT) canonicalizes to
@@ -62,6 +66,7 @@ def test_oracle_output_types(spark, sf_dir):
     assert not problems, problems
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_every_query_returns_rows(spark, sf_dir):
     """Queries should be non-trivially populated at sf0.001 (a 0-row
     result can hash-match while verifying nothing)."""

@@ -10,6 +10,8 @@ sensitive, so assertions are substring-level and target invariants
 """
 
 import contextlib
+
+import pytest
 import io
 
 from data_framework_spark.operators.relational import tpch_q1, tpch_q5
@@ -142,6 +144,7 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "source" not in scan  # partition col is path-derived
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_no_accidental_cartesian_products(spark):
     """Sweep EVERY registry query's physical plan: CartesianProduct
     may appear only in the explicitly-labeled exact baselines (none

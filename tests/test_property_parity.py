@@ -356,6 +356,7 @@ def _pagerank_reference(n, edges, d, iters):
 
 @given(st.data())
 @_SLOW
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_pagerank_matches_numpy(spark, data):
     from data_framework_spark.operators.graph import (
         PR_DAMPING,

@@ -427,6 +427,7 @@ def test_bpe_incremental_matches_reference_random_corpora(spark):
     run()
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_hier_assignment_matches_flat_random_corpora(spark):
     """Hier-vs-flat route parity over randomized corpora and centroid
     counts — beyond the four fixed corpora: random geometry lands

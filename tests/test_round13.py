@@ -143,6 +143,7 @@ def test_sharded_equals_flat_on_tie_corpus(spark):
     assert 1 not in set(shard.values()) and 2 not in set(shard.values())
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_sharded_matches_flat_random_corpora(spark):
     """Randomized-geometry sweep (the r12 hier-parity pattern):
     random corpora land cosines at arbitrary distances from the 6dp

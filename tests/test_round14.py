@@ -159,6 +159,7 @@ def test_ivfpq_reload_path_matches_build_path(spark, cache_root):
     assert reloaded == built
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_ivfpq_stale_cache_unreachable_after_fmt_bump(spark, cache_root, monkeypatch):
     """Bumping IVFPQ_INDEX_FMT (the build-code-change discipline) must
     diverge the digest so the persisted pre-bump index is never
@@ -273,6 +274,7 @@ def test_family_upstream_missing_columns_refused(spark):
 # --- sharded-assignment salting escape (r13 verdict ask 5) --------------------
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_sharded_salting_bitwise_invariant_on_hot_cell(spark):
     """The wired hot-coarse-cell escape: a corpus where (by
     construction) virtually every vector probes ONE coarse cell —
@@ -358,6 +360,7 @@ def test_refine_shortlist_r_values():
     assert refine_shortlist_r(10**9) == IVFPQ_REFINE_R_CAP
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_refine_r_sql_matches_python_policy():
     """The oracle's count(*)-derived R expression must yield the exact
     integer refine_shortlist_r computes, for counts spanning the
@@ -438,6 +441,7 @@ def test_pq_books_fmt_bump_diverges(spark, cache_root, monkeypatch):
     assert len(files2) == 1 and files2 != files
 
 
+@pytest.mark.slow  # r18: >10 s; slow lane (see pytest.ini)
 def test_sharded_salting_randomized_sweep(spark):
     """Randomized geometries (isotropic, clustered, mixed-norm) ×
     salt ∈ {1, 2, 5}: the salted sharded route must equal the flat

@@ -13,61 +13,12 @@ import os
 # --- r16 verify-window rotation (r15 verdict ask 3) ---------------------------
 
 
-def test_r16_verify_window_arithmetic():
-    """The driver verifies the FIRST 50 registry entries. Round 16's
-    window, exactly as the r15 rotation comment and the r15 verdict's
-    ask 3 bound it: the 25-query last-green-r12 REMAINDER leads
-    (ann_lsh_topk onward — one past the 3-round staleness budget),
-    then the 4 queries round 16 re-hashed with the reference-fidelity
-    corrections (gap_fill's corrected kernel+oracle and the three
-    island-family queries whose mask kernels changed) in registry
-    order, filled with the FIRST 21 of the last-green-r13 block in
-    registry order (returned slots go to the oldest rows; the fill is
-    pinned as the exact prefix, not a subset). The 16-query r13
-    remainder is the named debt that must lead round 17."""
-    from data_framework_spark.registry import QUERIES, _VERIFY_FIRST
-
-    here = os.path.dirname(__file__)
-    root = os.path.join(here, "..")
-
-    def load(n):
-        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
-            return set(json.load(f))
-
-    assert len(_VERIFY_FIRST) == 50
-    assert len(set(_VERIFY_FIRST)) == 50
-    assert set(_VERIFY_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _VERIFY_FIRST  # hoisting actually applied
-
-    last_green_r12 = load(12) - load(13) - load(14) - load(15)
-    last_green_r13 = load(13) - load(14) - load(15)
-    touched_r16 = [
-        "gap_fill_grid",
-        "find_structures_island",
-        "find_structures_contract",
-        "find_structures_multi8",
-    ]
-    # (a) the whole last-green-r12 remainder (everything r12-green
-    # that r13-r15 windows did not re-verify), registry order
-    remainder_r12 = [
-        q for q in QUERIES if q in last_green_r12 and q not in touched_r16
-    ]
-    assert len(remainder_r12) == 25
-    assert _VERIFY_FIRST[:25] == remainder_r12
-    # (b) round-16 touched: pinned literally AND position-checked
-    assert _VERIFY_FIRST[25:29] == [
-        q for q in QUERIES if q in set(touched_r16)
-    ] == touched_r16
-    # (c) fill = the FIRST 21 of the last-green-r13 block in registry
-    # order, after gap_fill_grid (r13-green, hoisted into the touched
-    # block) is excluded (pinned exactly, not as a subset)
-    r13_block = [
-        q for q in QUERIES if q in last_green_r13 and q not in touched_r16
-    ]
-    assert len(r13_block) == 37
-    assert _VERIFY_FIRST[29:] == r13_block[:21]
-    # the named r17 lead debt: the 16-query r13 remainder
-    assert len(r13_block[21:]) == 16
+# test_r16_verify_window_arithmetic moved WITH the rotation: the
+# window is a per-round artifact, so its arithmetic pin lives in the
+# round file that last rotated it (tests/test_round18.py::
+# test_r18_verify_window_arithmetic since r18; the r16 composition it
+# used to pin is preserved in the git history and in the r16
+# CORRECTNESS record).
 
 
 # --- re-derived island-family contract literals (r15 verdict ask 1) -----------

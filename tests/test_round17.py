@@ -15,6 +15,7 @@ SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 
 
+@pytest.mark.slow  # r18: sf0.01 double-run pin; slow lane
 class TestSemanticDedupKernel:
     def test_routed_assignment_matches_hof_route_fixed_k(self, spark):
         """q_semantic_dedup/q_cluster_purity now assign via
@@ -101,6 +102,7 @@ class TestSemanticDedupKernel:
         assert [tuple(r) for r in old] == [tuple(r) for r in new]
 
 
+@pytest.mark.slow  # r18: sf0.01 double-run pin; slow lane
 class TestDedupClustersLocalFinish:
     def test_local_finish_matches_distributed_tail(self, spark):
         """When the CC small-graph gate routes driver-side,
@@ -110,17 +112,21 @@ class TestDedupClustersLocalFinish:
         import data_framework_spark.dedup.clusters as C
 
         a = C.q_dedup_clusters(spark, SF01).collect()
-        real_cc = C.connected_components
-        C.connected_components = lambda pairs, **kw: real_cc(
+        # r18: the query now routes via connected_components_routed
+        # (explicit driver_side flag) — patch THAT to force the
+        # distributed label-propagation route
+        real_cc = C.connected_components_routed
+        C.connected_components_routed = lambda pairs, **kw: real_cc(
             pairs, small_graph_edges=0
         )
         try:
             b = C.q_dedup_clusters(spark, SF01).collect()
         finally:
-            C.connected_components = real_cc
+            C.connected_components_routed = real_cc
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow  # r18: sf0.01 double-run pin; slow lane
 class TestFunnelOnePass:
     def test_one_pass_funnel_matches_stagewise(self, spark):
         """The r17 one-pass funnel (per-user stage arrays + HOF
@@ -161,16 +167,21 @@ class TestFunnelOnePass:
 
 
 class TestPagerankSmallGraphRoute:
-    def test_driver_route_equals_distributed_route(self, spark):
+    @pytest.mark.slow  # r18: forces the distributed route at sf0.01
+    @pytest.mark.parametrize("sf", [SF001, SF01])
+    def test_driver_route_equals_distributed_route(self, spark, sf):
         """The r17 driver-side rank iteration (PR_SMALL_GRAPH_EDGES
         bounded collect) must return EXACTLY the distributed
         iteration's rows — same nodes, same degrees, same 6dp-rounded
-        ranks, same top-50 order."""
-        a = G.q_pagerank_neardup(spark, SF001).collect()
+        ranks, same top-50 order. Pinned at sf0.001 AND sf0.01 (r18,
+        r17 advisory: the np.add.at vs Spark partial-sum agreement
+        after 6dp rounding deserves the pin at every driver-verified
+        SF where the small route fires)."""
+        a = G.q_pagerank_neardup(spark, sf).collect()
         orig = G.PR_SMALL_GRAPH_EDGES
         G.PR_SMALL_GRAPH_EDGES = 0  # force the distributed route
         try:
-            b = G.q_pagerank_neardup(spark, SF001).collect()
+            b = G.q_pagerank_neardup(spark, sf).collect()
         finally:
             G.PR_SMALL_GRAPH_EDGES = orig
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
