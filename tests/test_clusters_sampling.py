@@ -14,6 +14,7 @@ from data_framework_spark.functions.sampling import (
 )
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_cc_known_graph(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (4, 5), (10, 11), (11, 12), (12, 13), (13, 14)],

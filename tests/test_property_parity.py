@@ -146,6 +146,7 @@ def test_asof_matches_pandas_merge_asof(spark, data):
     assert got_s == want_s
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 @given(st.integers(0, 2**31 - 1), st.integers(1, 17))
 @_SLOW
 def test_pack_bins_partition_independent(spark, seed, n_parts):

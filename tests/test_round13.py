@@ -70,6 +70,7 @@ def _three_route_maps(spark, emb, cents_rows):
     return flat, hier, shard
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_sharded_equals_flat_and_hier_on_shipped_corpus(spark):
     """On the shipped isotropic corpus — loose bounds, the honest
     worst case where phase B explodes nearly every cell — the sharded

@@ -140,6 +140,7 @@ def test_persistent_index_corrupt_manifest_rebuilds(spark, cache_root):
     assert p2 == p1 and len(builds) == 2  # same digest path, rebuilt
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_ivfpq_reload_path_matches_build_path(spark, cache_root):
     """Query-level contract for ask 2: q_ivfpq_persist_topk answered
     from a RELOADED persistent index (fresh-session simulation) must

@@ -180,6 +180,7 @@ def test_ngram_jaccard_arrow_short_texts_and_empty_probe(spark):
 # --- IVF-PQ build determinism ----------------------------------------------
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_ivfpq_two_independent_builds_agree(spark, tmp_path):
     """Two from-scratch builds of the same corpus into different
     directories must produce byte-identical code tables and identical
@@ -317,6 +318,7 @@ def test_session_index_dir_builds_once_per_session(spark):
         "minhash_near_dup_pairs",
     ],
 )
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_round8_query_digest_stable_across_duckdb_runs(spark, sf_dir, name):
     """The round-7 convention for new and kernel-changed float-bearing
     queries: 5 fresh DuckDB connections against one fixed Spark digest

@@ -5,6 +5,8 @@ and the written-order ADC fold.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import time
@@ -317,6 +319,7 @@ def test_minhash_verify_arrow_route_equals_jvm(spark):
 # --- BPE oracles survive early merge exhaustion ------------------------------
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_bpe_oracles_match_spark_when_merges_exhaust_early(spark, tmp_path):
     """A corpus whose pair supply runs out before BPE_MERGES merges:
     Spark's learner breaks early; the SQL chain must ride the no-op
@@ -372,6 +375,7 @@ def test_bpe_oracles_match_spark_when_merges_exhaust_early(spark, tmp_path):
 # --- shared membership kernel: property parity vs pure Python ----------------
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_membership_kernel_property_parity(spark):
     """membership_jaccard_pairs vs a pure-Python set-Jaccard reference
     on randomized tiny corpora (hypothesis): same pairs, same 6dp
@@ -478,6 +482,7 @@ def test_bucketed_topk_probe_radius_contract(spark):
 # --- learned-merge session cache: reuse + fingerprint invalidation ----------
 
 
+@pytest.mark.slow  # r18: >9 s; slow lane (see pytest.ini)
 def test_bpe_merge_cache_reuses_and_invalidates(spark, tmp_path, monkeypatch):
     """The merge table is a train-once artifact: within a session the
     four BPE queries must share one training run per (corpus content,
